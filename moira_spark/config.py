@@ -1,0 +1,94 @@
+"""Spec-of-record constants for the transcript quality-filter engine.
+
+Every threshold used by BOTH the pure-pandas oracle (``moira_spark.oracle``)
+and the Spark pipeline (``moira_spark.pipeline``) lives here, so the two
+implementations cannot drift.  The semantics transpose fpusan/moira's
+read-filtering pipeline (per-base quality -> expected errors -> keep/drop,
+reference reconstructed from public knowledge; /root/reference is empty, see
+SURVEY.md §0) to multi-turn transcript filtering per BASELINE.json:6,14,15.
+
+moira analogy map (reference: moira.py, bernoullimodule.c [M]):
+  - per-base Phred quality      -> per-char LM log-prob (``PPL_*``)
+  - expected-errors <= uncert*L -> perplexity <= PPL_MAX
+  - ambiguous-base (N) count    -> symbol/word ratio rules
+  - --truncate length gate      -> length-bounds rule
+  - whole-read discard          -> per-turn drop
+  - paired-read whole-pair drop -> conversation drop when > K bad turns
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------- rule: length
+MIN_CHARS = 10
+MAX_CHARS = 20_000
+MIN_WORDS = 3
+MAX_WORDS = 4_000
+
+# --------------------------------------------------------- rule: symbol ratios
+# Gopher-style: too many non-alphanumeric symbols per word, or too many
+# '#'/'…' marks per word.  ASCII character classes on both sides (Java regex
+# \p{Alnum} is ASCII; the oracle mirrors that explicitly).
+MAX_SYMBOL_WORD_RATIO = 0.40
+MAX_HASH_ELLIPSIS_WORD_RATIO = 0.10
+
+# ----------------------------------------------------------- rule: repetition
+# Gopher-style duplicate-content fractions, computed over characters.
+MAX_DUP_LINE_FRAC = 0.30          # fraction of chars in duplicated lines
+MAX_TOP_NGRAM_CHAR_FRAC = {       # chars covered by the most frequent n-gram
+    2: 0.20,
+    3: 0.18,
+    4: 0.16,
+}
+MIN_WORDS_FOR_REPETITION = 20     # below this the n-gram stats are meaningless
+
+# ------------------------------------------------------------- rule: language
+LANG_ALLOWLIST = ("en",)
+LANG_MIN_CONF = 0.65
+LANGID_DIM = 1 << 15              # hashed char-trigram feature space
+LANGID_SEED = 42
+
+# ----------------------------------------------------------- rule: perplexity
+# Char-bigram LM trained on the seeded clean corpus; moira's Poisson-binomial
+# expected-error bound re-expressed as a per-turn perplexity ceiling.
+PPL_MAX = 60.0
+PPL_MIN_CHARS = 20                # very short turns: ppl unreliable, skip rule
+LM_SEED = 42
+
+# ------------------------------------------------------------- rule: toxicity
+TOXIC_LEXICON = (
+    "frakking", "gorram", "smeghead", "belgium", "felgercarb",
+    "shazbot", "frell", "dren", "yotz", "grud",
+)
+TOXIC_MASK = "[REDACTED]"
+
+# ------------------------------------------------------------------ PII scrub
+PII_EMAIL_TOKEN = "<EMAIL>"
+PII_PHONE_TOKEN = "<PHONE>"
+PII_SSN_TOKEN = "<SSN>"
+PII_IP_TOKEN = "<IP>"
+PII_CC_TOKEN = "<CC>"
+
+# ------------------------------------------------------- conversation verdict
+# moira's whole-read discard on expected-error exceedance, lifted to the
+# conversation level: drop the whole conversation when more than
+# CONV_MAX_BAD_TURNS turns failed per-turn filtering.
+CONV_MAX_BAD_TURNS = 5
+
+# Salt buckets for the two-phase conversation aggregation (hot-conv skew).
+CONV_AGG_SALT_BUCKETS = 32
+
+# Rule names, also the vocabulary of the ``reasons`` column (sorted output).
+REASON_LENGTH = "length"
+REASON_SYMBOL = "symbol_ratio"
+REASON_REPETITION = "repetition"
+REASON_LANGUAGE = "language"
+REASON_PERPLEXITY = "perplexity"
+REASON_TOXICITY = "toxicity"
+ALL_REASONS = (
+    REASON_LANGUAGE,
+    REASON_LENGTH,
+    REASON_PERPLEXITY,
+    REASON_REPETITION,
+    REASON_SYMBOL,
+    REASON_TOXICITY,
+)

@@ -1,0 +1,69 @@
+"""PII/toxicity scrubber with byte-exact, order-pinned semantics.
+
+Byte-exactness under overlapping spans (email inside URL, phone adjacent to
+SSN — FIXTURES.md §1) is achieved with ONE combined alternation applied in a
+single left-to-right pass: at each position the first alternative in priority
+order wins (CC > SSN > PHONE > EMAIL > IP), and the scan resumes after the
+match, so there is no rescanning ambiguity.  The oracle and the Spark UDF
+call this very function, so the two cannot diverge (SURVEY.md §7.8).
+
+Patterns are compiled once at module import — loaded once per executor
+Python worker, never per row/batch (BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+import regex
+
+from moira_spark import config
+
+_PII_PATTERN = regex.compile(
+    r"""
+    (?P<CC>\b(?:\d[ -]?){15}\d\b)                                  # 16-digit card
+  | (?P<SSN>\b\d{3}-\d{2}-\d{4}\b)
+  | (?P<PHONE>\b(?:\+?1[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b)
+  | (?P<EMAIL>\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b)
+  | (?P<IP>\b(?:\d{1,3}\.){3}\d{1,3}\b)
+    """,
+    regex.VERBOSE,
+)
+
+_PII_TOKENS = {
+    "CC": config.PII_CC_TOKEN,
+    "SSN": config.PII_SSN_TOKEN,
+    "PHONE": config.PII_PHONE_TOKEN,
+    "EMAIL": config.PII_EMAIL_TOKEN,
+    "IP": config.PII_IP_TOKEN,
+}
+
+_TOXIC_PATTERN = regex.compile(
+    r"\b(?:" + "|".join(regex.escape(w) for w in config.TOXIC_LEXICON) + r")\b",
+    regex.IGNORECASE,
+)
+
+
+def _pii_replace(m: "regex.Match") -> str:
+    return _PII_TOKENS[m.lastgroup]
+
+
+def scrub_text(text: str) -> tuple[str, bool, bool]:
+    """Return (scrubbed_text, had_pii, had_toxicity).
+
+    PII spans are replaced by typed tokens; toxic lexicon hits are masked AND
+    flagged (toxicity drops the turn, PII alone does not — moira analogy:
+    Ns are corrected/penalised, hard failures are discarded).
+    """
+    scrubbed, n_pii = _PII_PATTERN.subn(_pii_replace, text)
+    scrubbed, n_toxic = _TOXIC_PATTERN.subn(config.TOXIC_MASK, scrubbed)
+    return scrubbed, n_pii > 0, n_toxic > 0
+
+
+def scrub_batch(texts):
+    """Per-batch loop (Arrow batch granularity, not Spark rows)."""
+    out_text, out_pii, out_toxic = [], [], []
+    for t in texts:
+        s, p, x = scrub_text(t)
+        out_text.append(s)
+        out_pii.append(p)
+        out_toxic.append(x)
+    return out_text, out_pii, out_toxic

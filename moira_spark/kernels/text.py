@@ -1,0 +1,112 @@
+"""Heuristic text-statistics kernels (length / symbol / repetition rules).
+
+These mirror moira's cheap per-read gates (ambig-base count, --truncate
+length gate; reference moira.py [M], reconstructed — /root/reference empty,
+SURVEY.md §0) transposed to Gopher/C4-style text heuristics.
+
+IMPORTANT ASCII contract: the Spark pipeline evaluates the length and symbol
+rules as native Column expressions (Java regex, whole-stage codegen).  Java's
+``\\s`` and ``\\p{Alnum}`` are ASCII-only by default, so every definition here
+uses explicit ASCII classes to stay bit-identical with the JVM side:
+
+  whitespace  = [ \\t\\n\\x0b\\f\\r]
+  alnum       = [A-Za-z0-9]
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+
+from moira_spark import config
+
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+_SYMBOL_RE = re.compile(r"[^A-Za-z0-9 \t\n\x0b\f\r]")
+_HASH_ELLIPSIS_RE = re.compile(r"[#…]")
+
+
+def words(text: str) -> list[str]:
+    """ASCII-whitespace tokenisation, empty tokens dropped."""
+    return [t for t in _WS_RE.split(text) if t]
+
+
+def word_count(text: str) -> int:
+    return len(words(text))
+
+
+def symbol_count(text: str) -> int:
+    """Count of chars that are neither ASCII alphanumeric nor ASCII space."""
+    return len(_SYMBOL_RE.findall(text))
+
+
+def hash_ellipsis_count(text: str) -> int:
+    return len(_HASH_ELLIPSIS_RE.findall(text))
+
+
+def length_rule_fails(text: str) -> bool:
+    n_chars = len(text)
+    n_words = word_count(text)
+    return not (
+        config.MIN_CHARS <= n_chars <= config.MAX_CHARS
+        and config.MIN_WORDS <= n_words <= config.MAX_WORDS
+    )
+
+
+def symbol_rule_fails(text: str) -> bool:
+    n_words = word_count(text)
+    denom = max(n_words, 1)
+    if symbol_count(text) / denom > config.MAX_SYMBOL_WORD_RATIO:
+        return True
+    return hash_ellipsis_count(text) / denom > config.MAX_HASH_ELLIPSIS_WORD_RATIO
+
+
+# ------------------------------------------------------------------ repetition
+
+
+def dup_line_char_frac(text: str) -> float:
+    """Fraction of characters that sit in a line occurring more than once."""
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if not lines:
+        return 0.0
+    counts = Counter(lines)
+    total = sum(len(ln) for ln in lines)
+    if total == 0:
+        return 0.0
+    dup = sum(len(ln) * c for ln, c in counts.items() if c > 1)
+    return dup / total
+
+
+def top_ngram_char_frac(toks: list[str], n: int) -> float:
+    """Chars covered by the single most frequent word n-gram."""
+    if len(toks) < n:
+        return 0.0
+    grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    counts = Counter(grams)
+    gram, cnt = counts.most_common(1)[0]
+    if cnt <= 1:
+        return 0.0
+    total_chars = sum(len(t) for t in toks)
+    if total_chars == 0:
+        return 0.0
+    gram_chars = sum(len(t) for t in gram)
+    return (gram_chars * cnt) / total_chars
+
+
+def repetition_rule_fails(text: str) -> bool:
+    toks = words(text)
+    if len(toks) < config.MIN_WORDS_FOR_REPETITION:
+        return False
+    if dup_line_char_frac(text) > config.MAX_DUP_LINE_FRAC:
+        return True
+    for n, thresh in config.MAX_TOP_NGRAM_CHAR_FRAC.items():
+        if top_ngram_char_frac(toks, n) > thresh:
+            return True
+    return False
+
+
+def repetition_flags(texts: "list[str] | np.ndarray") -> np.ndarray:
+    return np.fromiter(
+        (repetition_rule_fails(t) for t in texts), dtype=bool, count=len(texts)
+    )

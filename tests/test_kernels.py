@@ -1,0 +1,167 @@
+"""Unit tests for the shared kernels (no Spark needed — fast)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from moira_spark import config
+from moira_spark.kernels import bernoulli, hashing, langid, lm, scrub, text as textk
+
+
+class TestTextHeuristics:
+    def test_words_ascii_whitespace(self):
+        assert textk.words("a  b\tc\nd") == ["a", "b", "c", "d"]
+        assert textk.words("") == []
+        assert textk.words("   ") == []
+
+    def test_length_rule(self):
+        assert textk.length_rule_fails("ok")  # too short
+        assert textk.length_rule_fails("x" * 30000)  # too long
+        assert not textk.length_rule_fails("this is a perfectly fine sentence")
+
+    def test_symbol_rule(self):
+        assert textk.symbol_rule_fails("$% ^& *( )! @# $% ^&")
+        assert not textk.symbol_rule_fails("plain words only here")
+        # hash/ellipsis specific trigger
+        assert textk.symbol_rule_fails("a b c # # # #…")
+
+    def test_repetition_dup_lines(self):
+        line = "the same line of words here"
+        text = "\n".join([line] * 6)
+        assert textk.repetition_rule_fails(text)
+
+    def test_repetition_clean(self):
+        text = (
+            "every word in this rather long sentence is used exactly once "
+            "so there cannot be any duplicated content to find anywhere"
+        )
+        assert not textk.repetition_rule_fails(text)
+
+    def test_repetition_short_text_skipped(self):
+        assert not textk.repetition_rule_fails("ha ha ha ha ha")
+
+
+class TestHashing:
+    def test_pack_and_positions(self):
+        buf, lens = hashing.pack_texts(["abc", "", "de"])
+        assert bytes(buf) == b"abcde"
+        assert lens.tolist() == [3, 0, 2]
+        seg, valid = hashing.ngram_positions(lens, 2)
+        # text0 has bigram starts at 0,1; text2 at 3; position 2 (c) and 4 (e)
+        # cannot start an in-text bigram
+        assert valid.tolist() == [True, True, False, True, False]
+        assert seg.tolist() == [0, 0, 0, 2, 2]
+
+    def test_empty_segment_counts(self):
+        lens = np.array([0, 1, 5])
+        assert hashing.segment_counts(lens, 3).tolist() == [0, 0, 3]
+
+
+class TestLangId:
+    def test_separates_en_from_xx(self):
+        model = langid.default_model()
+        from moira_spark.datagen import corpora
+
+        rng = np.random.RandomState(7)
+        en = [corpora.en_sentence(rng, 30) for _ in range(50)]
+        xx = [corpora.xx_sentence(rng, 30) for _ in range(50)]
+        langs, confs = model.predict(en + xx)
+        assert (langs[:50] == "en").all()
+        assert (langs[50:] == "xx").all()
+        assert (confs > config.LANG_MIN_CONF).all()
+
+    def test_empty_text_undetermined(self):
+        langs, confs = langid.default_model().predict(["", "ab"])
+        assert langs[0] == "und" and confs[0] == 0.0
+        assert langs[1] == "und"  # 2 bytes -> no trigram
+
+    def test_deterministic_across_calls(self):
+        m1 = langid.train({"a": ["hello world"], "b": ["zvar kqet"]})
+        m2 = langid.train({"a": ["hello world"], "b": ["zvar kqet"]})
+        assert np.array_equal(m1.log_likelihood, m2.log_likelihood)
+
+
+class TestLM:
+    def test_clean_vs_gibberish_separation(self):
+        from moira_spark.datagen import corpora
+
+        model = lm.default_model()
+        rng = np.random.RandomState(11)
+        clean = [corpora.en_sentence(rng, 40) for _ in range(30)]
+        soup = [corpora.gibberish(rng, 150) for _ in range(30)]
+        ppl = model.perplexity(clean + soup)
+        assert ppl[:30].max() < config.PPL_MAX < ppl[30:].min()
+
+    def test_short_text(self):
+        ppl = lm.default_model().perplexity(["", "a"])
+        assert ppl.tolist() == [1.0, 1.0]
+
+
+class TestScrub:
+    def test_email(self):
+        s, pii, tox = scrub.scrub_text("mail bob.smith+x@example.co.uk now")
+        assert s == "mail <EMAIL> now" and pii and not tox
+
+    def test_phone_and_ssn_adjacent(self):
+        s, pii, _ = scrub.scrub_text("call 555-123-4567 123-45-6789 ok")
+        assert s == "call <PHONE> <SSN> ok" and pii
+
+    def test_email_inside_url(self):
+        s, pii, _ = scrub.scrub_text("see https://ex.org/u?email=bob@ex.org end")
+        assert "<EMAIL>" in s and "bob@ex.org" not in s
+
+    def test_credit_card_beats_phone(self):
+        s, _, _ = scrub.scrub_text("card 4111 1111 1111 1111 done")
+        assert s == "card <CC> done"
+
+    def test_ip(self):
+        s, _, _ = scrub.scrub_text("ping 192.168.0.1 ok")
+        assert s == "ping <IP> ok"
+
+    def test_toxicity_masked_and_flagged(self):
+        s, _, tox = scrub.scrub_text("you total Smeghead stop")
+        assert s == "you total [REDACTED] stop" and tox
+
+    def test_idempotent(self):
+        raw = "x bob@ex.org 555-123-4567 123-45-6789 192.168.0.1 frell y"
+        once = scrub.scrub_text(raw)[0]
+        twice = scrub.scrub_text(once)[0]
+        assert once == twice
+
+    def test_clean_text_unchanged(self):
+        raw = "nothing sensitive in this sentence at all"
+        assert scrub.scrub_text(raw) == (raw, False, False)
+
+
+class TestBernoulli:
+    """FIXTURES.md §5 — semantic anchor to moira's expected-error bound."""
+
+    def test_all_q40(self):
+        # p = 1e-4 per base over 100 bases: bound stays tiny
+        assert bernoulli.expected_errors_pb([40] * 100, alpha=0.005) <= 1
+
+    def test_all_q2(self):
+        # p ≈ 0.63 per base: nearly every base is an error
+        ee = bernoulli.expected_errors_pb([2] * 100, alpha=0.005)
+        assert 55 <= ee <= 85
+
+    def test_empty_and_single(self):
+        assert bernoulli.expected_errors_pb([]) == 0.0
+        assert bernoulli.expected_errors_pb([40]) in (0.0, 1.0)
+
+    def test_matches_hand_computation(self):
+        # two bases with p=0.5: P(0)=0.25, P(<=1)=0.75, P(<=2)=1
+        # q=3.0103 gives p=0.5
+        quals = [3.0103, 3.0103]
+        assert bernoulli.expected_errors_pb(quals, alpha=0.05) == 2.0
+        assert bernoulli.expected_errors_pb(quals, alpha=0.30) == 1.0
+
+    def test_poisson_upper_bounds_pb_roughly(self):
+        quals = [20, 25, 30, 35, 20, 15] * 10
+        pb = bernoulli.expected_errors_pb(quals, alpha=0.005)
+        po = bernoulli.expected_errors_poisson(quals, alpha=0.005)
+        assert abs(pb - po) <= 2  # Poisson is a close over-approximation
+
+    def test_sum_expected_errors(self):
+        assert bernoulli.sum_expected_errors([10]) == pytest.approx(0.1)
