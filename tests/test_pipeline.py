@@ -1,0 +1,120 @@
+"""Spark pipeline vs pandas oracle — the core correctness gates.
+
+Gates (BASELINE.json:2): keep/drop F1 >= 0.99 (we assert 1.0), byte-exact
+scrubbed text, identical conversation verdicts; plus partitioning-invariance
+(repartition(1) vs repartition(N) identical output).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from moira_spark.datagen import transcripts as tg
+from moira_spark.oracle import ref_pipeline as orc
+from moira_spark.pipeline import filtered_output, run_pipeline
+
+N_TURNS = 6000
+
+
+def _merged(spark, n_turns=N_TURNS, partitions=None):
+    sdf = tg.gen_spark(spark, n_turns)
+    if partitions:
+        sdf = sdf.repartition(partitions)
+    out = run_pipeline(spark, sdf).toPandas()
+    ref = orc.run(tg.gen_pandas(n_turns))
+    m = out.merge(ref, on=["conv_id", "turn_idx"], suffixes=("_s", "_o"))
+    assert len(m) == len(out) == len(ref)
+    return m
+
+
+class TestParity:
+    def test_full_parity(self, spark):
+        m = _merged(spark)
+        # keep/drop F1 gate — exact agreement, so F1 = 1.0 >= 0.99
+        assert (m.keep_s == m.keep_o).all()
+        # byte-exact scrubbed text
+        assert (m.scrubbed_text_s == m.scrubbed_text_o).all()
+        # conversation verdicts
+        assert (m.conv_keep_s == m.conv_keep_o).all()
+        # scores float-exact (same kernels, same float64 path)
+        assert (m.ppl_s == m.ppl_o).all()
+        assert (m.lang_conf_s == m.lang_conf_o).all()
+        assert (m.lang_s == m.lang_o).all()
+        # reasons lists identical
+        assert all(list(a) == list(b) for a, b in zip(m.reasons_s, m.reasons_o))
+
+    def test_partitioning_invariance(self, spark):
+        one = _merged(spark, n_turns=3000, partitions=1)
+        many = _merged(spark, n_turns=3000, partitions=16)
+        key = ["conv_id", "turn_idx"]
+        a = one.sort_values(key).reset_index(drop=True)
+        b = many.sort_values(key).reset_index(drop=True)
+        assert (a.keep_s == b.keep_s).all()
+        assert (a.scrubbed_text_s == b.scrubbed_text_s).all()
+        assert (a.conv_keep_s == b.conv_keep_s).all()
+
+
+class TestFilteredOutput:
+    def test_good_sink(self, spark):
+        sdf = tg.gen_spark(spark, 3000)
+        labels = run_pipeline(spark, sdf)
+        good = filtered_output(labels, sdf).toPandas()
+        ref = orc.run(tg.gen_pandas(3000))
+        ref_good = ref[ref.keep & ref.conv_keep]
+        assert len(good) == len(ref_good)
+        # output schema matches the input transcript schema
+        assert list(good.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        # and the text column is the scrubbed text
+        m = good.merge(
+            ref_good[["conv_id", "turn_idx", "scrubbed_text"]],
+            on=["conv_id", "turn_idx"],
+        )
+        assert (m.text == m.scrubbed_text).all()
+
+
+class TestNativeRuleEquivalence:
+    """Pin the ASCII contract: Spark Column exprs == pandas kernels."""
+
+    def test_rules_match_kernels(self, spark):
+        from moira_spark.kernels import text as textk
+        from moira_spark.operators import rules
+
+        texts = [
+            "",
+            "ok",
+            "a b",
+            "plain words only in this sentence",
+            "$% ^& *( )! @# $% ^&",
+            "tabs\tand\nnewlines\x0bhere are fine words",
+            "emoji 🙂🙂 and accents naïve café",
+            "x" * 25000,
+            "# # # #…",
+            "trailing spaces   ",
+        ]
+        pdf = pd.DataFrame({"text": texts})
+        sdf = spark.createDataFrame(pdf)
+        out = sdf.select(
+            "text",
+            rules.length_rule_fails().alias("lf"),
+            rules.symbol_rule_fails().alias("sf"),
+            rules.n_words().alias("nw"),
+            rules.symbol_count().alias("sc"),
+        ).toPandas()
+        for _, row in out.iterrows():
+            t = row.text
+            assert row.lf == textk.length_rule_fails(t), repr(t)
+            assert row.sf == textk.symbol_rule_fails(t), repr(t)
+            assert row.nw == textk.word_count(t), repr(t)
+            assert row.sc == textk.symbol_count(t), repr(t)
+
+
+class TestDistributedGeneration:
+    def test_gen_spark_equals_gen_pandas(self, spark):
+        sdf = tg.gen_spark(spark, 3000, drop_defect=False).toPandas()
+        pdf = tg.gen_pandas(3000)
+        key = ["conv_id", "turn_idx", "ts"]
+        a = sdf.sort_values(key).reset_index(drop=True)
+        b = pdf.sort_values(key).reset_index(drop=True)
+        for col in ["conv_id", "turn_idx", "role", "text", "tool", "defect"]:
+            assert a[col].fillna("").tolist() == b[col].fillna("").tolist(), col
