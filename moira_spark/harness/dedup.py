@@ -1,0 +1,333 @@
+"""Deduplication operators (task-brief tier): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+The driver's ``documents`` table has no natural duplicates (random seeded
+text), so the exact/Jaccard queries plant deterministic duplicates inline —
+identically on both engines — and then find them.  MinHash and SimHash are
+genuinely non-SQL (banded hashing), so they are rows-only checks, but they
+use the same planted corpus so their outputs are non-trivially verifiable.
+
+Scale notes: every pattern here is the shuffle-friendly formulation —
+shingle explode + equi-join (never an O(n^2) cross join), banded LSH
+bucketing, bitwise SimHash block join.  These survive 100 TB because
+candidate generation is an equi-join on a key with controlled fan-out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from moira_spark.harness import load, register
+
+_PLANT_EXACT_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 37 = 0
+"""
+
+_PLANT_NEAR_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra trailing token'
+      FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def _planted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (
+        d.filter(F.col("doc_id") % 37 == 0)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    return d.unionAll(dup)
+
+
+def _planted_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+        )
+    )
+    return d.unionAll(dup)
+
+
+# ------------------------------------------------------------- exact dedup
+@register(
+    "dedup_exact",
+    f"""
+    SELECT MD5(text) AS fingerprint,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM ({_PLANT_EXACT_SQL})
+    GROUP BY MD5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup; canonical row = min doc_id per fingerprint."""
+    corpus = _planted_exact(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard dedup
+@register(
+    "dedup_jaccard_3gram",
+    f"""
+    WITH corpus AS ({_PLANT_NEAR_SQL}),
+    toks AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM toks WHERE LEN(w) >= 3
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dedup_jaccard_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via word-3-gram shingles + shingle equi-join.
+
+    Shuffle-friendly: candidates come from joining on the shingle value, so
+    cost scales with shared-shingle pairs, not with n^2.
+    """
+    corpus = _planted_near(spark, sf_dir)
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    toks = corpus.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
+    shingle = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), i),
+            F.element_at(F.col("w"), i + 1),
+            F.element_at(F.col("w"), i + 2),
+        ),
+    )
+    sh = (
+        toks.select("doc_id", F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+_MINHASH_K = 64
+_LSH_BANDS = 16  # 16 bands x 4 rows
+# Mersenne-31: keeps a*h + b < 2^63 so ANSI-mode long math cannot overflow.
+_MERSENNE = (1 << 31) - 1
+
+
+def _minhash_params(k: int = _MINHASH_K) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(1729)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+@register("dedup_minhash_lsh", None)  # banded hashing: rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + banded LSH candidate generation + exact verify.
+
+    shingle -> xxhash64 -> k=64 minhashes (groupBy-min, map-side combined)
+    -> 16 bands of 4 -> bucket equi-join -> exact Jaccard verify on the
+    candidates only.  The standard web-scale near-dup pipeline.
+    """
+    corpus = _planted_near(spark, sf_dir)
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    toks = corpus.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
+    shingle = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), i),
+            F.element_at(F.col("w"), i + 1),
+            F.element_at(F.col("w"), i + 2),
+        ),
+    )
+    sh = (
+        toks.select("doc_id", F.explode(shingle).alias("shingle"))
+        .distinct()
+        .withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+    )
+    av, bv = _minhash_params()
+    # k minhash aggregations; partial (map-side) min makes this one shuffle
+    # of k longs per doc regardless of shingle count.
+    minhashes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * int(av[i]) + int(bv[i]), F.lit(_MERSENNE))).alias(
+                f"mh{i}"
+            )
+            for i in range(_MINHASH_K)
+        ]
+    )
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for bi in range(_LSH_BANDS)
+        ]
+    )
+    banded = minhashes.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    sl, sr = sets.alias("sl"), sets.alias("sr")
+    verified = (
+        candidates.join(sl, F.col("doc_a") == F.col("sl.doc_id"))
+        .join(sr, F.col("doc_b") == F.col("sr.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sl.s", "sr.s")).cast("double")
+                / F.size(F.array_union("sl.s", "sr.s")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------------------------------------------ SimHash
+@register("dedup_simhash", None)  # bitwise blocking: rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup candidates via 4x16-bit block match.
+
+    Each doc's simhash: sign-sum of xxhash64 bits over its tokens.  Two docs
+    within Hamming distance 3 must share at least one of 4 16-bit blocks
+    (pigeonhole), so candidate generation is an equi-join on (block_idx,
+    block_value) — no pairwise scan.
+    """
+    corpus = _planted_near(spark, sf_dir)
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    tok = corpus.select("doc_id", F.explode(w).alias("t"))
+    tok = tok.withColumn("h", F.xxhash64("t"))
+    # per-bit sign sums: sum(+1/-1 per bit) via 64 conditional aggs
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_cols)
+    # assemble simhash: bit i set iff sum > 0
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63
+                       else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), bi * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for bi in range(4)
+        ]
+    )
+    blocked = sim.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

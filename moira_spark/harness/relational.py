@@ -1,0 +1,321 @@
+"""Relational operator coverage (SURVEY.md §2.2 #13): filter, aggregation,
+multi-way broadcast joins, group-by-having, windows, sessionization, top-k.
+
+These exercise the DuckDB-oracle path over the driver-provided TPC-H-ish
+tables.  Every aggregate follows the decimal/integerize conventions from
+``moira_spark.harness`` so both engines produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from moira_spark.harness import load, register
+
+
+def _dec(col, scale=2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------- Q1-ish
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    flt = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    agg = flt.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(
+            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(_dec("l_discount", 4)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg
+
+
+# --------------------------------------------------------------------- Q3-ish
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY ROUND(revenue, 2) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # customer is the small side -> broadcast; lineitem stays the probe side.
+    joined = li.join(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner"),
+        li.l_orderkey == o.o_orderkey,
+        "inner",
+    )
+    rev = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        rev.orderBy(F.round("revenue", 2).desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- Q5-ish
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # dims are tiny: broadcast nation+region onto supplier, then broadcast
+    # the enriched supplier; the fact-fact join (lineitem x orders) shuffles.
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey) & (c.c_nationkey == sn.s_nationkey),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ------------------------------------------------- group-by-having (conv analog)
+@register(
+    "top_customers_having",
+    """
+    SELECT c.c_custkey, c.c_name, t.n_orders, t.total_price
+    FROM (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    ) t JOIN customer c ON c.c_custkey = t.o_custkey
+    """,
+)
+def top_customers_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversation-verdict analog: group, threshold, join back."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    t = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+    return t.join(F.broadcast(c), t.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_name", "n_orders", "total_price"
+    )
+
+
+# ----------------------------------------------------------- window: first row
+@register(
+    "first_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+# -------------------------------------------------------- window: top-k per key
+@register(
+    "top3_events_per_user",
+    """
+    SELECT user_id, event_id, value_m
+    FROM (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 1000) AS BIGINT) AS value_m,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ROUND(value * 1000) AS BIGINT) DESC,
+                                         event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "value_m", F.round(F.col("value") * 1000).cast("bigint")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value_m").desc(), F.col("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value_m")
+    )
+
+
+# ------------------------------------------------------------- sessionization
+@register(
+    "sessionize_events",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ) GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # microsecond precision on both engines (a bare cast-to-long truncates
+    # sub-second gaps and would disagree with DuckDB's INTERVAL comparison)
+    # parquet gives TIMESTAMP_NTZ; cast both sides to TIMESTAMP (the session
+    # -TZ shift cancels in the difference) so unix_micros applies.
+    new_session = F.when(
+        prev.isNull()
+        | (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+            )
+            > 1800 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ global topk
+@register(
+    "topk_events_global",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 1000) AS BIGINT) AS value_m
+    FROM events
+    ORDER BY value_m DESC, event_id
+    LIMIT 20
+    """,
+)
+def topk_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "value_m", F.round(F.col("value") * 1000).cast("bigint")
+    )
+    return (
+        e.orderBy(F.col("value_m").desc(), F.col("event_id"))
+        .limit(20)
+        .select("event_id", "user_id", "event_type", "value_m")
+    )
+
+
+# ------------------------------------------------------------- grouped counts
+@register(
+    "event_type_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_m"),
+    )

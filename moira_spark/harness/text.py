@@ -1,0 +1,171 @@
+"""Text-analysis operators over the ``documents`` table (task-brief tier):
+length/symbol rules, token counting, stopword/quality scoring, exact
+fingerprinting.  All SQL-expressible -> full DuckDB oracle coverage.
+
+Word definition here is simple single-space splitting (the documents table
+is machine-generated single-spaced text) with empty tokens dropped, mirrored
+exactly on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from moira_spark import config
+from moira_spark.harness import load, register
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that", "it", "for")
+_STOP_SQL = "', '".join(_STOPWORDS)
+
+
+def _words_col():
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+
+
+# ------------------------------------------------------------ length rule
+@register(
+    "doc_length_rule",
+    f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '')) AS n_words,
+           (LENGTH(text) BETWEEN {config.MIN_CHARS} AND {config.MAX_CHARS})
+           AND (LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != ''))
+                BETWEEN {config.MIN_WORDS} AND {config.MAX_WORDS}) AS keep
+    FROM documents
+    """,
+)
+def doc_length_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(_words_col()).cast("bigint")
+    keep = (
+        (n_chars >= config.MIN_CHARS)
+        & (n_chars <= config.MAX_CHARS)
+        & (n_words >= config.MIN_WORDS)
+        & (n_words <= config.MAX_WORDS)
+    )
+    return d.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.alias("n_words"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------- symbol ratio
+@register(
+    "doc_symbol_ratio",
+    f"""
+    SELECT doc_id,
+           LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS n_symbols,
+           ROUND((LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')))
+                 * 1.0
+                 / GREATEST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x != '')), 1),
+                 6) AS symbol_ratio
+    FROM documents
+    """,
+)
+def doc_symbol_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_sym = F.length("text") - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    n_words = F.greatest(F.size(_words_col()), F.lit(1))
+    return d.select(
+        "doc_id",
+        n_sym.cast("bigint").alias("n_symbols"),
+        F.round(n_sym.cast("double") / n_words.cast("double"), 6).alias(
+            "symbol_ratio"
+        ),
+    )
+
+
+# --------------------------------------------------------- token counting
+@register(
+    "doc_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '')))
+                AS BIGINT) AS total_tokens,
+           CAST(MAX(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '')))
+                AS BIGINT) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(_words_col()).cast("bigint")
+    return (
+        d.withColumn("n_tokens", n_words)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------- stopword quality
+@register(
+    "doc_stopword_ratio",
+    f"""
+    SELECT doc_id,
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                 x -> list_contains(['{_STOP_SQL}'], x)))
+                 * 1.0
+                 / GREATEST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x != '')), 1),
+                 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(F.split(F.col("text"), " "), lambda x: F.array_contains(stops, x)))
+    n_words = F.greatest(F.size(_words_col()), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.round(n_stop.cast("double") / n_words.cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+# ------------------------------------------------------ exact fingerprint
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, MD5(text) AS fingerprint FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
+
+
+# --------------------------------------------------- language distribution
+@register(
+    "doc_lang_allowlist",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'es', 'fr')
+    GROUP BY lang
+    """,
+)
+def doc_lang_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("en", "es", "fr"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -1,0 +1,163 @@
+"""Transcript-pipeline queries (rows-only checks — the per-turn scoring
+stack is numpy-model-driven and not SQL-expressible, so the driver records
+row-count/schema stability; full value-level verification lives in
+tests/test_pipeline.py against the pandas oracle).
+
+All inputs are generated deterministically (seed=42) so row counts and
+values are stable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from moira_spark.harness import load, register
+
+_N_TURNS = 4000
+
+
+def _transcripts(spark: SparkSession) -> DataFrame:
+    from moira_spark.datagen import transcripts as tg
+
+    return tg.gen_spark(spark, _N_TURNS, seed=42)
+
+
+@register("transcripts_pipeline", None)
+def transcripts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full quality-filter over a deterministic transcripts table.
+
+    reasons is cast to a comma-joined string so the output is hash-stable.
+    """
+    from moira_spark.pipeline import run_pipeline
+
+    labels = run_pipeline(spark, _transcripts(spark))
+    return labels.select(
+        "conv_id",
+        "turn_idx",
+        "keep",
+        F.concat_ws(",", "reasons").alias("reasons"),
+        "scrubbed_text",
+        "lang",
+        F.round("lang_conf", 6).alias("lang_conf"),
+        F.round("ppl", 6).alias("ppl"),
+        "conv_keep",
+    )
+
+
+@register("transcripts_good_sink", None)
+def transcripts_good_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept turns of kept conversations with scrubbed text (the .qc.good
+    analog of moira's writers [M])."""
+    from moira_spark.pipeline import filtered_output, run_pipeline
+
+    src = _transcripts(spark)
+    return filtered_output(run_pipeline(spark, src), src)
+
+
+@register("transcripts_rule_histogram", None)
+def transcripts_rule_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-hit histogram — the audit-table metric aggregation."""
+    from moira_spark.pipeline import run_pipeline
+
+    labels = run_pipeline(spark, _transcripts(spark))
+    return (
+        labels.select(F.explode("reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@register("doc_langid", None)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch language ID applied to the documents table.
+
+    The NB char-trigram model is trained on the sf0.001 documents slice
+    (deterministic, read-only) and broadcast; predictions run vectorized per
+    Arrow batch.  Output includes the table's own lang column so accuracy is
+    externally checkable.  NOTE: the driver-generated documents table uses
+    one shared English-ish vocabulary for every lang label, so labels are
+    not actually separable from text — accuracy lands at the majority-class
+    baseline (~0.44) by construction.  Real separation power is demonstrated
+    on the transcripts en/xx corpora (tests/test_kernels.py, 100%).
+    """
+    from moira_spark.kernels import langid
+
+    train_pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    corpora = {
+        lang: grp["text"].tolist() for lang, grp in train_pdf.groupby("lang")
+    }
+    model = langid.train(corpora)
+    bc = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf("lang_pred string, conf double")
+    def predict(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for texts in batches:
+            langs, confs = m.predict(texts.fillna("").tolist())
+            yield pd.DataFrame({"lang_pred": langs.astype(str), "conf": confs})
+
+    d = load(spark, sf_dir, "documents")
+    out = d.withColumn("_p", predict(F.col("text")))
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("_p.lang_pred").alias("lang_pred"),
+        F.round(F.col("_p.conf"), 6).alias("conf"),
+    )
+
+
+@register("doc_perplexity", None)
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity of every document under the seeded clean-English LM."""
+    from moira_spark.kernels import lm
+
+    bc = spark.sparkContext.broadcast(lm.default_model())
+
+    @F.pandas_udf("double")
+    def ppl(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = bc.value
+        for texts in batches:
+            yield pd.Series(m.perplexity(texts.fillna("").tolist()))
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", F.round(ppl(F.col("text")), 6).alias("ppl"))
+
+
+@register("read_expected_errors", None)
+def read_expected_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The moira semantic anchor as a Spark operator (FIXTURES.md §5):
+    Poisson-binomial expected errors over a deterministic synthetic
+    read/quality table, vectorized per Arrow batch."""
+    import numpy as np
+
+    from moira_spark.kernels import bernoulli
+
+    rng = np.random.RandomState(42)
+    n = 500
+    reads = pd.DataFrame(
+        {
+            "read_id": [f"r{i:05d}" for i in range(n)],
+            "quals": [
+                rng.randint(2, 41, size=rng.randint(50, 250)).tolist()
+                for _ in range(n)
+            ],
+        }
+    )
+
+    @F.pandas_udf("double")
+    def ee(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for quals in batches:
+            yield pd.Series(
+                [bernoulli.expected_errors_pb(q, alpha=0.005) for q in quals]
+            )
+
+    sdf = spark.createDataFrame(reads)
+    return sdf.select(
+        "read_id",
+        F.size("quals").alias("read_len"),
+        ee(F.col("quals")).alias("expected_errors"),
+    )
