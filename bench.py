@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+Measurement discipline:
+- results are materialized via the noop sink — a bare count() would let
+  Catalyst prune the expensive columns (the UDF stack!) out of the plan;
+- the transcripts bench table is staged to parquet once (generation cost is
+  not pipeline throughput; the real input path is a table scan anyway);
+- one warm-up query is run and discarded (JVM/codegen warm-up).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# turns for the transcript-pipeline bench, keyed by sf directory name
+_TURNS_BY_SF = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 200_000}
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top_customers_having",
+    "sessionize_events",
+    "top3_events_per_user",
+    "doc_token_stats",
+    "doc_perplexity",
+    "dedup_exact",
+    "dedup_jaccard_3gram",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_cosine_topk",
+    "embedding_ann_lsh",
+]
+
+
+def _sf_label() -> str:
+    name = os.path.basename(SF_DIR.rstrip("/"))
+    return name.replace("sf", "") if name.startswith("sf") else name
+
+
+def _stage_transcripts(spark, n_turns: int) -> str:
+    path = os.path.join(CACHE_DIR, f"transcripts_{n_turns}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from moira_spark.datagen import transcripts as tg
+
+        tg.gen_spark(spark, n_turns, seed=42).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from moira_spark.session import build_session
+
+    import __spark_entry__ as entrymod
+
+    spark = build_session(app_name="moira-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    n_turns = _TURNS_BY_SF.get(os.path.basename(SF_DIR.rstrip("/")), 50_000)
+    tpath = _stage_transcripts(spark, n_turns)
+
+    # warm-up (discarded): JVM codegen + the full python-worker pool.  The
+    # dummy frame is forced to 2x-cores partitions so every daemon worker
+    # pays its import cost here, not inside a timed query.
+    _materialize(qs["q1_pricing_summary"](spark, SF_DIR))
+    from moira_spark.operators.udfs import make_score_udf
+
+    import pyspark.sql.functions as F
+
+    dummy = spark.range(0, 4 * CPUS, 1, numPartitions=2 * CPUS).select(
+        F.concat(F.lit("warm up text "), F.col("id")).alias("text")
+    )
+    _materialize(dummy.select(make_score_udf(spark)(F.col("text"))))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+
+    # flagship: transcript pipeline over the staged parquet table
+    from moira_spark.pipeline import run_pipeline
+
+    src = spark.read.parquet(tpath)
+    t0 = time.time()
+    _materialize(run_pipeline(spark, src))
+    pipeline_sec = time.time() - t0
+    timings["transcripts_pipeline"] = round(pipeline_sec, 3)
+    spark.catalog.clearCache()
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(),
+        "cpus": CPUS,
+        "pipeline_turns": n_turns,
+        "turns_per_sec": round(n_turns / pipeline_sec, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

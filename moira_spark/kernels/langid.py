@@ -28,22 +28,31 @@ _CONF_TEMPERATURE = 25.0
 @dataclass(frozen=True)
 class LangIdModel:
     langs: tuple[str, ...]
-    log_likelihood: np.ndarray  # shape (n_langs, dim), float64
+    # shape (n_langs, dim + 1), float64; bucket ``dim`` is the sentinel with
+    # log-likelihood exactly 0.0 (masked boundary positions land there).
+    log_likelihood: np.ndarray
     dim: int
 
     def predict(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized batch prediction -> (lang labels, confidences)."""
-        n = len(texts)
+        buffer, lengths, offsets = hashing.pack_texts(texts)
+        return self.predict_packed(buffer, lengths, offsets)
+
+    def predict_packed(
+        self, buffer: np.ndarray, lengths: np.ndarray, offsets: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Prediction over a pre-packed byte buffer (shared with the LM so a
+        fused scoring pass encodes each batch exactly once)."""
+        n = len(lengths)
         if n == 0:
             return np.empty(0, dtype=object), np.empty(0, dtype=np.float64)
-        buffer, lengths = hashing.pack_texts(texts)
-        seg_ids, valid = hashing.ngram_positions(lengths, 3)
         h = hashing.trigram_hashes(buffer, self.dim)
+        hashing.mask_tails(h, lengths, offsets, 3, sentinel=self.dim)
         counts = hashing.segment_counts(lengths, 3).astype(np.float64)
         scores = np.empty((len(self.langs), n), dtype=np.float64)
         for li in range(len(self.langs)):
             vals = self.log_likelihood[li][h]
-            scores[li] = hashing.segment_sums(vals, seg_ids, valid, n)
+            scores[li] = hashing.segment_sums(vals, lengths, offsets, 3)
         safe_counts = np.maximum(counts, 1.0)
         mean_scores = scores / safe_counts
         best = np.argmax(mean_scores, axis=0)
@@ -61,14 +70,15 @@ class LangIdModel:
 def train(corpora: dict[str, list[str]], dim: int = config.LANGID_DIM) -> LangIdModel:
     """Fit NB log-likelihoods with add-one smoothing, vectorized."""
     langs = tuple(sorted(corpora))
-    loglik = np.empty((len(langs), dim), dtype=np.float64)
+    loglik = np.zeros((len(langs), dim + 1), dtype=np.float64)
     for li, lang in enumerate(langs):
-        buffer, lengths = hashing.pack_texts(corpora[lang])
-        seg_ids, valid = hashing.ngram_positions(lengths, 3)
+        buffer, lengths, offsets = hashing.pack_texts(corpora[lang])
+        valid = hashing.valid_mask(lengths, offsets, 3)
         h = hashing.trigram_hashes(buffer, dim)
         bucket_counts = np.bincount(h[valid], minlength=dim).astype(np.float64)
         total = bucket_counts.sum()
-        loglik[li] = np.log((bucket_counts + 1.0) / (total + dim))
+        loglik[li, :dim] = np.log((bucket_counts + 1.0) / (total + dim))
+        # loglik[li, dim] stays exactly 0.0 — the sentinel bucket.
     return LangIdModel(langs=langs, log_likelihood=loglik, dim=dim)
 
 

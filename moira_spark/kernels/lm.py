@@ -26,18 +26,25 @@ from moira_spark.kernels import hashing
 
 @dataclass(frozen=True)
 class BigramLM:
-    log_prob: np.ndarray  # shape (65536,), float64: log P(b1 | b0) flattened
+    # shape (65537,): log P(b1|b0) flattened, plus a sentinel bucket at index
+    # 65536 holding exactly 0.0 (masked boundary positions land there).
+    log_prob: np.ndarray
 
     def perplexity(self, texts) -> np.ndarray:
         """Vectorized per-text perplexity; texts with <2 bytes get ppl=1.0."""
-        n = len(texts)
+        buffer, lengths, offsets = hashing.pack_texts(texts)
+        return self.perplexity_packed(buffer, lengths, offsets)
+
+    def perplexity_packed(
+        self, buffer: np.ndarray, lengths: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        n = len(lengths)
         if n == 0:
             return np.empty(0, dtype=np.float64)
-        buffer, lengths = hashing.pack_texts(texts)
-        seg_ids, valid = hashing.ngram_positions(lengths, 2)
         codes = hashing.bigram_codes(buffer)
+        hashing.mask_tails(codes, lengths, offsets, 2, sentinel=65536)
         counts = hashing.segment_counts(lengths, 2).astype(np.float64)
-        sums = hashing.segment_sums(self.log_prob[codes], seg_ids, valid, n)
+        sums = hashing.segment_sums(self.log_prob[codes], lengths, offsets, 2)
         mean_lp = sums / np.maximum(counts, 1.0)
         ppl = np.exp(-mean_lp)
         ppl[counts == 0] = 1.0
@@ -46,14 +53,15 @@ class BigramLM:
 
 def train(corpus: list[str]) -> BigramLM:
     """Fit the byte-bigram table with add-one smoothing."""
-    buffer, lengths = hashing.pack_texts(corpus)
-    seg_ids, valid = hashing.ngram_positions(lengths, 2)
+    buffer, lengths, offsets = hashing.pack_texts(corpus)
+    valid = hashing.valid_mask(lengths, offsets, 2)
     codes = hashing.bigram_codes(buffer)
     counts = np.bincount(codes[valid], minlength=65536).astype(np.float64)
     counts = counts.reshape(256, 256)
     row_totals = counts.sum(axis=1, keepdims=True)
     log_prob = np.log((counts + 1.0) / (row_totals + 256.0))
-    return BigramLM(log_prob=log_prob.reshape(-1))
+    # sentinel bucket (index 65536) = exactly 0.0 for masked positions
+    return BigramLM(log_prob=np.append(log_prob.reshape(-1), 0.0))
 
 
 _DEFAULT_MODEL: BigramLM | None = None

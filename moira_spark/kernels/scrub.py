@@ -1,23 +1,30 @@
 """PII/toxicity scrubber with byte-exact, order-pinned semantics.
 
 Byte-exactness under overlapping spans (email inside URL, phone adjacent to
-SSN — FIXTURES.md §1) is achieved with ONE combined alternation applied in a
-single left-to-right pass: at each position the first alternative in priority
-order wins (CC > SSN > PHONE > EMAIL > IP), and the scan resumes after the
-match, so there is no rescanning ambiguity.  The oracle and the Spark UDF
-call this very function, so the two cannot diverge (SURVEY.md §7.8).
+SSN — FIXTURES.md §1) is achieved with ONE combined PII alternation applied
+in a single left-to-right pass: at each position the first alternative in
+priority order wins (CC > SSN > PHONE > EMAIL > IP) and the scan resumes
+after the match, so there is no rescanning ambiguity.  The toxic-lexicon
+mask is a second pass over the PII-scrubbed text.  The oracle and the Spark
+UDF call these very functions, so the two cannot diverge (SURVEY.md §7.8).
 
-Patterns are compiled once at module import — loaded once per executor
-Python worker, never per row/batch (BASELINE.json:6).
+Performance: every PII pattern requires a digit or '@', so ``scrub_batch``
+accepts a vectorized candidate mask (computed from the packed byte buffer in
+``kernels.score``) and skips the PII scan for texts that cannot match —
+typically the large majority.  Patterns are compiled once at module import —
+loaded once per executor Python worker, never per row/batch
+(BASELINE.json:6).
 """
 
 from __future__ import annotations
 
-import regex
+import re
+
+import numpy as np
 
 from moira_spark import config
 
-_PII_PATTERN = regex.compile(
+_PII_PATTERN = re.compile(
     r"""
     (?P<CC>\b(?:\d[ -]?){15}\d\b)                                  # 16-digit card
   | (?P<SSN>\b\d{3}-\d{2}-\d{4}\b)
@@ -25,7 +32,7 @@ _PII_PATTERN = regex.compile(
   | (?P<EMAIL>\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b)
   | (?P<IP>\b(?:\d{1,3}\.){3}\d{1,3}\b)
     """,
-    regex.VERBOSE,
+    re.VERBOSE,
 )
 
 _PII_TOKENS = {
@@ -36,13 +43,13 @@ _PII_TOKENS = {
     "IP": config.PII_IP_TOKEN,
 }
 
-_TOXIC_PATTERN = regex.compile(
-    r"\b(?:" + "|".join(regex.escape(w) for w in config.TOXIC_LEXICON) + r")\b",
-    regex.IGNORECASE,
+_TOXIC_PATTERN = re.compile(
+    r"\b(?:" + "|".join(re.escape(w) for w in config.TOXIC_LEXICON) + r")\b",
+    re.IGNORECASE,
 )
 
 
-def _pii_replace(m: "regex.Match") -> str:
+def _pii_replace(m: "re.Match") -> str:
     return _PII_TOKENS[m.lastgroup]
 
 
@@ -58,12 +65,26 @@ def scrub_text(text: str) -> tuple[str, bool, bool]:
     return scrubbed, n_pii > 0, n_toxic > 0
 
 
-def scrub_batch(texts):
-    """Per-batch loop (Arrow batch granularity, not Spark rows)."""
-    out_text, out_pii, out_toxic = [], [], []
-    for t in texts:
-        s, p, x = scrub_text(t)
-        out_text.append(s)
-        out_pii.append(p)
-        out_toxic.append(x)
+def scrub_batch(texts, pii_candidate=None):
+    """Per-batch loop (Arrow batch granularity, not Spark rows).
+
+    ``pii_candidate``: optional bool array — False guarantees the text
+    contains neither a digit nor '@', hence no PII pattern can match and the
+    PII pass is skipped.  Output is identical with or without the mask.
+    """
+    n = len(texts)
+    if pii_candidate is None:
+        pii_candidate = np.ones(n, dtype=bool)
+    out_text = [None] * n
+    out_pii = np.zeros(n, dtype=bool)
+    out_toxic = np.zeros(n, dtype=bool)
+    for i, t in enumerate(texts):
+        if pii_candidate[i]:
+            s, n_pii = _PII_PATTERN.subn(_pii_replace, t)
+            out_pii[i] = n_pii > 0
+        else:
+            s = t
+        s, n_toxic = _TOXIC_PATTERN.subn(config.TOXIC_MASK, s)
+        out_toxic[i] = n_toxic > 0
+        out_text[i] = s
     return out_text, out_pii, out_toxic

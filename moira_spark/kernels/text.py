@@ -78,16 +78,22 @@ def dup_line_char_frac(text: str) -> float:
     return dup / total
 
 
-def top_ngram_char_frac(toks: list[str], n: int) -> float:
+def top_ngram_char_frac(toks: list[str], n: int, total_chars: int | None = None) -> float:
     """Chars covered by the single most frequent word n-gram."""
     if len(toks) < n:
         return 0.0
-    grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if n == 2:
+        grams = zip(toks, toks[1:])
+    elif n == 3:
+        grams = zip(toks, toks[1:], toks[2:])
+    else:
+        grams = zip(toks, toks[1:], toks[2:], toks[3:])
     counts = Counter(grams)
-    gram, cnt = counts.most_common(1)[0]
+    gram, cnt = max(counts.items(), key=lambda kv: kv[1])
     if cnt <= 1:
         return 0.0
-    total_chars = sum(len(t) for t in toks)
+    if total_chars is None:
+        total_chars = sum(len(t) for t in toks)
     if total_chars == 0:
         return 0.0
     gram_chars = sum(len(t) for t in gram)
@@ -98,10 +104,14 @@ def repetition_rule_fails(text: str) -> bool:
     toks = words(text)
     if len(toks) < config.MIN_WORDS_FOR_REPETITION:
         return False
-    if dup_line_char_frac(text) > config.MAX_DUP_LINE_FRAC:
+    if "\n" in text and dup_line_char_frac(text) > config.MAX_DUP_LINE_FRAC:
         return True
+    # a repeated n-gram needs a repeated unigram — cheap early exit
+    if max(Counter(toks).values()) <= 1:
+        return False
+    total_chars = sum(len(t) for t in toks)
     for n, thresh in config.MAX_TOP_NGRAM_CHAR_FRAC.items():
-        if top_ngram_char_frac(toks, n) > thresh:
+        if top_ngram_char_frac(toks, n, total_chars) > thresh:
             return True
     return False
 

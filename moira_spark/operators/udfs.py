@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
@@ -37,26 +36,13 @@ def make_score_udf(spark: SparkSession):
     def score(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         # One-time per python worker: materialize broadcast models and import
         # kernels; reused across all Arrow batches of this task.
-        from moira_spark.kernels import scrub, text as textk
+        from moira_spark.kernels.score import score_batch
 
         langid_model = bc_langid.value
         lm_model = bc_lm.value
         for texts in batches:
-            t = texts.fillna("").tolist()
-            rep = textk.repetition_flags(t)
-            langs, confs = langid_model.predict(t)
-            ppl = lm_model.perplexity(t)
-            scrubbed, had_pii, toxic = scrub.scrub_batch(t)
-            yield pd.DataFrame(
-                {
-                    "rep_fail": rep,
-                    "lang": langs.astype(str),
-                    "lang_conf": confs,
-                    "ppl": ppl,
-                    "scrubbed_text": scrubbed,
-                    "had_pii": np.asarray(had_pii, dtype=bool),
-                    "toxic": np.asarray(toxic, dtype=bool),
-                }
-            )
+            s = score_batch(texts.fillna("").tolist(), langid_model, lm_model)
+            s["lang"] = s["lang"].astype(str)
+            yield pd.DataFrame(s)
 
     return score

@@ -15,7 +15,8 @@ import numpy as np
 import pandas as pd
 
 from moira_spark import config
-from moira_spark.kernels import langid, lm, scrub, text as textk
+from moira_spark.kernels import langid, lm, text as textk
+from moira_spark.kernels.score import score_batch
 
 
 def dedupe_stable(df: pd.DataFrame) -> pd.DataFrame:
@@ -40,20 +41,18 @@ def label_turns(df: pd.DataFrame) -> pd.DataFrame:
     symbol_fail = np.fromiter(
         (textk.symbol_rule_fails(t) for t in texts), dtype=bool, count=n
     )
-    rep_fail = textk.repetition_flags(texts)
 
-    langs, confs = langid.default_model().predict(texts)
+    s = score_batch(texts, langid.default_model(), lm.default_model())
+    rep_fail = s["rep_fail"]
+    langs, confs, ppl = s["lang"], s["lang_conf"], s["ppl"]
+    scrubbed = s["scrubbed_text"]
     lang_fail = ~(
         np.isin(langs.astype(str), config.LANG_ALLOWLIST)
         & (confs >= config.LANG_MIN_CONF)
     )
-
-    ppl = lm.default_model().perplexity(texts)
     text_lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
     ppl_fail = (ppl > config.PPL_MAX) & (text_lens >= config.PPL_MIN_CHARS)
-
-    scrubbed, _had_pii, had_toxic = scrub.scrub_batch(texts)
-    toxic_fail = np.asarray(had_toxic, dtype=bool)
+    toxic_fail = s["toxic"]
 
     reason_flags = {
         config.REASON_LANGUAGE: lang_fail,

@@ -1,0 +1,140 @@
+"""Snapshot-committed table IO — Iceberg-semantics emulation over parquet.
+
+The north rule requires Iceberg tables with snapshot-based idempotent resume
+(BASELINE.json:6,14).  This sandbox has no Iceberg jars and no network
+(verified — SURVEY.md §7.6), so this module implements the same protocol on
+plain parquet with an atomic JSON snapshot log, behind a thin interface so a
+real Iceberg catalog is a drop-in replacement later:
+
+    table_dir/
+      data/run_id=<run>/part-*.parquet     (staged by Spark writers)
+      _snapshots/v<N>.json                 (atomic commit records)
+      _snapshots/LATEST                    (pointer, written last via rename)
+
+A snapshot lists the data directories (by run_id) that are part of the table
+plus bookkeeping (row counts, committed conversation-partition ids).  Readers
+resolve LATEST and read only committed run dirs — a crashed writer leaves an
+orphaned staging dir that no snapshot references, so re-running the same
+run_id is idempotent: the orphan is overwritten, and commit happens once.
+This is exactly Iceberg's optimistic snapshot protocol minus manifest-level
+file tracking (sufficient here because each run writes its own directory).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    version: int
+    run_ids: list[str]
+    committed_keys: list[str] = field(default_factory=list)
+    row_counts: dict[str, int] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "run_ids": self.run_ids,
+                "committed_keys": self.committed_keys,
+                "row_counts": self.row_counts,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            version=d["version"],
+            run_ids=d["run_ids"],
+            committed_keys=d.get("committed_keys", []),
+            row_counts=d.get("row_counts", {}),
+        )
+
+
+class SnapshotTable:
+    """One snapshot-committed parquet table."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.snap_dir = os.path.join(table_dir, "_snapshots")
+        self.data_dir = os.path.join(table_dir, "data")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- snapshots
+    def latest_snapshot(self) -> Snapshot | None:
+        pointer = os.path.join(self.snap_dir, "LATEST")
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.snap_dir, name)) as f:
+            return Snapshot.from_json(f.read())
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Atomic: write snapshot file, then rename a temp LATEST pointer."""
+        name = f"v{snap.version}.json"
+        path = os.path.join(self.snap_dir, name)
+        with open(path, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        fd, tmp = tempfile.mkstemp(dir=self.snap_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.snap_dir, "LATEST"))  # atomic
+
+    # ------------------------------------------------------------ write path
+    def staged_dir(self, run_id: str) -> str:
+        return os.path.join(self.data_dir, f"run_id={run_id}")
+
+    def is_committed(self, run_id: str) -> bool:
+        snap = self.latest_snapshot()
+        return snap is not None and run_id in snap.run_ids
+
+    def stage(self, df: DataFrame, run_id: str) -> str:
+        """Write df into the run's staging dir (overwrite = crash-safe
+        re-run; an uncommitted dir is invisible to readers)."""
+        path = self.staged_dir(run_id)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def commit(
+        self,
+        spark: SparkSession,
+        run_id: str,
+        committed_keys: list[str] | None = None,
+    ) -> Snapshot:
+        """Fold the staged run into a new snapshot (no-op if committed)."""
+        prev = self.latest_snapshot()
+        if prev is not None and run_id in prev.run_ids:
+            return prev  # idempotent re-commit
+        rows = spark.read.parquet(self.staged_dir(run_id)).count()
+        snap = Snapshot(
+            version=(prev.version + 1) if prev else 1,
+            run_ids=(prev.run_ids if prev else []) + [run_id],
+            committed_keys=sorted(
+                set(prev.committed_keys if prev else []) | set(committed_keys or [])
+            ),
+            row_counts={**(prev.row_counts if prev else {}), run_id: rows},
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # ------------------------------------------------------------- read path
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Read the committed table state (union of committed run dirs)."""
+        snap = self.latest_snapshot()
+        if snap is None or not snap.run_ids:
+            return None
+        paths = [self.staged_dir(r) for r in snap.run_ids]
+        return spark.read.parquet(*paths)

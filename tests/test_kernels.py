@@ -43,19 +43,52 @@ class TestTextHeuristics:
 
 
 class TestHashing:
-    def test_pack_and_positions(self):
-        buf, lens = hashing.pack_texts(["abc", "", "de"])
+    def test_pack_and_masks(self):
+        buf, lens, offs = hashing.pack_texts(["abc", "", "de"])
         assert bytes(buf) == b"abcde"
         assert lens.tolist() == [3, 0, 2]
-        seg, valid = hashing.ngram_positions(lens, 2)
-        # text0 has bigram starts at 0,1; text2 at 3; position 2 (c) and 4 (e)
-        # cannot start an in-text bigram
-        assert valid.tolist() == [True, True, False, True, False]
-        assert seg.tolist() == [0, 0, 0, 2, 2]
+        assert offs.tolist() == [0, 3, 3, 5]
+        # position 2 (c) and 4 (e) cannot start an in-text bigram
+        assert hashing.valid_mask(lens, offs, 2).tolist() == [
+            True, True, False, True, False,
+        ]
 
     def test_empty_segment_counts(self):
         lens = np.array([0, 1, 5])
         assert hashing.segment_counts(lens, 3).tolist() == [0, 0, 3]
+
+    def test_segment_sums_boundaries(self):
+        # contract: caller zeroes tail positions (mask_tails + sentinel
+        # table); emulate by zeroing directly, then sum per segment.
+        buf, lens, offs = hashing.pack_texts(["abcd", "", "x", "yz"])
+        vals = np.arange(len(buf), dtype=np.float64)
+        vals[hashing.invalid_tail_indices(lens, offs, 2)] = 0.0
+        # n=2: text0 valid starts 0,1,2 -> 0+1+2; text2 ("x") none;
+        # text3 ("yz") start 5 -> 5.0
+        sums = hashing.segment_sums(vals, lens, offs, 2)
+        assert sums.tolist() == [3.0, 0.0, 0.0, 5.0]
+
+    def test_segment_sums_match_bruteforce(self):
+        rng = np.random.RandomState(0)
+        texts = ["".join(chr(97 + c) for c in rng.randint(0, 26, size=rng.randint(0, 12))) for _ in range(200)]
+        buf, lens, offs = hashing.pack_texts(texts)
+        base = rng.standard_normal(len(buf))
+        for n in (2, 3):
+            vals = base.copy()
+            vals[hashing.invalid_tail_indices(lens, offs, n)] = 0.0
+            sums = hashing.segment_sums(vals, lens, offs, n)
+            for i, t in enumerate(texts):
+                lo, hi = offs[i], offs[i] + max(len(t) - (n - 1), 0)
+                expect = base[lo:hi].sum()
+                assert abs(sums[i] - expect) < 1e-9, (i, n)
+
+    def test_mask_tails_sentinel(self):
+        buf, lens, offs = hashing.pack_texts(["abc", "de"])
+        codes = hashing.bigram_codes(buf)
+        hashing.mask_tails(codes, lens, offs, 2, sentinel=65536)
+        # last position of each text is masked
+        assert codes[2] == 65536 and codes[4] == 65536
+        assert codes[0] != 65536 and codes[1] != 65536 and codes[3] != 65536
 
 
 class TestLangId:
