@@ -147,6 +147,49 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
 
 
+# ------------------------------------------------- scrub subset (SQL-able)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+
+
+@register(
+    "doc_scrub_emails",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com please'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed,
+           REGEXP_MATCHES(text, '{_EMAIL_RE}') AS had_email
+    FROM corpus
+    """,
+)
+def doc_scrub_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checkable subset of the PII scrubber (email pattern), over a
+    corpus with deterministically planted addresses — the regexp_replace
+    fast path of SURVEY.md §2.2 #8 (full scrubber: transcripts_pipeline)."""
+    d = load(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com please"),
+        ),
+    ).otherwise(F.col("text"))
+    corpus = d.select("doc_id", text.alias("text"))
+    return corpus.select(
+        "doc_id",
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>").alias("scrubbed"),
+        (F.length(F.regexp_extract("text", _EMAIL_RE, 0)) > 0).alias("had_email"),
+    )
+
+
 # --------------------------------------------------- language distribution
 @register(
     "doc_lang_allowlist",

@@ -71,6 +71,19 @@ def transcripts_rule_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("transcripts_audit", None)
+def transcripts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit/lineage aggregation (SURVEY.md §2.2 #11): per-Spark-partition
+    input/kept/dropped counts and rule-hit histogram, rows-only (map typed).
+    wall_ms is telemetry and excluded here so the check is deterministic."""
+    from moira_spark.job import audit_rows
+    from moira_spark.pipeline import run_pipeline
+
+    labels = run_pipeline(spark, _transcripts(spark))
+    rows = audit_rows(labels, run_id="driver-check", bucket=0, wall_ms=0)
+    return rows.drop("wall_ms")
+
+
 @register("doc_langid", None)
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch language ID applied to the documents table.
