@@ -1,0 +1,88 @@
+"""spark-submit entry point for the transcript quality-filter job.
+
+Cluster usage (north rule, BASELINE.json:6/14):
+
+    zip -r pipeline.zip moira_spark
+    spark-submit --py-files pipeline.zip driver.py \\
+        --input  /data/transcripts_table \\
+        --output /data/filtered          \\
+        --run-id nightly-2026-08-16      \\
+        --buckets 64
+
+Local smoke (no cluster):
+
+    python driver.py --synthetic-turns 20000 --output /tmp/out --run-id t1
+
+The job is resumable: re-running with the same --run-id and --output skips
+every committed bucket (see moira_spark/job.py and sources/tableio.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="input transcripts table (parquet dir)")
+    p.add_argument(
+        "--synthetic-turns",
+        type=int,
+        default=0,
+        help="generate a deterministic synthetic table instead of --input",
+    )
+    p.add_argument("--output", required=True, help="output table root dir")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--cores", type=int, default=None, help="local[N] (local runs only)")
+    p.add_argument(
+        "--no-broadcast-verdicts",
+        action="store_true",
+        help="force shuffle join for the conversation-verdict join-back",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    from moira_spark.job import run_filter_job
+    from moira_spark.session import build_session
+
+    spark = build_session(app_name=f"moira-spark-{args.run_id}", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic_turns:
+        from moira_spark.datagen import transcripts as tg
+
+        source = tg.gen_spark(spark, args.synthetic_turns, seed=42)
+    elif args.input:
+        source = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("need --input or --synthetic-turns")
+
+    t0 = time.time()
+    table = run_filter_job(
+        spark, source, args.output, args.run_id, n_buckets=args.buckets
+    )
+    final = table.read(spark)
+    n = final.count()
+    kept = final.filter("keep AND conv_keep").count()
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "turns": n,
+                "kept": kept,
+                "wall_sec": round(time.time() - t0, 1),
+                "snapshot_version": table.latest_snapshot().version,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

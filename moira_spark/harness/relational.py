@@ -299,6 +299,78 @@ def topk_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- JSON props
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- rollup
+@register(
+    "events_rollup",
+    """
+    SELECT event_type,
+           CAST(user_id % 4 AS BIGINT) AS user_band,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(user_id % 4 AS BIGINT))
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "user_band", (F.col("user_id") % 4).cast("bigint")
+    )
+    return e.rollup("event_type", "user_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ------------------------------------------------------------ set operations
+@register(
+    "heavy_buyers_minus_heavy_errorers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING COUNT(*) >= 15
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    GROUP BY user_id HAVING COUNT(*) >= 15
+    """,
+)
+def heavy_buyers_minus_heavy_errorers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def heavy(kind):
+        return (
+            e.filter(F.col("event_type") == kind)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 15)
+            .select("user_id")
+        )
+
+    # subtract == EXCEPT DISTINCT (exceptAll would keep surplus duplicates)
+    return heavy("purchase").subtract(heavy("error"))
+
+
 # ------------------------------------------------------------- grouped counts
 @register(
     "event_type_stats",

@@ -155,6 +155,86 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_knn_label",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS true_label, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.label,
+             ROUND(
+               LIST_DOT_PRODUCT(q.qe, e.embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe))
+                  * SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))),
+               6) AS cos_sim,
+             e.vec_id AS neighbor_id
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.query_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    votes AS (
+      SELECT query_id, true_label, label, COUNT(*) AS votes
+      FROM topk GROUP BY query_id, true_label, label
+    )
+    SELECT query_id, true_label, label AS knn_label, votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-label vote (k=10) over rounded cosine, deterministic
+    ties (votes desc, smallest label)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        _dbl("embedding").alias("qe"),
+    )
+    base = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("label"),
+        _dbl("embedding").alias("ne"),
+    )
+    j = base.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qe"), F.col("ne")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    )
+    scored = j.select(
+        "query_id", "true_label", "label", "neighbor_id",
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= 10)
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("label").alias("knn_label"), "votes")
+    )
+
+
+@register(
     "embedding_label_centroids",
     """
     SELECT label,

@@ -131,9 +131,20 @@ class SnapshotTable:
         return snap
 
     # ------------------------------------------------------------- read path
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """Read the committed table state (union of committed run dirs)."""
-        snap = self.latest_snapshot()
+    def snapshot(self, version: int) -> Snapshot | None:
+        """Load a specific snapshot version (time travel)."""
+        path = os.path.join(self.snap_dir, f"v{version}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return Snapshot.from_json(f.read())
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Read the committed table state (union of committed run dirs).
+
+        ``version`` enables Iceberg-style time travel: the table as of that
+        snapshot.  Default: latest."""
+        snap = self.latest_snapshot() if version is None else self.snapshot(version)
         if snap is None or not snap.run_ids:
             return None
         paths = [self.staged_dir(r) for r in snap.run_ids]

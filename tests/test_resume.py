@@ -49,6 +49,16 @@ class TestSnapshotTable:
         assert t.read(spark).count() == 7
         assert t.latest_snapshot().version == 2
 
+    def test_time_travel(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(3).toDF("x"), "r1")
+        t.commit(spark, "r1")
+        t.stage(spark.range(4).toDF("x"), "r2")
+        t.commit(spark, "r2")
+        assert t.read(spark, version=1).count() == 3  # as-of v1
+        assert t.read(spark, version=2).count() == 7
+        assert t.read(spark, version=99) is None
+
 
 class TestResume:
     def test_crash_then_resume_identical(self, spark, tmp_path):
