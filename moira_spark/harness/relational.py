@@ -299,6 +299,96 @@ def topk_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- anti / semi joins
+@register(
+    "customers_without_big_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "suppliers_with_lineitems",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    """,
+)
+def suppliers_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# -------------------------------------------------------------- date buckets
+@register(
+    "orders_by_month",
+    """
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- cube
+@register(
+    "lineitem_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# -------------------------------------------------------------- percentiles
+@register(
+    "value_percentiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
+           ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark percentile() and DuckDB
+    QUANTILE_CONT share the linear-interpolation definition."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
 # ---------------------------------------------------------------- JSON props
 @register(
     "events_json_extract",

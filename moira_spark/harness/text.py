@@ -147,6 +147,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
 
 
+# ------------------------------------------- Gopher-style doc quality stats
+@register(
+    "doc_gopher_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(LEN(LIST_FILTER(w, x -> LENGTH(x) > 0)) * 1.0, 1) AS n_words,
+           ROUND(LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x) * 1.0))
+                 / GREATEST(LEN(w), 1), 6) AS mean_word_len,
+           LEN(LIST_FILTER(w, x -> list_contains(['{_STOP_SQL}'], x))) >= 2
+               AS has_stopwords
+    FROM t
+    """,
+)
+def doc_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality stats: mean word length + stop-word presence
+    (docs lacking >= 2 common stopwords are machine-soup candidates)."""
+    d = load(spark, sf_dir, "documents")
+    w = _words_col()
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    mean_wl = F.round(
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+        / F.greatest(F.size(w), F.lit(1)).cast("double"),
+        6,
+    )
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+    return d.select(
+        "doc_id",
+        F.round(F.size(w).cast("double"), 1).alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        (n_stop >= 2).alias("has_stopwords"),
+    )
+
+
 # ------------------------------------------------- scrub subset (SQL-able)
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 
