@@ -221,6 +221,17 @@ the (conv_id, turn_idx) dedupe exchange and the tiny salted partial-count
 exchange.  On executor-per-node clusters those properties — not host
 bandwidth — bound N->4N efficiency.
 
+## Appendix: salting A/B (scripts/ab_salting.py)
+
+Plain groupBy(conv_id) vs the salted two-phase aggregation on the 1M-turn
+table whose hot conversation holds 5% of all turns (local[8], warm
+best-of-3): plain 1.18s, salted 1.38s, identical results.  For ALGEBRAIC
+aggregations Spark's map-side partial aggregation already defuses the hot
+key (the hot conversation's reducer receives one partial per map task, not
+one row per turn) — so the salted path is kept as spec-pinned insurance for
+the holistic cases (collect_list payloads, non-broadcast verdict joins),
+where a hot key genuinely straggles.
+
 Raw JSON: {json.dumps({k: {str(c): round(v, 1) for c, v in d.items()} for k, d in results.items()})}
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
