@@ -140,6 +140,100 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", F.round(ppl(F.col("text")), 6).alias("ppl"))
 
 
+@register(
+    "read_revcomp",
+    """
+    WITH reads AS (
+      SELECT doc_id AS read_id,
+             TRANSLATE(SUBSTR(MD5(text), 1, 24),
+                       '0123456789abcdef', 'ACGTACGTACGTACGT') AS seq
+      FROM documents
+    )
+    SELECT read_id, seq,
+           TRANSLATE(REVERSE(seq), 'ACGTN', 'TGCAN') AS revcomp
+    FROM reads
+    """,
+)
+def read_revcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moira's reverse-complement (SURVEY §2.1 #4) as pure native exprs —
+    reads synthesized deterministically (md5-hex -> ACGT) on both engines."""
+    from moira_spark.harness import load
+
+    d = load(spark, sf_dir, "documents")
+    seq = F.translate(
+        F.substring(F.md5("text"), 1, 24), "0123456789abcdef", "ACGTACGTACGTACGT"
+    )
+    reads = d.select(F.col("doc_id").alias("read_id"), seq.alias("seq"))
+    return reads.select(
+        "read_id",
+        "seq",
+        F.translate(F.reverse("seq"), "ACGTN", "TGCAN").alias("revcomp"),
+    )
+
+
+@register("read_pair_assembly", None)
+def read_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moira's paired-end path (SURVEY §2.1 #4-6): revcomp -> NW global
+    alignment -> posterior-mode consensus, per pair in a vectorized Arrow
+    batch UDF.  Deterministic synthetic pairs (overlapping fragments of a
+    seeded reference sequence with injected mismatches)."""
+    import numpy as np
+
+    from moira_spark.kernels import align
+
+    rng = np.random.RandomState(42)
+    bases = np.array(list("ACGT"))
+    n_pairs = 200
+    rows = []
+    for i in range(n_pairs):
+        ref = "".join(rng.choice(bases, size=60))
+        fwd = ref[:40]
+        rev_region = ref[20:]
+        rev = align.revcomp(rev_region)  # sequencer reports 5'->3'
+        # inject up to 2 mismatches into the forward read
+        fl = list(fwd)
+        for _ in range(rng.randint(0, 3)):
+            p = rng.randint(len(fl))
+            fl[p] = bases[rng.randint(4)]
+        rows.append(
+            {
+                "pair_id": i,
+                "seq_f": "".join(fl),
+                "quals_f": rng.randint(10, 41, size=len(fl)).tolist(),
+                "seq_r": rev,
+                "quals_r": rng.randint(10, 41, size=len(rev)).tolist(),
+            }
+        )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from moira_spark.kernels import align as al
+        from moira_spark.kernels import bernoulli
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                seq, quals = al.make_contig(
+                    r["seq_f"], list(r["quals_f"]), r["seq_r"], list(r["quals_r"])
+                )
+                out.append(
+                    {
+                        "pair_id": r["pair_id"],
+                        "contig": seq,
+                        "contig_len": len(seq),
+                        "expected_errors": bernoulli.expected_errors_pb(
+                            quals, alpha=0.005
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    return sdf.mapInPandas(
+        assemble,
+        schema="pair_id long, contig string, contig_len int, expected_errors double",
+    )
+
+
 @register("read_expected_errors", None)
 def read_expected_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The moira semantic anchor as a Spark operator (FIXTURES.md §5):
