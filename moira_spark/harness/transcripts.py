@@ -171,6 +171,40 @@ def read_revcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "read_collapse",
+    """
+    WITH reads AS (
+      SELECT doc_id AS read_id,
+             TRANSLATE(SUBSTR(MD5(text), 1, 6),
+                       '0123456789abcdef', 'ACGTACGTACGTACGT') AS seq
+      FROM documents
+    )
+    SELECT seq,
+           COUNT(*) AS n_reads,
+           MIN(read_id) AS representative,
+           ARRAY_TO_STRING(LIST_SORT(LIST(read_id)), ',') AS members
+    FROM reads GROUP BY seq
+    """,
+)
+def read_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moira's collapse (SURVEY §2.1 #14): group identical sequences ->
+    representative + count + mothur-style membership map, as a hash
+    aggregation.  Short synthesized seqs guarantee collisions to collapse."""
+    from moira_spark.harness import load
+
+    d = load(spark, sf_dir, "documents")
+    seq = F.translate(
+        F.substring(F.md5("text"), 1, 6), "0123456789abcdef", "ACGTACGTACGTACGT"
+    )
+    reads = d.select(F.col("doc_id").alias("read_id"), seq.alias("seq"))
+    return reads.groupBy("seq").agg(
+        F.count(F.lit(1)).alias("n_reads"),
+        F.min("read_id").alias("representative"),
+        F.array_join(F.sort_array(F.collect_list("read_id")), ",").alias("members"),
+    )
+
+
 @register("read_pair_assembly", None)
 def read_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """moira's paired-end path (SURVEY §2.1 #4-6): revcomp -> NW global
