@@ -65,16 +65,21 @@ def scrub_text(text: str) -> tuple[str, bool, bool]:
     return scrubbed, n_pii > 0, n_toxic > 0
 
 
-def scrub_batch(texts, pii_candidate=None):
+def scrub_batch(texts, pii_candidate=None, tox_candidate=None):
     """Per-batch loop (Arrow batch granularity, not Spark rows).
 
     ``pii_candidate``: optional bool array — False guarantees the text
     contains neither a digit nor '@', hence no PII pattern can match and the
-    PII pass is skipped.  Output is identical with or without the mask.
+    PII pass is skipped.  ``tox_candidate``: False guarantees no toxic-word
+    4-byte prefix occurs (case-folded), skipping the toxicity pass.  Output
+    is identical with or without the masks (they only admit false
+    positives, never false negatives).
     """
     n = len(texts)
     if pii_candidate is None:
         pii_candidate = np.ones(n, dtype=bool)
+    if tox_candidate is None:
+        tox_candidate = np.ones(n, dtype=bool)
     out_text = [None] * n
     out_pii = np.zeros(n, dtype=bool)
     out_toxic = np.zeros(n, dtype=bool)
@@ -84,7 +89,8 @@ def scrub_batch(texts, pii_candidate=None):
             out_pii[i] = n_pii > 0
         else:
             s = t
-        s, n_toxic = _TOXIC_PATTERN.subn(config.TOXIC_MASK, s)
-        out_toxic[i] = n_toxic > 0
+        if tox_candidate[i]:
+            s, n_toxic = _TOXIC_PATTERN.subn(config.TOXIC_MASK, s)
+            out_toxic[i] = n_toxic > 0
         out_text[i] = s
     return out_text, out_pii, out_toxic

@@ -78,16 +78,16 @@ def dup_line_char_frac(text: str) -> float:
     return dup / total
 
 
-def top_ngram_char_frac(toks: list[str], n: int, total_chars: int | None = None) -> float:
-    """Largest char coverage of any REPEATED word n-gram: max over grams
-    with count >= 2 of (count * gram_chars) / total_token_chars.
-
-    ("Most-covering repeated n-gram", not "most frequent" — this makes the
-    statistic tie-unambiguous, which the vectorized twin in
-    kernels/repetition_vec.py relies on for exact equivalence.)
+def top_ngram_stats(
+    toks: list[str], n: int, total_chars: int
+) -> tuple[float, bool]:
+    """-> (frac, any_repeat): largest char coverage of any REPEATED word
+    n-gram — max over grams with count >= 2 of
+    (count * gram_chars) / total_token_chars — plus whether ANY n-gram
+    repeats ("most-covering repeated n-gram", tie-unambiguous).
     """
     if len(toks) < n:
-        return 0.0
+        return 0.0, False
     if n == 2:
         grams = zip(toks, toks[1:])
     elif n == 3:
@@ -96,18 +96,22 @@ def top_ngram_char_frac(toks: list[str], n: int, total_chars: int | None = None)
         grams = zip(toks, toks[1:], toks[2:], toks[3:])
     counts = Counter(grams)
     best = 0
+    any_repeat = False
     for gram, cnt in counts.items():
         if cnt > 1:
+            any_repeat = True
             cover = cnt * sum(len(t) for t in gram)
             if cover > best:
                 best = cover
-    if best == 0:
-        return 0.0
+    if best == 0 or total_chars == 0:
+        return 0.0, any_repeat
+    return best / total_chars, any_repeat
+
+
+def top_ngram_char_frac(toks: list[str], n: int, total_chars: int | None = None) -> float:
     if total_chars is None:
         total_chars = sum(len(t) for t in toks)
-    if total_chars == 0:
-        return 0.0
-    return best / total_chars
+    return top_ngram_stats(toks, n, total_chars)[0]
 
 
 def repetition_rule_fails(text: str) -> bool:
@@ -129,9 +133,14 @@ def repetition_rule_fails(text: str) -> bool:
     if max(Counter(toks).values()) <= 1:
         return False
     total_chars = sum(len(t) for t in toks)
+    # a repeated n-gram implies a repeated (n-1)-gram, so once some n has
+    # NO repeats at all, larger n cannot fail either — prune the cascade
     for n, thresh in config.MAX_TOP_NGRAM_CHAR_FRAC.items():
-        if top_ngram_char_frac(toks, n, total_chars) > thresh:
+        frac, any_repeat = top_ngram_stats(toks, n, total_chars)
+        if frac > thresh:
             return True
+        if not any_repeat:
+            return False
     return False
 
 
