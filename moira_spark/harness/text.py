@@ -135,6 +135,33 @@ def doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ BPE-ish token counting
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "doc_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != ''))
+               AS n_ws_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish pretokenizer regex (letters /
+    digit runs / single punctuation) — identical pattern on both engines."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(_words_col()).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
 # ------------------------------------------------------ exact fingerprint
 @register(
     "doc_fingerprint",

@@ -140,6 +140,29 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", F.round(ppl(F.col("text")), 6).alias("ppl"))
 
 
+@register("doc_winnow_fingerprint", None)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer et al.) per document
+    — the near-dup fingerprinting bullet; vectorized k-gram codes + window
+    minima per Arrow batch (kernels/fingerprint.py)."""
+
+    @F.pandas_udf("n_fingerprints int, digest string")
+    def fp(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from moira_spark.kernels.fingerprint import fingerprint_batch
+
+        for texts in batches:
+            n, d = fingerprint_batch(texts.fillna("").tolist())
+            yield pd.DataFrame({"n_fingerprints": n, "digest": d})
+
+    d = load(spark, sf_dir, "documents")
+    out = d.withColumn("_f", fp(F.col("text")))
+    return out.select(
+        "doc_id",
+        F.col("_f.n_fingerprints").alias("n_fingerprints"),
+        F.col("_f.digest").alias("digest"),
+    )
+
+
 @register(
     "read_revcomp",
     """
