@@ -35,8 +35,13 @@ LABEL_COLUMNS = (
 
 def score_turns(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Dedupe + all per-turn rule/score columns (no conversation agg yet)."""
-    df = ordering.dedupe_stable(df)
+    return score_turns_stream(spark, ordering.dedupe_stable(df))
 
+
+def score_turns_stream(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Per-turn scoring without the dedupe window — safe inside a streaming
+    plan (the window needs a watermark aggregation; in the streaming path
+    dedupe is the upstream writer's contract or a stateful op)."""
     # Cheap native rules first: JVM codegen, no Python involved.
     df = df.withColumn("length_fail", rules.length_rule_fails()).withColumn(
         "symbol_fail", rules.symbol_rule_fails()
