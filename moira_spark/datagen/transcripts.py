@@ -224,10 +224,15 @@ def gen_pandas(n_turns: int, seed: int = 42) -> pd.DataFrame:
     return pd.concat(blocks, ignore_index=True)
 
 
-TRANSCRIPT_SCHEMA = (
+# The pipeline-facing input schema (BASELINE.json:15).  The generator's
+# TRANSCRIPT_SCHEMA appends a hidden `defect` column for sanity checks only;
+# streaming readers must use PIPELINE_SCHEMA (never a textual edit of the
+# generator schema, which would silently drift on reorder/rename).
+PIPELINE_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, "
-    "tool string, ts timestamp, defect string"
+    "tool string, ts timestamp"
 )
+TRANSCRIPT_SCHEMA = PIPELINE_SCHEMA + ", defect string"
 
 
 def gen_spark(spark, n_turns: int, seed: int = 42, drop_defect: bool = True):

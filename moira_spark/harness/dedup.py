@@ -56,6 +56,26 @@ def _planted_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionAll(dup)
 
 
+def cap_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    At web scale a handful of boilerplate shingles ("all rights reserved...")
+    appear in a large fraction of documents; joining on them produces
+    quadratic fan-out in the candidate join.  Capping document frequency
+    bounds per-key fan-out at max_df^2 candidate pairs.  The df count and the
+    semi-join both hash on `shingle`, so AQE reuses one exchange — the cap
+    costs one extra aggregation, not two shuffles.  Off by default (keeps the
+    driver-checked defaults hash-stable); A/B'd in BENCH/BASELINE.md.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_semi")
+
+
 # ------------------------------------------------------------- exact dedup
 @register(
     "dedup_exact",
@@ -112,11 +132,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
     """,
 )
-def dedup_jaccard_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_jaccard_3gram(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
+) -> DataFrame:
     """Near-dup detection via word-3-gram shingles + shingle equi-join.
 
     Shuffle-friendly: candidates come from joining on the shingle value, so
-    cost scales with shared-shingle pairs, not with n^2.
+    cost scales with shared-shingle pairs, not with n^2.  ``max_shingle_df``
+    (off by default) additionally drops boilerplate shingles shared by more
+    than that many docs — the fan-out cap needed at real web scale.  NOTE:
+    capping changes intersection counts, so it is an approximation switch,
+    not a pure optimization; the oracle-checked default keeps it off.
     """
     corpus = _planted_near(spark, sf_dir)
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
@@ -134,6 +160,8 @@ def dedup_jaccard_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", F.explode(shingle).alias("shingle"))
         .distinct()
     )
+    if max_shingle_df is not None:
+        sh = cap_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -176,12 +204,16 @@ def _minhash_params(k: int = _MINHASH_K) -> tuple[np.ndarray, np.ndarray]:
 
 
 @register("dedup_minhash_lsh", None)  # banded hashing: rows-only check
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
+) -> DataFrame:
     """MinHash signatures + banded LSH candidate generation + exact verify.
 
     shingle -> xxhash64 -> k=64 minhashes (groupBy-min, map-side combined)
     -> 16 bands of 4 -> bucket equi-join -> exact Jaccard verify on the
     candidates only.  The standard web-scale near-dup pipeline.
+    ``max_shingle_df`` optionally drops boilerplate shingles before hashing
+    (see cap_hot_shingles); off by default for hash-stable driver checks.
     """
     corpus = _planted_near(spark, sf_dir)
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
@@ -198,8 +230,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         toks.select("doc_id", F.explode(shingle).alias("shingle"))
         .distinct()
-        .withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
     )
+    if max_shingle_df is not None:
+        sh = cap_hot_shingles(sh, max_shingle_df)
+    sh = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
     av, bv = _minhash_params()
     # k minhash aggregations; partial (map-side) min makes this one shuffle
     # of k longs per doc regardless of shingle count.

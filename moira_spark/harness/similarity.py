@@ -154,6 +154,51 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_ann_recall", None)
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the LSH ANN path against the brute-force truth.
+
+    At 100x scale recall is the whole point of the LSH trade: the bucketed
+    join does a fraction of the work of the cross join, and this query
+    quantifies what that costs in neighbor quality.  One row per query id
+    (n_true / n_hit / recall) plus one 'ALL' summary row with the macro
+    recall — the VALUES regress if either path breaks, not just row counts.
+    """
+    truth = embedding_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    approx = embedding_ann_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (F.col("true_neighbor") == F.col("ann_neighbor")),
+        "left",
+    ).select(
+        truth["query_id"].alias("qid"),
+        F.col("ann_neighbor").isNotNull().alias("hit"),
+    )
+    per_query = hits.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_hit"),
+    )
+    per_query = per_query.select(
+        F.col("qid").cast("string").alias("query_id"),
+        "n_true",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
+            "recall_at_k"
+        ),
+    )
+    summary = per_query.agg(
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_hit").alias("n_hit"),
+        F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
+    ).select(F.lit("ALL").alias("query_id"), "n_true", "n_hit", "recall_at_k")
+    return per_query.unionAll(summary)
+
+
 @register(
     "embedding_knn_label",
     f"""

@@ -255,6 +255,110 @@ def doc_scrub_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ full-PII scrub (SQL-able)
+# The same five PII classes as kernels/scrub.py, applied as a chained
+# replace in the kernel's priority order (CC > SSN > PHONE > EMAIL > IP).
+# Patterns are written in the conservative common subset of Java regex
+# (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
+_CC_RE = r"\b(?:\d[ -]?){15}\d\b"
+_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+_PHONE_RE = r"\b(?:\+?1[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b"
+_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_CHAIN = [
+    ("CC", _CC_RE, "<CC>"),
+    ("SSN", _SSN_RE, "<SSN>"),
+    ("PHONE", _PHONE_RE, "<PHONE>"),
+    ("EMAIL", _EMAIL_RE, "<EMAIL>"),
+    ("IP", _IP_RE, "<IP>"),
+]
+
+# Deterministic planting: overlapping/adjacent spans included (phone next to
+# SSN next to IP; a 16-digit card that a naive phone pattern could chew on).
+_PLANT_PII_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call (555) 123-4567 now' ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                     THEN ' ssn 123-45-6789 ok' ELSE '' END
+             || CASE WHEN doc_id % 19 = 0
+                     THEN ' host 10.0.0.1 up' ELSE '' END
+             || CASE WHEN doc_id % 23 = 0
+                     THEN ' card 4111 1111 1111 1111 paid' ELSE '' END
+             || CASE WHEN doc_id % 29 = 0
+                     THEN ' reach 555-123-4567 or 987-65-4321 at 192.168.1.1'
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+@register(
+    "doc_scrub_pii",
+    f"""
+    WITH corpus AS ({_PLANT_PII_SQL})
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             REGEXP_REPLACE(text, '{_CC_RE}', '<CC>', 'g'),
+             '{_SSN_RE}', '<SSN>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IP_RE}', '<IP>', 'g') AS scrubbed,
+           REGEXP_MATCHES(text, '{_CC_RE}') AS had_cc,
+           REGEXP_MATCHES(text, '{_SSN_RE}') AS had_ssn,
+           REGEXP_MATCHES(text, '{_PHONE_RE}') AS had_phone,
+           REGEXP_MATCHES(text, '{_EMAIL_RE}') AS had_email,
+           REGEXP_MATCHES(text, '{_IP_RE}') AS had_ip
+    FROM corpus
+    """,
+)
+def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-alternation PII scrub, oracle-checked byte-exact (SURVEY §2.2 #8).
+
+    Extends doc_scrub_emails to all five PII classes with overlapping spans
+    planted (phone/SSN/IP adjacency; a 16-digit card).  The chain order IS
+    the kernel's priority order, so the byte-exact scrub ordering that
+    tests/test_kernels.py pins is also externally hash-checked by the driver.
+    """
+    d = load(spark, sf_dir, "documents")
+
+    def plant(mod: int, extra) -> F.Column:
+        return F.when(F.col("doc_id") % mod == 0, extra).otherwise(F.lit(""))
+
+    text = F.concat(
+        F.col("text"),
+        plant(
+            11,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ),
+        plant(13, F.lit(" call (555) 123-4567 now")),
+        plant(17, F.lit(" ssn 123-45-6789 ok")),
+        plant(19, F.lit(" host 10.0.0.1 up")),
+        plant(23, F.lit(" card 4111 1111 1111 1111 paid")),
+        plant(29, F.lit(" reach 555-123-4567 or 987-65-4321 at 192.168.1.1")),
+    )
+    corpus = d.select("doc_id", text.alias("text"))
+    scrubbed = F.col("text")
+    for _, pat, token in _PII_CHAIN:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return corpus.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        *[
+            (F.length(F.regexp_extract("text", pat, 0)) > 0).alias(
+                f"had_{name.lower()}"
+            )
+            for name, pat, _ in _PII_CHAIN
+        ],
+    )
+
+
 # --------------------------------------------------- language distribution
 @register(
     "doc_lang_allowlist",

@@ -74,14 +74,27 @@ def transcripts_rule_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("transcripts_audit", None)
 def transcripts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit/lineage aggregation (SURVEY.md §2.2 #11): per-Spark-partition
-    input/kept/dropped counts and rule-hit histogram, rows-only (map typed).
-    wall_ms is telemetry and excluded here so the check is deterministic."""
+    input/kept/dropped counts and rule-hit histogram, rows-only.
+
+    The real audit table keeps ``rule_hits`` as map<string,long>; here the
+    map is projected to a JSON string (entries already sorted by reason via
+    map_from_entries(sort_array(...)) in job.audit_rows) because the driver's
+    canonicalizer sorts column values in pandas and Python dicts are
+    unhashable.  wall_ms is telemetry and excluded so the check is
+    deterministic."""
     from moira_spark.job import audit_rows
     from moira_spark.pipeline import run_pipeline
 
     labels = run_pipeline(spark, _transcripts(spark))
+    # Deterministic partition layout for the lineage rows: hash-partition on
+    # conv_id (what the staged table is bucketed by) instead of whatever
+    # AQE-coalesced layout the pipeline ended on, so the per-partition
+    # counts are stable AND there are >1 partitions to audit.
+    labels = labels.repartition(8, "conv_id")
     rows = audit_rows(labels, run_id="driver-check", bucket=0, wall_ms=0)
-    return rows.drop("wall_ms")
+    return rows.drop("wall_ms").withColumn(
+        "rule_hits", F.to_json(F.col("rule_hits"))
+    )
 
 
 @register("doc_langid", None)
@@ -99,7 +112,10 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from moira_spark.kernels import langid
 
-    train_pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    # Train on the same sf_dir the query scores (parameterized like every
+    # other registry entry; a driver-local hardcoded path would train on
+    # different/unavailable data at other scale factors or on a cluster).
+    train_pdf = load(spark, sf_dir, "documents").select("lang", "text").toPandas()
     corpora = {
         lang: grp["text"].tolist() for lang, grp in train_pdf.groupby("lang")
     }
@@ -120,6 +136,57 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("_p.lang_pred").alias("lang_pred"),
         F.round(F.col("_p.conf"), 6).alias("conf"),
+    )
+
+
+@register("doc_langid_separable", None)
+def doc_langid_separable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID accuracy the driver harness can actually falsify.
+
+    The driver's documents table shares one vocabulary across lang labels, so
+    doc_langid's accuracy there sits at the majority-class baseline by
+    construction.  This query scores a deterministic, genuinely separable
+    corpus (datagen.corpora en/xx, disjoint vocabularies) with a model
+    trained on a *different* seed, and returns per-language accuracy plus a
+    pinned-floor flag — the VALUES flip if the classifier breaks, not just
+    the row count.
+    """
+    from moira_spark.datagen import corpora
+    from moira_spark.kernels import langid
+
+    model = langid.train(corpora.training_corpora(seed=42))
+    bc = spark.sparkContext.broadcast(model)
+
+    held_out = corpora.training_corpora(seed=2024, docs_per_lang=200)
+    rows = [
+        {"doc_id": f"{lang}_{i:04d}", "truth": lang, "text": t}
+        for lang, texts in sorted(held_out.items())
+        for i, t in enumerate(texts)
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+
+    @F.pandas_udf("string")
+    def predict(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = bc.value
+        for texts in batches:
+            langs, _ = m.predict(texts.fillna("").tolist())
+            yield pd.Series(langs).astype(str)
+
+    scored = sdf.withColumn("pred", predict(F.col("text")))
+    return (
+        scored.groupBy("truth")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("pred") == F.col("truth"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy",
+            F.round(F.col("n_correct").cast("double") / F.col("n_docs"), 6),
+        )
+        .withColumn("meets_floor", F.col("accuracy") >= F.lit(0.98))
+        .orderBy("truth")
     )
 
 
@@ -267,22 +334,28 @@ def read_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         from moira_spark.kernels import bernoulli
 
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                seq, quals = al.make_contig(
-                    r["seq_f"], list(r["quals_f"]), r["seq_r"], list(r["quals_r"])
-                )
-                out.append(
-                    {
-                        "pair_id": r["pair_id"],
-                        "contig": seq,
-                        "contig_len": len(seq),
-                        "expected_errors": bernoulli.expected_errors_pb(
-                            quals, alpha=0.005
-                        ),
-                    }
-                )
-            yield pd.DataFrame(out)
+            # NW alignment is inherently per-pair; iterate via zip over the
+            # column arrays (iterrows builds a Series per row — ~10x slower).
+            contigs: list[str] = []
+            qual_lists: list[list[int]] = []
+            for sf_, qf, sr_, qr in zip(
+                pdf["seq_f"].tolist(),
+                pdf["quals_f"].tolist(),
+                pdf["seq_r"].tolist(),
+                pdf["quals_r"].tolist(),
+            ):
+                seq, quals = al.make_contig(sf_, list(qf), sr_, list(qr))
+                contigs.append(seq)
+                qual_lists.append(quals)
+            ee = bernoulli.expected_errors_pb_batch(qual_lists, alpha=0.005)
+            yield pd.DataFrame(
+                {
+                    "pair_id": pdf["pair_id"].to_numpy(),
+                    "contig": contigs,
+                    "contig_len": [len(s) for s in contigs],
+                    "expected_errors": ee,
+                }
+            )
 
     sdf = spark.createDataFrame(pd.DataFrame(rows))
     return sdf.mapInPandas(
@@ -315,8 +388,10 @@ def read_expected_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def ee(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for quals in batches:
+            # batched padded-matrix DP: one numpy recurrence over the whole
+            # Arrow batch, bit-identical to the scalar path (pytest-pinned)
             yield pd.Series(
-                [bernoulli.expected_errors_pb(q, alpha=0.005) for q in quals]
+                bernoulli.expected_errors_pb_batch(quals.tolist(), alpha=0.005)
             )
 
     sdf = spark.createDataFrame(reads)

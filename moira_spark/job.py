@@ -20,7 +20,7 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from moira_spark.pipeline import run_pipeline
+from moira_spark.pipeline import release_cache, run_pipeline
 from moira_spark.sources.tableio import SnapshotTable
 
 AUDIT_SCHEMA_DOC = (
@@ -116,7 +116,9 @@ def run_filter_job(
         # re-runs the bucket and both commits are idempotent no-ops/updates.
         audit_table.commit(spark, bucket_run, committed_keys=[key])
         labels_table.commit(spark, bucket_run, committed_keys=[key])
-        labels.unpersist()
+        # Release the pipeline's internal persisted frame so the cache does
+        # not grow by one MEMORY_AND_DISK copy per bucket.
+        release_cache(labels)
         done += 1
         if fail_after_buckets is not None and done >= fail_after_buckets:
             raise RuntimeError(f"injected crash after {done} buckets")

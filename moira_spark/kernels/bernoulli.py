@@ -52,6 +52,41 @@ def expected_errors_pb(quals, alpha: float = 0.005) -> float:
     return float(min(j, n))
 
 
+def expected_errors_pb_batch(quals_list, alpha: float = 0.005) -> np.ndarray:
+    """Vectorized expected_errors_pb over a batch of reads.
+
+    Reads are padded to the batch max length with p=0 positions, which are
+    exact no-ops in the recurrence (dp*1.0 + prev*0.0), so every read's full
+    error distribution is bit-identical to the scalar path; the DP then runs
+    as one (n_reads x max_len+1) matrix updated column-by-column — the hot
+    loop is O(max_len) numpy slice ops instead of O(n_reads * len) Python.
+    """
+    n_reads = len(quals_list)
+    if n_reads == 0:
+        return np.zeros(0, dtype=np.float64)
+    lens = np.array([len(q) for q in quals_list], dtype=np.int64)
+    max_len = int(lens.max())
+    if max_len == 0:
+        return np.zeros(n_reads, dtype=np.float64)
+    p = np.zeros((n_reads, max_len), dtype=np.float64)
+    for r, quals in enumerate(quals_list):
+        if len(quals):
+            p[r, : len(quals)] = phred_to_prob(np.asarray(quals))
+    q = 1.0 - p
+    dp = np.zeros((n_reads, max_len + 1), dtype=np.float64)
+    dp[:, 0] = 1.0
+    for i in range(max_len):
+        qi = q[:, i : i + 1]
+        pi = p[:, i : i + 1]
+        dp[:, 1 : i + 2] = dp[:, 1 : i + 2] * qi + dp[:, 0 : i + 1] * pi
+        dp[:, 0] *= qi[:, 0]
+    cdf = np.cumsum(dp, axis=1)
+    target = 1.0 - alpha - 1e-12
+    # per-read searchsorted: count of cdf entries strictly below target
+    j = (cdf < target).sum(axis=1)
+    return np.minimum(j, lens).astype(np.float64)
+
+
 def expected_errors_poisson(quals, alpha: float = 0.005) -> float:
     """Poisson approximation (moira --error_calc poisson): lambda = sum p_i,
     bound = smallest j with PoissonCDF(j; lambda) >= 1 - alpha."""

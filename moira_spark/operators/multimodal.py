@@ -82,15 +82,19 @@ def image_features(spark: SparkSession, media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # decode is per-item by nature; iterate zip over column arrays
+            # (iterrows builds a Series per row — slowest possible idiom)
             rows = []
-            for _, r in pdf.iterrows():
-                w, h = int(r["meta"]["width"]), int(r["meta"]["height"])
-                plane = _fake_decode_image(r["payload"], w, h)
+            for mid, payload, meta in zip(
+                pdf["media_id"].tolist(), pdf["payload"].tolist(), pdf["meta"].tolist()
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                plane = _fake_decode_image(payload, w, h)
                 hist = np.histogram(plane, bins=16, range=(0, 256))[0]
                 hist = (hist / max(plane.size, 1)).astype(np.float64)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": mid,
                         "width": w,
                         "height": h,
                         "mean_luma": float(plane.mean()),
@@ -111,13 +115,15 @@ def audio_features(spark: SparkSession, media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                sr = int(r["meta"]["sample_rate"])
-                pcm = _fake_decode_audio(r["payload"], sr).astype(np.float64)
+            for mid, payload, meta in zip(
+                pdf["media_id"].tolist(), pdf["payload"].tolist(), pdf["meta"].tolist()
+            ):
+                sr = int(meta["sample_rate"])
+                pcm = _fake_decode_audio(payload, sr).astype(np.float64)
                 zc = int(((pcm[:-1] * pcm[1:]) < 0).sum()) if len(pcm) > 1 else 0
                 rows.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": mid,
                         "sample_rate": sr,
                         "duration_s": len(pcm) / max(sr, 1),
                         "rms": float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0,
@@ -137,17 +143,18 @@ def sample_frames(spark: SparkSession, media: DataFrame, every_n: int = 10) -> D
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                w, h = int(r["meta"]["width"]), int(r["meta"]["height"])
-                nf = int(r["meta"]["n_frames"])
-                payload = r["payload"]
+            for mid, payload, meta in zip(
+                pdf["media_id"].tolist(), pdf["payload"].tolist(), pdf["meta"].tolist()
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                nf = int(meta["n_frames"])
                 for fi in range(0, nf, every_n):
                     # deterministic per-frame slice of the payload
                     frame_payload = payload[fi % max(len(payload), 1):] + payload[: fi % max(len(payload), 1)]
                     plane = _fake_decode_image(frame_payload, w, h)
                     rows.append(
                         {
-                            "media_id": r["media_id"],
+                            "media_id": mid,
                             "frame_idx": fi,
                             "frame_phash": _phash64(plane),
                         }

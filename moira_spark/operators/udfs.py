@@ -24,11 +24,24 @@ SCORE_SCHEMA = (
 )
 
 
+# One (broadcasts, udf) per SparkContext: the bucketed job calls
+# run_pipeline once per bucket and the streaming path once per micro-batch;
+# without this cache each call would create two fresh ~1MB broadcast
+# variables that are never destroyed for the life of the application.
+_UDF_CACHE: dict[str, object] = {}
+
+
 def make_score_udf(spark: SparkSession):
-    """Build the fused scoring UDF with models broadcast once per job."""
+    """Build (or reuse) the fused scoring UDF; models broadcast once per
+    SparkContext, not once per invocation."""
     from moira_spark.kernels import langid, lm
 
     sc = spark.sparkContext
+    app_id = sc.applicationId
+    cached = _UDF_CACHE.get(app_id)
+    if cached is not None:
+        return cached
+    _UDF_CACHE.clear()  # drop entries from any previous (stopped) context
     bc_langid = sc.broadcast(langid.default_model())
     bc_lm = sc.broadcast(lm.default_model())
 
@@ -45,4 +58,5 @@ def make_score_udf(spark: SparkSession):
             s["lang"] = s["lang"].astype(str)
             yield pd.DataFrame(s)
 
+    _UDF_CACHE[app_id] = score
     return score

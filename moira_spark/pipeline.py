@@ -126,7 +126,24 @@ def run_pipeline(
     labeled = conv_agg.attach_conv_verdicts(
         scored, verdicts, broadcast_verdicts=broadcast_verdicts
     )
-    return labeled.select(*LABEL_COLUMNS)
+    out = labeled.select(*LABEL_COLUMNS)
+    # Hand the internally-persisted frame to the caller: unpersisting the
+    # *returned* plan would be a no-op (Dataset.unpersist only drops the cache
+    # entry for that exact plan), so long-running callers (bucketed job,
+    # foreachBatch streaming) use release_cache() after each commit.
+    out._moira_scored = scored if persist_scored else None
+    return out
+
+
+def release_cache(labels: DataFrame) -> None:
+    """Unpersist the frame run_pipeline() cached while building ``labels``.
+
+    Call after the labels have been materialized/committed; a no-op for
+    frames not produced by run_pipeline or run with persist_scored=False.
+    """
+    scored = getattr(labels, "_moira_scored", None)
+    if scored is not None:
+        scored.unpersist()
 
 
 def filtered_output(labels: DataFrame, original: DataFrame) -> DataFrame:

@@ -13,6 +13,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _master_preconfigured() -> bool:
+    """True when a master is already supplied externally (spark-submit
+    --master, MASTER env, or an already-running session).  Builder-level
+    .master() would override spark-submit and silently run the whole job
+    single-node on the driver, so we only set local[] when nothing else did.
+    """
+    if os.environ.get("MASTER") or os.environ.get("SPARK_MASTER_URL"):
+        return True
+    # spark-submit launches the python driver against a pre-built JVM gateway
+    # whose system properties carry --master; never override it.
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        return True
+    try:
+        if SparkSession.getActiveSession() is not None:
+            return True
+        from pyspark import SparkConf
+
+        # Loads JVM system properties (set by spark-submit) when the gateway
+        # is up; before the gateway exists this is an empty conf.
+        return SparkConf(loadDefaults=True).contains("spark.master")
+    except Exception:
+        return False
+
+
 def build_session(
     app_name: str = "moira-spark",
     cores: int | None = None,
@@ -25,9 +49,11 @@ def build_session(
         # >= 2x cores so stragglers rebalance; at cluster scale this is set
         # per-job from input size (or left to AQE coalescing from a high cap).
         shuffle_partitions = max(2 * cores, 8)
+    builder = SparkSession.builder
+    if not _master_preconfigured():
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -87,11 +87,10 @@ def run_stateful_stream(
     append-only updates log in ``output_dir`` (foreachBatch sink, so the
     update-mode stateful query is checkpoint-recoverable).  The CURRENT
     verdict of a conversation is its row with the highest total_turns."""
-    from moira_spark.datagen.transcripts import TRANSCRIPT_SCHEMA
+    from moira_spark.datagen.transcripts import PIPELINE_SCHEMA
     from moira_spark.pipeline import score_turns_stream
 
-    schema = TRANSCRIPT_SCHEMA.replace(", defect string", "")
-    src = spark.readStream.schema(schema).parquet(input_dir)
+    src = spark.readStream.schema(PIPELINE_SCHEMA).parquet(input_dir)
     scored = score_turns_stream(spark, src)
     verdicts = stateful_conv_verdicts(scored)
 

@@ -21,8 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from moira_spark.datagen.transcripts import TRANSCRIPT_SCHEMA
-from moira_spark.pipeline import run_pipeline
+from moira_spark.datagen.transcripts import PIPELINE_SCHEMA
+from moira_spark.pipeline import release_cache, run_pipeline
 from moira_spark.sources.tableio import SnapshotTable
 
 
@@ -38,7 +38,7 @@ def stream_labels(
     Late rows beyond ``watermark`` on ts are still scored (stateless path);
     the watermark exists to bound any downstream stateful consumers.
     """
-    schema = TRANSCRIPT_SCHEMA.replace(", defect string", "")
+    schema = PIPELINE_SCHEMA
     src: DataFrame = (
         spark.readStream.schema(schema).parquet(input_dir).withWatermark("ts", watermark)
     )
@@ -53,7 +53,10 @@ def stream_labels(
         labels = run_pipeline(spark, batch_df)
         table.stage(labels, run_id)
         table.commit(spark, run_id, committed_keys=[run_id])
-        labels.unpersist()
+        # Drop the pipeline's internal persisted frame — unpersisting the
+        # returned `labels` plan would be a no-op (different cache entry) and
+        # would leak one cached copy per micro-batch.
+        release_cache(labels)
 
     return (
         src.writeStream.foreachBatch(process_batch)

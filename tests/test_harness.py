@@ -60,3 +60,30 @@ def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert [f.name for f in df.schema.fields][:3] == ["conv_id", "turn_idx", "keep"]
+
+
+class TestHotShingleCap:
+    def test_cap_drops_only_hot_shingles(self, spark):
+        import pyspark.sql.functions as F
+
+        from moira_spark.harness.dedup import cap_hot_shingles
+
+        rows = [(d, s) for d in range(10) for s in ("boilerplate everywhere",)]
+        rows += [(d, f"rare {d}") for d in range(10)]
+        sh = spark.createDataFrame(rows, "doc_id int, shingle string")
+        capped = cap_hot_shingles(sh, max_df=5).toPandas()
+        assert (capped.shingle.str.startswith("rare")).all()
+        assert len(capped) == 10
+
+    def test_capped_jaccard_still_finds_planted_dups(self, spark):
+        # planted near-dups share nearly all shingles, each of which occurs
+        # in exactly 2 docs -> a df cap far above 2 must not change results
+        from moira_spark.harness.dedup import dedup_jaccard_3gram
+
+        base = dedup_jaccard_3gram(spark, "/root/testdata/sf0.001")
+        capped = dedup_jaccard_3gram(
+            spark, "/root/testdata/sf0.001", max_shingle_df=50
+        )
+        b = base.toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        c = capped.toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        assert b.equals(c)

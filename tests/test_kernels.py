@@ -198,3 +198,29 @@ class TestBernoulli:
 
     def test_sum_expected_errors(self):
         assert bernoulli.sum_expected_errors([10]) == pytest.approx(0.1)
+
+    def test_batch_matches_scalar_exactly(self):
+        # the padded-matrix batch DP must be bit-identical to the scalar
+        # path: padding positions are p=0 exact no-ops in the recurrence
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        reads = [
+            rng.randint(2, 41, size=rng.randint(0, 200)).tolist()
+            for _ in range(64)
+        ]
+        reads += [[], [40], [2] * 100, [3.0103, 3.0103]]
+        batch = bernoulli.expected_errors_pb_batch(reads, alpha=0.005)
+        scalar = [bernoulli.expected_errors_pb(q, alpha=0.005) for q in reads]
+        assert batch.tolist() == scalar
+
+    def test_batch_alpha_sweep(self):
+        for alpha in (0.30, 0.05, 0.005, 0.0005):
+            reads = [[3.0103, 3.0103], [20] * 50, [10, 15, 20]]
+            batch = bernoulli.expected_errors_pb_batch(reads, alpha=alpha)
+            scalar = [bernoulli.expected_errors_pb(q, alpha=alpha) for q in reads]
+            assert batch.tolist() == scalar
+
+    def test_batch_empty(self):
+        assert bernoulli.expected_errors_pb_batch([]).tolist() == []
+        assert bernoulli.expected_errors_pb_batch([[], []]).tolist() == [0.0, 0.0]

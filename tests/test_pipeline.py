@@ -118,3 +118,24 @@ class TestDistributedGeneration:
         b = pdf.sort_values(key).reset_index(drop=True)
         for col in ["conv_id", "turn_idx", "role", "text", "tool", "defect"]:
             assert a[col].fillna("").tolist() == b[col].fillna("").tolist(), col
+
+
+class TestCacheLifecycle:
+    def test_release_cache_unpersists(self, spark):
+        from moira_spark.datagen import transcripts as tg
+        from moira_spark.pipeline import release_cache, run_pipeline
+
+        labels = run_pipeline(spark, tg.gen_spark(spark, 500))
+        labels.count()
+        scored = labels._moira_scored
+        assert scored is not None and scored.is_cached
+        release_cache(labels)
+        assert not scored.is_cached
+        # idempotent / safe on frames without the attribute
+        release_cache(labels)
+        release_cache(labels.select("conv_id"))
+
+    def test_score_udf_cached_per_context(self, spark):
+        from moira_spark.operators.udfs import make_score_udf
+
+        assert make_score_udf(spark) is make_score_udf(spark)
