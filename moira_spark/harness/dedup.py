@@ -15,7 +15,10 @@ candidate generation is an equi-join on a key with controlled fan-out.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -196,25 +199,27 @@ _LSH_BANDS = 16  # 16 bands x 4 rows
 _MERSENNE = (1 << 31) - 1
 
 
-def _minhash_params(k: int = _MINHASH_K) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(1729)
-    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
-    return a, b
-
-
 @register("dedup_minhash_lsh", None)  # banded hashing: rows-only check
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
 ) -> DataFrame:
     """MinHash signatures + banded LSH candidate generation + exact verify.
 
-    shingle -> xxhash64 -> k=64 minhashes (groupBy-min, map-side combined)
-    -> 16 bands of 4 -> bucket equi-join -> exact Jaccard verify on the
-    candidates only.  The standard web-scale near-dup pipeline.
-    ``max_shingle_df`` optionally drops boilerplate shingles before hashing
-    (see cap_hot_shingles); off by default for hash-stable driver checks.
+    ZERO-SHUFFLE signatures: shingles and their xxhash64 values stay as
+    per-row arrays (JVM exprs), the k=64 minhashes come from one vectorized
+    Arrow hop (kernels/sketch.py), and bands are JVM xxhash64 over signature
+    elements.  The only shuffles left are the tiny (doc_id, band, sig)
+    candidate join and the doc_id joins for exact verify — the previous
+    formulation shuffled the entire exploded shingle stream through a
+    64-column groupBy, which at 10^12 turns IS the bottleneck (signature
+    values are unchanged: same seed, same affine mod-Mersenne maps, pinned
+    in tests/test_kernels.py).
+    ``max_shingle_df`` optionally drops boilerplate shingles first (see
+    cap_hot_shingles; this path costs the explode/agg shuffles the default
+    path avoids); off by default for hash-stable driver checks.
     """
+    from moira_spark.kernels import sketch
+
     corpus = _planted_near(spark, sf_dir)
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     toks = corpus.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
@@ -227,37 +232,47 @@ def dedup_minhash_lsh(
             F.element_at(F.col("w"), i + 2),
         ),
     )
-    sh = (
-        toks.select("doc_id", F.explode(shingle).alias("shingle"))
-        .distinct()
-    )
+    docs = toks.select("doc_id", F.array_distinct(shingle).alias("s"))
     if max_shingle_df is not None:
+        sh = docs.select("doc_id", F.explode("s").alias("shingle"))
         sh = cap_hot_shingles(sh, max_shingle_df)
-    sh = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
-    av, bv = _minhash_params()
-    # k minhash aggregations; partial (map-side) min makes this one shuffle
-    # of k longs per doc regardless of shingle count.
-    minhashes = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.col("h") * int(av[i]) + int(bv[i]), F.lit(_MERSENNE))).alias(
-                f"mh{i}"
-            )
-            for i in range(_MINHASH_K)
-        ]
+        docs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    h_arr = F.transform(
+        F.col("s"), lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE))
     )
+    hashed = docs.select("doc_id", "s", h_arr.alias("h"))
+
+    av, bv = sketch.minhash_params(_MINHASH_K)
+
+    @F.pandas_udf("array<long>")
+    def minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for hs in batches:
+            yield pd.Series(sketch.minhash_batch(hs.tolist(), av, bv))
+
+    # The signature frame feeds three plan branches (both sides of the
+    # band self-join + exact verify); persist at the branch point or every
+    # branch re-runs the UDF and re-scans the corpus (verified in PLANS.md —
+    # unpersisted, the pre-execution plan shows 4 ArrowEvalPython nodes).
+    # At production scale the equivalent is write-once to a staging table.
+    signed = hashed.select(
+        "doc_id", "s", minhash(F.col("h")).alias("mh")
+    ).persist()
     rows_per_band = _MINHASH_K // _LSH_BANDS
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
                 F.xxhash64(
-                    *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                    *[
+                        F.element_at(F.col("mh"), bi * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("sig"),
             )
             for bi in range(_LSH_BANDS)
         ]
     )
-    banded = minhashes.select("doc_id", F.explode(bands).alias("b")).select(
+    banded = signed.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
     l, r = banded.alias("l"), banded.alias("r")
@@ -273,8 +288,9 @@ def dedup_minhash_lsh(
         )
         .distinct()
     )
-    # exact verify on candidates only
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    # exact verify on candidates only (shingle sets are per-row arrays —
+    # no collect_set groupBy needed)
+    sets = signed.select("doc_id", "s")
     sl, sr = sets.alias("sl"), sets.alias("sr")
     verified = (
         candidates.join(sl, F.col("doc_a") == F.col("sl.doc_id"))
@@ -298,37 +314,31 @@ def dedup_minhash_lsh(
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup candidates via 4x16-bit block match.
 
-    Each doc's simhash: sign-sum of xxhash64 bits over its tokens.  Two docs
-    within Hamming distance 3 must share at least one of 4 16-bit blocks
-    (pigeonhole), so candidate generation is an equi-join on (block_idx,
-    block_value) — no pairwise scan.
+    ZERO-SHUFFLE sketches: token xxhash64 values stay a per-row array (JVM
+    transform), the 64 sign-sums collapse into one vectorized Arrow hop
+    (kernels/sketch.py, bit-identical to the previous 64-conditional-agg
+    groupBy — pinned in tests/test_kernels.py); only the (blk, val) block
+    equi-join shuffles.  Two docs within Hamming distance 3 must share at
+    least one of 4 16-bit blocks (pigeonhole), so candidate generation never
+    scans pairs.
     """
+    from moira_spark.kernels import sketch
+
     corpus = _planted_near(spark, sf_dir)
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    tok = corpus.select("doc_id", F.explode(w).alias("t"))
-    tok = tok.withColumn("h", F.xxhash64("t"))
-    # per-bit sign sums: sum(+1/-1 per bit) via 64 conditional aggs
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sums = tok.groupBy("doc_id").agg(*bit_cols)
-    # assemble simhash: bit i set iff sum > 0
-    sim = sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63
-                       else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
+    th = F.transform(w, lambda t: F.xxhash64(t))
+    docs = corpus.select("doc_id", th.alias("th")).filter(F.size("th") >= 1)
+
+    @F.pandas_udf("long")
+    def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for hs in batches:
+            yield pd.Series(sketch.simhash_batch(hs.tolist()))
+
+    # persist: both sides of the block self-join read this frame; without
+    # the cache each side re-runs the UDF and re-scans the corpus
+    sim = docs.select(
+        "doc_id", simhash_udf(F.col("th")).alias("simhash")
+    ).persist()
     blocks = F.array(
         *[
             F.struct(

@@ -264,16 +264,18 @@ sf0.1 documents (5,000 docs) with a planted boilerplate sentence appended to
 
 | pipeline | off | cap64 | planted-dup recall under cap |
 |---|---|---|---|
-| 3-gram Jaccard equi-join | 4.33s | **2.43s (1.8x)** | 1.00 |
-| MinHash+LSH | **2.31s** | 3.11s | 1.00 |
+| 3-gram Jaccard equi-join | 4.55s | **2.72s (1.7x)** | 1.00 |
+| MinHash+LSH (zero-shuffle signatures) | 1.37s | 1.14s | 1.00 |
 
-Reading: the cap pays off exactly where the fan-out is quadratic — the raw
-shingle intersection join (every hot-shingle pair becomes a candidate row).
-MinHash already bounds shuffle width to k longs/doc and candidates to band
-collisions, so there the cap's extra df-aggregation + semi-join is pure
-overhead.  At 100 TB use the cap on the exact-Jaccard verify path and skip
-it on the MinHash signature path; it is an approximation switch (drops
-boilerplate shingles from the similarity definition), kept off by default.
+Reading: the cap pays off where the fan-out is quadratic — the raw shingle
+intersection join (every hot-shingle pair becomes a candidate row).  On the
+MinHash path signatures are per-row with no shuffle (kernels/sketch.py);
+the cap re-introduces one explode/aggregate pass, but the signature frame
+is persisted at the branch point so that cost is paid once, and trimming
+boilerplate shingles slightly reduces band-collision candidates — roughly a
+wash.  It is an approximation switch (drops boilerplate shingles from the
+similarity definition), kept off by default; at 100 TB enable it for the
+exact-Jaccard verify path and for corpora with heavy template boilerplate.
 
 Raw JSON: {json.dumps({k: {str(c): round(v, 1) for c, v in d.items()} for k, d in results.items()})}
 """

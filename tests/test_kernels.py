@@ -224,3 +224,73 @@ class TestBernoulli:
     def test_batch_empty(self):
         assert bernoulli.expected_errors_pb_batch([]).tolist() == []
         assert bernoulli.expected_errors_pb_batch([[], []]).tolist() == [0.0, 0.0]
+
+
+class TestSketch:
+    """kernels/sketch.py — per-row SimHash/MinHash must match the previous
+    JVM-aggregation formulation bit for bit."""
+
+    def _naive_simhash(self, hashes):
+        # the old groupBy formulation: bit i set iff sum of (+1/-1) > 0,
+        # bits taken from the signed-64 two's-complement pattern
+        import numpy as np
+
+        out = 0
+        for i in range(64):
+            s = sum(
+                1 if (int(np.uint64(np.int64(h))) >> i) & 1 else -1
+                for h in hashes
+            )
+            if s > 0:
+                out |= 1 << i
+        return int(np.int64(np.uint64(out)))
+
+    def test_simhash_matches_naive(self):
+        import numpy as np
+
+        from moira_spark.kernels import sketch
+
+        rng = np.random.RandomState(3)
+        lists = [
+            rng.randint(-(2**63), 2**63 - 1, size=rng.randint(1, 40)).astype(
+                np.int64
+            )
+            for _ in range(50)
+        ]
+        got = sketch.simhash_batch(lists)
+        want = [self._naive_simhash(h.tolist()) for h in lists]
+        assert got.tolist() == want
+
+    def test_minhash_matches_naive(self):
+        import numpy as np
+
+        from moira_spark.kernels import sketch
+
+        a, b = sketch.minhash_params(64)
+        rng = np.random.RandomState(4)
+        lists = [
+            rng.randint(0, sketch.MERSENNE31, size=rng.randint(1, 30)).astype(
+                np.int64
+            )
+            for _ in range(30)
+        ]
+        got = sketch.minhash_batch(lists, a, b)
+        for row, hs in zip(got, lists):
+            for i in range(64):
+                want = min((int(h) * int(a[i]) + int(b[i])) % sketch.MERSENNE31 for h in hs)
+                assert row[i] == want
+
+    def test_minhash_params_pinned(self):
+        # seed contract with the previous harness formulation
+        from moira_spark.kernels import sketch
+
+        a, b = sketch.minhash_params(64)
+        assert (int(a[0]), int(b[0])) == (911214222, 13972748)
+
+    def test_empty_list_rejected(self):
+        import pytest as _pytest
+
+        from moira_spark.kernels import sketch
+
+        with _pytest.raises(ValueError):
+            sketch.simhash_batch([[1], []])
