@@ -165,6 +165,11 @@ def dedup_jaccard_3gram(
     )
     if max_shingle_df is not None:
         sh = cap_hot_shingles(sh, max_shingle_df)
+    # sh feeds three plan branches; deliberately NOT persisted — caching the
+    # exploded shingle rows measured SLOWER (3.2s vs 2.3s at sf0.1) than
+    # recomputing the all-JVM explode from the column-pruned scan.  Persist
+    # pays off only when the branch subtree crosses into Python (see the
+    # sketch queries below).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -12,7 +12,10 @@ identical across engines.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -93,48 +96,152 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_PLANES = 12  # 12-bit signatures -> 4096 buckets
+_LSH_TABLES = 8  # independent hash tables; candidates = union over tables
+_LSH_TARGET_OCCUPANCY = 8  # vectors per bucket the signature width aims for
 
 
-def _hyperplanes(dim: int = 64, n: int = _LSH_PLANES) -> np.ndarray:
+def _lsh_bits(n_vectors: int) -> int:
+    """Occupancy-targeted signature width: 2^bits buckets sized so a bucket
+    holds ~_LSH_TARGET_OCCUPANCY vectors.  Fixed-width signatures are wrong
+    at both ends — too many bits and true neighbors never collide (measured
+    recall@5 = 0.0 with 12 bits over 500 vectors), too few and the scan
+    degenerates to brute force.  Scales automatically: 10^12 vectors -> 37
+    bits, candidate work stays ~T * occupancy per query."""
+    import math
+
+    return min(30, max(4, int(round(math.log2(max(n_vectors, 2) / _LSH_TARGET_OCCUPANCY)))))
+
+
+def _hyperplanes(bits: int, dim: int = 64) -> np.ndarray:
     rng = np.random.RandomState(2718)
-    return rng.standard_normal((n, dim))
+    return rng.standard_normal((_LSH_TABLES, bits, dim))
 
 
 @register("embedding_ann_lsh", None)  # banded hashing: rows-only check
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: bucket equi-join instead of cross join.
+    """ANN via multi-table random-hyperplane LSH (bucket equi-join, no
+    cross join).
 
-    sig(v) = bits of sign(P @ v) for seeded hyperplanes P.  Neighbors are
-    only scored within the query's bucket, so work scales with bucket
-    occupancy, not with the corpus.  Recall is traded for scale — this is
-    the 100 TB path; the brute-force query above is the baseline it is
-    measured against.
+    T=8 independent tables of occupancy-sized sign signatures; a pair is a
+    candidate if it collides in ANY table (a single fixed-width table
+    measured recall@5 = 0.0 here — one 12-bit signature almost never agrees
+    on all bits for true neighbors; the multi-table union over
+    occupancy-targeted buckets is the standard fix and what makes the
+    recall/scale trade real).  Signatures are computed in one vectorized
+    Arrow hop; the corpus side of the candidate join is map-side only
+    (broadcast query buckets), so work scales with bucket occupancy, not
+    corpus size.  Measured against brute force in embedding_ann_recall.
     """
     e = load(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
-    plane_arrays = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
-    emb = _dbl("embedding")
-    sig = sum(
-        [
-            F.when(_dot(emb, plane_arrays[i]) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(_LSH_PLANES)
-        ],
-        F.lit(0),
-    ).alias("bucket")
-    signed = e.select(F.col("vec_id"), emb.alias("v"), sig)
-    q = (
-        signed.filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qe"),
-            F.col("bucket").alias("qbucket"),
-        )
+    bits = _lsh_bits(e.count())
+    planes = _hyperplanes(bits)
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("array<long>")
+    def sigs_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        P = bc.value  # (T, bits, dim)
+        weights = (1 << np.arange(P.shape[1])).astype(np.int64)
+        for vs in batches:
+            X = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+            # (n, T, bits) sign bits -> (n, T) bucket ids
+            bits = np.einsum("nd,tbd->ntb", X, P) > 0
+            sigs = (bits.astype(np.int64) * weights).sum(axis=2)
+            yield pd.Series(list(sigs))
+
+    signed = e.select(
+        F.col("vec_id"), _dbl("embedding").alias("v"),
+        sigs_of(_dbl("embedding")).alias("sigs"),
+    ).persist()  # feeds corpus AND query branches: one UDF pass
+
+    buckets = signed.select(
+        "vec_id", "v", F.posexplode("sigs").alias("t", "sig")
     )
-    cand = signed.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vec_id") != F.col("query_id")),
+    q = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qe"),
+        F.col("t").alias("qt"),
+        F.col("sig").alias("qsig"),
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("qt"))
+            & (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        # a pair colliding in several tables must score once
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cos = _dot(F.col("qe"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@register("embedding_ann_ivf", None)  # data-adaptive cells: rows-only check
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) cells — the second scale path next to LSH.
+
+    Seeded k-means centroids are trained driver-side on a bounded
+    deterministic sample (first 2048 vec_ids), broadcast, and every vector
+    is assigned to its max-cosine cell in one vectorized Arrow hop — a
+    linear, shuffle-free pass, like the sketch queries.  A query scans only
+    its nprobe nearest cells: candidate generation is an equi-join of the
+    corpus against the tiny broadcast (query, probe-cell) list, so work
+    scales with cell occupancy, not corpus size.  Exact cosine + top-k runs
+    on candidates only.  Recall vs brute force: embedding_ann_recall.
+    """
+    from moira_spark.kernels import ann
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _dbl("embedding").alias("v"))
+
+    sample = base.orderBy("vec_id").limit(2048).toPandas()
+    C = ann.kmeans_fit(
+        np.array(sample["v"].tolist()), k=_IVF_CELLS, iters=10, seed=7
+    )
+    bc = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf("int")
+    def cell_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cents = bc.value
+        for vs in batches:
+            yield pd.Series(ann.assign_cells(vs.tolist(), cents))
+
+    cells = base.select("vec_id", "v", cell_of(F.col("v")).alias("cell"))
+
+    qpdf = sample[sample["vec_id"] < _N_QUERIES]
+    probe_rows = [
+        {
+            "query_id": int(r_vec_id),
+            "qe": list(map(float, r_v)),
+            "cell": int(c),
+        }
+        for r_vec_id, r_v in zip(qpdf["vec_id"], qpdf["v"])
+        for c in ann.probe_cells(np.array(r_v, dtype=np.float64), C, _IVF_NPROBE)
+    ]
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows),
+        schema="query_id long, qe array<double>, cell int",
+    )
+    cand = cells.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
     )
     cos = _dot(F.col("qe"), F.col("v")) / (
         F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
@@ -156,47 +263,60 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_ann_recall", None)
 def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of the LSH ANN path against the brute-force truth.
+    """recall@k of each ANN path (LSH and IVF) against brute-force truth.
 
-    At 100x scale recall is the whole point of the LSH trade: the bucketed
-    join does a fraction of the work of the cross join, and this query
-    quantifies what that costs in neighbor quality.  One row per query id
-    (n_true / n_hit / recall) plus one 'ALL' summary row with the macro
-    recall — the VALUES regress if either path breaks, not just row counts.
+    At 100x scale recall is the whole point of the ANN trade: the bucketed
+    joins do a fraction of the cross join's work, and this query quantifies
+    what each costs in neighbor quality.  One row per (method, query id)
+    plus one 'ALL' summary row per method with the macro recall — the
+    VALUES regress if any path breaks, not just row counts.
     """
     truth = embedding_cosine_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("true_neighbor")
     )
-    approx = embedding_ann_lsh(spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("ann_neighbor")
-    )
-    hits = truth.join(
-        approx,
-        (truth["query_id"] == approx["query_id"])
-        & (F.col("true_neighbor") == F.col("ann_neighbor")),
-        "left",
-    ).select(
-        truth["query_id"].alias("qid"),
-        F.col("ann_neighbor").isNotNull().alias("hit"),
-    )
-    per_query = hits.groupBy("qid").agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_hit"),
-    )
-    per_query = per_query.select(
-        F.col("qid").cast("string").alias("query_id"),
-        "n_true",
-        "n_hit",
-        F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
-            "recall_at_k"
-        ),
-    )
-    summary = per_query.agg(
-        F.sum("n_true").alias("n_true"),
-        F.sum("n_hit").alias("n_hit"),
-        F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
-    ).select(F.lit("ALL").alias("query_id"), "n_true", "n_hit", "recall_at_k")
-    return per_query.unionAll(summary)
+    out = None
+    for method, fn in (("lsh", embedding_ann_lsh), ("ivf", embedding_ann_ivf)):
+        approx = fn(spark, sf_dir).select(
+            "query_id", F.col("neighbor_id").alias("ann_neighbor")
+        )
+        hits = truth.join(
+            approx,
+            (truth["query_id"] == approx["query_id"])
+            & (F.col("true_neighbor") == F.col("ann_neighbor")),
+            "left",
+        ).select(
+            truth["query_id"].alias("qid"),
+            F.col("ann_neighbor").isNotNull().alias("hit"),
+        )
+        per_query = hits.groupBy("qid").agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        per_query = per_query.select(
+            F.lit(method).alias("method"),
+            F.col("qid").cast("string").alias("query_id"),
+            "n_true",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        summary = per_query.agg(
+            F.sum("n_true").alias("n_true"),
+            F.sum("n_hit").alias("n_hit"),
+            F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
+        ).select(
+            F.lit(method).alias("method"),
+            F.lit("ALL").alias("query_id"),
+            "n_true",
+            "n_hit",
+            "recall_at_k",
+        )
+        part = per_query.unionAll(summary)
+        out = part if out is None else out.unionAll(part)
+    return out
 
 
 @register(

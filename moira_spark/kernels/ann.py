@@ -1,0 +1,56 @@
+"""IVF (inverted-file) ANN kernels: deterministic k-means + cell assignment.
+
+The IVF scale path for cosine similarity search: vectors are L2-normalized,
+a small seeded Lloyd's k-means (trained driver-side on a bounded
+deterministic sample) defines the cells, every vector is assigned to its
+max-dot-product cell in one vectorized Arrow hop, and a query only scans the
+``nprobe`` cells nearest to it — candidate generation becomes an equi-join
+on cell id, exactly like the LSH bucket join but with data-adaptive regions
+(typically better recall per candidate at the same fan-out).
+
+Everything is a pure function of the seed so driver-harness results are
+value-stable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def normalize(X: np.ndarray) -> np.ndarray:
+    X = np.asarray(X, dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    return X / np.where(norms == 0.0, 1.0, norms)
+
+
+def kmeans_fit(
+    X: np.ndarray, k: int, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Seeded Lloyd's iterations on normalized vectors; returns normalized
+    centroids (k x dim).  Deterministic: fixed init, fixed iteration count,
+    empty clusters keep their previous centroid."""
+    Xn = normalize(X)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(Xn), size=min(k, len(Xn)), replace=False)
+    C = Xn[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = normalize(C)
+    return C
+
+
+def assign_cells(X, C: np.ndarray) -> np.ndarray:
+    """Nearest (max cosine) centroid per row -> int32 cell ids."""
+    Xn = normalize(np.asarray(list(X), dtype=np.float64))
+    return (Xn @ C.T).argmax(axis=1).astype(np.int32)
+
+
+def probe_cells(q: np.ndarray, C: np.ndarray, nprobe: int) -> np.ndarray:
+    """The nprobe highest-cosine cells for one query vector (sorted ids)."""
+    qn = normalize(q.reshape(1, -1))[0]
+    order = np.argsort(-(C @ qn), kind="stable")
+    return np.sort(order[:nprobe]).astype(np.int32)

@@ -294,3 +294,39 @@ class TestSketch:
 
         with _pytest.raises(ValueError):
             sketch.simhash_batch([[1], []])
+
+
+class TestAnnKernels:
+    def test_kmeans_deterministic_and_normalized(self):
+        import numpy as np
+
+        from moira_spark.kernels import ann
+
+        rng = np.random.RandomState(5)
+        X = rng.standard_normal((300, 16))
+        c1 = ann.kmeans_fit(X, k=8, iters=5, seed=7)
+        c2 = ann.kmeans_fit(X, k=8, iters=5, seed=7)
+        assert np.array_equal(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    def test_assign_matches_bruteforce(self):
+        import numpy as np
+
+        from moira_spark.kernels import ann
+
+        rng = np.random.RandomState(6)
+        X = rng.standard_normal((100, 16))
+        C = ann.kmeans_fit(X, k=4, iters=5, seed=7)
+        got = ann.assign_cells(list(X), C)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        assert np.array_equal(got, (Xn @ C.T).argmax(axis=1).astype(np.int32))
+
+    def test_probe_cells_returns_nearest(self):
+        import numpy as np
+
+        from moira_spark.kernels import ann
+
+        C = np.eye(4)
+        q = np.array([0.9, 0.1, 0.0, 0.0])
+        probes = ann.probe_cells(q, C, nprobe=2)
+        assert set(probes.tolist()) == {0, 1}
