@@ -39,6 +39,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Import for registration side effects.
 from moira_spark.harness import (  # noqa: E402,F401
     dedup,
+    jobs,
     multimodal,
     relational,
     similarity,

@@ -1,0 +1,96 @@
+"""Driver-contract query for the resumable bucketed job (rows-only).
+
+SURVEY.md §2.2 #12 (idempotent resume) was pytest-only in round 1 — the one
+operator with no driver-visible check.  This query runs the REAL job twice
+on a deterministic fixture: the first run is killed by the crash-injection
+hook after committing 2 of 4 conv-hash buckets, the second resumes from the
+snapshot log and finishes.  The output summarizes everything that must hold:
+the resumed table equals a direct single-pass pipeline run row-for-row, a
+snapshot exists per committed bucket, time travel to the pre-crash snapshot
+sees exactly the first runs' rows, and audit lineage rows cover every
+bucket.  Every value is deterministic (seed-fixed input, wall_ms excluded).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from moira_spark.harness import register
+
+_N_TURNS = 1500
+_BUCKETS = 4
+_CRASH_AFTER = 2
+
+
+@register("job_resume_identity", None)
+def job_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moira_spark.datagen import transcripts as tg
+    from moira_spark.job import run_filter_job
+    from moira_spark.pipeline import release_cache, run_pipeline
+    from moira_spark.sources.tableio import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="moira_job_check_")
+    src = tg.gen_spark(spark, _N_TURNS, seed=42)
+
+    # run 1: injected crash after 2 committed buckets
+    crashed = False
+    try:
+        run_filter_job(
+            spark, src, work, run_id="driver-check",
+            n_buckets=_BUCKETS, fail_after_buckets=_CRASH_AFTER,
+        )
+    except RuntimeError:
+        crashed = True
+    labels_table = SnapshotTable(f"{work}/labels")
+    pre_crash = labels_table.latest_snapshot()
+    pre_crash_rows = sum(pre_crash.row_counts.values()) if pre_crash else 0
+
+    # run 2: resume from the snapshot log and finish
+    run_filter_job(spark, src, work, run_id="driver-check", n_buckets=_BUCKETS)
+    final = labels_table.read(spark)
+
+    # identity vs a direct single-pass pipeline over the same input
+    direct = run_pipeline(spark, src)
+    key_cols = ["conv_id", "turn_idx", "keep", "conv_keep", "scrubbed_text"]
+    diff = (
+        final.select(*key_cols).exceptAll(direct.select(*key_cols)).count()
+        + direct.select(*key_cols).exceptAll(final.select(*key_cols)).count()
+    )
+    n_final = final.count()
+    release_cache(direct)
+
+    # time travel: the pre-crash snapshot must see exactly its own rows
+    travel = labels_table.read(spark, version=pre_crash.version if pre_crash else 1)
+    travel_rows = travel.count() if travel is not None else -1
+
+    audit = SnapshotTable(f"{work}/audit").read(spark)
+    audit_buckets = (
+        audit.select("snapshot_bucket").distinct().count() if audit is not None else 0
+    )
+    final_snap = labels_table.latest_snapshot()
+
+    row = {
+        "crashed_at_bucket": _CRASH_AFTER if crashed else -1,
+        "n_labels": n_final,
+        "diff_vs_direct": diff,
+        "identical_to_direct": diff == 0,
+        "snapshots_committed": final_snap.version if final_snap else 0,
+        "pre_crash_rows": pre_crash_rows,
+        "time_travel_rows": travel_rows,
+        "time_travel_consistent": travel_rows == pre_crash_rows,
+        "audit_buckets": audit_buckets,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "crashed_at_bucket int, n_labels long, diff_vs_direct long, "
+            "identical_to_direct boolean, snapshots_committed int, "
+            "pre_crash_rows long, time_travel_rows long, "
+            "time_travel_consistent boolean, audit_buckets int"
+        ),
+    )
