@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_simhash",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
+    "embedding_ann_ivf",
 ]
 
 
