@@ -214,6 +214,25 @@ costs 5x more and is not comparable):
 | local[8]  | {results['pipeline_200k'][8]:,.0f} |
 | local[32] | {results['pipeline_200k'][32]:,.0f} |
 
+## spark-submit production job, two cluster sizes (north-rule wording)
+
+The REAL job — `spark-submit --master local[N] --py-files pipeline.zip
+driver.py` over the staged 200k-turn table, 4 conv-hash buckets, each
+staged + audited + snapshot-committed (not just the scoring stage; includes
+all job IO and commits; cold JVM, single run):
+
+| config | wall | turns/sec | kept |
+|---|---|---|---|
+| local[2]  | 67.1s | 2,981 | 10,636 |
+| local[8]  | 31.9s | 6,270 | 10,636 |
+| local[32] | 31.7s | 6,310 | 10,636 |
+
+Efficiency 2->8 = 0.53, 8->32 = 0.25 — the 8->32 flatline matches every
+control below (the host stops scaling near 8 active cores, including the
+zero-Python JVM workload).  Identical `kept` at every size is the
+determinism-across-parallelism evidence the north rule's exact-match gate
+needs.
+
 ## Controls — where the ceiling comes from (same host, same inputs)
 
 | workload | 2 cores | 8 cores | 32 cores | eff 2->8 | eff 8->32 |
