@@ -1,5 +1,10 @@
 """IVF (inverted-file) ANN kernels: deterministic k-means + cell assignment.
 
+The IVF/coarse-quantizer scheme follows Jegou, Douze & Schmid, "Product
+quantization for nearest neighbor search" (TPAMI 2011) — here only the
+coarse inverted-file stage, with exact scoring inside probed cells (no PQ
+compression; exactness inside the cell keeps the driver check value-stable).
+
 The IVF scale path for cosine similarity search: vectors are L2-normalized,
 a small seeded Lloyd's k-means (trained driver-side on a bounded
 deterministic sample) defines the cells, every vector is assigned to its

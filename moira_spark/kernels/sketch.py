@@ -1,5 +1,12 @@
 """Vectorized per-row sketch kernels (SimHash, MinHash) over token hashes.
 
+Algorithms are the published originals, reimplemented from the papers (no
+reference code exists in this sandbox — SURVEY.md §0): MinHash per Broder,
+"On the resemblance and containment of documents" (SEQUENCES 1997); SimHash
+per Charikar, "Similarity estimation techniques from rounding algorithms"
+(STOC 2002); banding/blocking per Leskovec-Rajaraman-Ullman, *Mining of
+Massive Datasets* ch. 3.
+
 These let the dedup sketches be computed WITHOUT shuffling tokens: the plan
 is  split(text) -> transform(xxhash64) [JVM, per row]  ->  one Arrow hop
 computing the per-doc sketch here in numpy.  The previous formulation
