@@ -380,3 +380,120 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ------------------------------------------- embedding-cosine near-dup pairs
+_EMB_DUP_THRESHOLD = 0.95
+
+_PLANT_VEC_SQL = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 40 = 0
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH corpus AS ({_PLANT_VEC_SQL}),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(
+               LIST_DOT_PRODUCT(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(a.embedding::DOUBLE[],
+                                        a.embedding::DOUBLE[]))
+                  * SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM pairs
+    WHERE cos_sim >= {_EMB_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline (SQL-checked
+    on planted duplicate vectors).  This is the verification baseline for
+    the LSH-bucketed variant below — at 100 TB you never run the O(n^2)
+    join; it exists so the bucketed path's recall is measurable."""
+    from moira_spark.harness.similarity import _dbl, _dot
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionAll(dup).select("vec_id", _dbl("embedding").alias("v"))
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= _EMB_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+@register("dedup_embedding_lsh", None)  # banded hashing: rows-only check
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table sign-LSH — the scale
+    path: per-row signatures (one Arrow hop, kernels reused from the ANN
+    query), (table, sig) self-equi-join for candidates, exact cosine >=
+    threshold verify on candidates only.  Planted exact copies collide in
+    every table, so recall on true duplicates is 1.0 by construction; the
+    exact query above is the measurable baseline."""
+    from moira_spark.harness import similarity as sim
+    from moira_spark.harness.similarity import _dbl, _dot
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionAll(dup).select("vec_id", _dbl("embedding").alias("v"))
+
+    bits = sim._lsh_bits(corpus.count())
+    planes = sim._hyperplanes(bits)
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("array<long>")
+    def sigs_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        P = bc.value
+        weights = (1 << np.arange(P.shape[1])).astype(np.int64)
+        for vs in batches:
+            X = np.array(vs.tolist(), dtype=np.float64)
+            bits_ = np.einsum("nd,tbd->ntb", X, P) > 0
+            yield pd.Series(list((bits_.astype(np.int64) * weights).sum(axis=2)))
+
+    signed = corpus.select(
+        "vec_id", "v", sigs_of(F.col("v")).alias("sigs")
+    ).persist()  # both self-join sides read this: one UDF pass
+    buckets = signed.select("vec_id", "v", F.posexplode("sigs").alias("t", "sig"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= _EMB_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
