@@ -54,3 +54,69 @@ def streaming_conv_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf, schema="conv_id string, total_turns long, bad_turns long, conv_keep boolean"
     )
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT DATE_TRUNC('day', ts) AS day_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING DATE_TRUNC('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation under Structured Streaming —
+    SQL-HASH-CHECKED against DuckDB (rare for a streaming op, possible here
+    because availableNow's append-mode emission rule is itself declarative:
+    a window is emitted iff window_end <= max(ts) - watermark_delay).
+
+    Completes the streaming triad (foreachBatch snapshot filter, stateful
+    cross-batch verdicts, and now watermark + windowed aggregation): events
+    stream -> withWatermark(1h) -> 1-day tumbling window x event_type counts
+    -> append-mode parquet sink, run to completion with availableNow; the
+    final no-data batch flushes every window the advanced watermark
+    finalizes, and late-beyond-watermark state is dropped — the exact
+    semantics a 24/7 ingest deployment relies on.
+    """
+    import shutil
+    import tempfile
+
+    ev_schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    work = tempfile.mkdtemp(prefix="moira_stream_win_")
+    src = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("day_start"),
+        "event_type",
+        "n_events",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pdf = spark.read.parquet(f"{work}/out").toPandas()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, schema="day_start timestamp_ntz, event_type string, n_events long"
+    )
