@@ -50,6 +50,25 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("media_resize_features", None)
+def media_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize (32x32) composed with feature extraction — the two-stage
+    preprocessing DAG: media -> resize -> image_features.  The feature
+    stage consumes the resize stage's output schema unchanged, which is the
+    composability contract the multimodal tier exists to prove."""
+    resized = mm.resize_images(spark, _media(spark), out_w=32, out_h=32)
+    out = mm.image_features(spark, resized)
+    hist = F.transform(F.col("luma_hist"), lambda x: F.round(x, 6))
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.concat_ws(",", hist.cast("array<string>")).alias("luma_hist"),
+        "phash",
+    )
+
+
 @register("media_frame_samples", None)
 def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling: one fake-decoded frame phash every 10 frames."""

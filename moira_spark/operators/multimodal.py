@@ -168,6 +168,61 @@ def sample_frames(spark: SparkSession, media: DataFrame, every_n: int = 10) -> D
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+
+def resize_images(
+    spark: SparkSession, media: DataFrame, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """decode -> nearest-neighbor resize to (out_w, out_h) -> re-encode.
+
+    Output keeps the media schema (payload = resized luma plane bytes, meta
+    updated) so resize composes with the other stages — the shape of a real
+    preprocessing DAG (resize then feature-extract).  Swap the fake
+    decode/encode for a real codec and the Spark plumbing is unchanged.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys_cache = np.linspace(0, 1, out_h, endpoint=False)
+        xs_cache = np.linspace(0, 1, out_w, endpoint=False)
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"].tolist(),
+                pdf["kind"].tolist(),
+                pdf["payload"].tolist(),
+                pdf["meta"].tolist(),
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                plane = _fake_decode_image(payload, w, h)
+                yi = (ys_cache * h).astype(int)
+                xi = (xs_cache * w).astype(int)
+                resized = plane[np.ix_(yi, xi)].astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "payload": bytearray(resized.tobytes()),
+                        "meta": {
+                            "width": out_w,
+                            "height": out_h,
+                            "sample_rate": int(meta["sample_rate"]),
+                            "n_frames": int(meta["n_frames"]),
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def synthetic_media(spark: SparkSession, n: int = 60, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests/bench (no external data)."""
     rng = np.random.RandomState(seed)

@@ -46,3 +46,25 @@ def test_partitioning_invariance(spark):
     one = mm.image_features(spark, media.repartition(1)).toPandas().sort_values("media_id")
     many = mm.image_features(spark, media.repartition(8)).toPandas().sort_values("media_id")
     assert one.phash.tolist() == many.phash.tolist()
+
+
+def test_resize_composes_with_features(spark):
+    from moira_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, n=30, seed=42)
+    resized = mm.resize_images(spark, media, out_w=32, out_h=32)
+    pdf = resized.toPandas()
+    assert (pdf["kind"] == "image").all()
+    assert all(m["width"] == 32 and m["height"] == 32 for m in pdf["meta"])
+    assert all(len(p) == 32 * 32 for p in pdf["payload"])
+    feats = mm.image_features(spark, resized).toPandas()
+    assert len(feats) == len(pdf)
+    assert (feats["width"] == 32).all()
+
+def test_resize_deterministic(spark):
+    from moira_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, n=12, seed=42)
+    a = mm.resize_images(spark, media).toPandas().sort_values("media_id")
+    b = mm.resize_images(spark, media).toPandas().sort_values("media_id")
+    assert [bytes(x) for x in a.payload] == [bytes(x) for x in b.payload]

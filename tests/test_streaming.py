@@ -51,3 +51,47 @@ def test_stream_matches_batch(spark, tmp_path):
     q = stream_labels(spark, in_dir, out_dir, ck_dir)
     q.awaitTermination(120)
     assert SnapshotTable(out_dir).read(spark).count() == len(ref)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg: a row arriving after the watermark passed
+    its window must be dropped, and finalized windows are flushed by the
+    availableNow end-of-stream batch."""
+    import pyspark.sql.functions as F
+
+    from datetime import datetime
+
+    in_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, k string"
+
+    def dt(s):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    rows1 = [(1, dt("2024-01-01 00:10:00"), "a"), (2, dt("2024-01-01 00:20:00"), "a"),
+             (3, dt("2024-01-03 00:00:01"), "a")]  # advances watermark past day 1
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(in_dir)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        agg = (src.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 day").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        q = (agg.select(F.col("w.start").alias("day"), "n")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run()
+    got = spark.read.parquet(out_dir).toPandas()
+    day1 = got[got.day.astype(str).str.startswith("2024-01-01")]
+    assert len(day1) == 1 and int(day1.n.iloc[0]) == 2  # day-1 window finalized
+
+    # a LATE day-1 row (watermark is already at 2024-01-02 23:00) must be
+    # dropped: re-running the stream must not re-emit or update day 1
+    rows2 = [(4, dt("2024-01-01 00:30:00"), "a")]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(in_dir)
+    run()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    day1b = got2[got2.day.astype(str).str.startswith("2024-01-01")]
+    assert len(day1b) == 1 and int(day1b.n.iloc[0]) == 2
