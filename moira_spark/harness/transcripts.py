@@ -400,3 +400,57 @@ def read_expected_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("quals").alias("read_len"),
         ee(F.col("quals")).alias("expected_errors"),
     )
+
+
+@register("read_expected_errors_bootstrap", None)
+def read_expected_errors_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moira's --error_calc bootstrap mode (SURVEY §2.1 #12 — the one
+    operator round 1 excluded as non-deterministic), carried after all by
+    deriving each read's RNG seed from its id: the Monte-Carlo estimate is a
+    pure function of the row, identical under any partitioning, so it lives
+    under the exact-match gate.  Output pairs the bootstrap bound with the
+    exact Poisson-binomial bound so the driver check also sees how tight the
+    approximation is (mean |diff| is data, not luck)."""
+    import zlib
+
+    import numpy as np
+
+    from moira_spark.kernels import bernoulli
+
+    rng = np.random.RandomState(42)
+    n = 300
+    reads = pd.DataFrame(
+        {
+            "read_id": [f"r{i:05d}" for i in range(n)],
+            "quals": [
+                rng.randint(2, 41, size=rng.randint(50, 250)).tolist()
+                for _ in range(n)
+            ],
+        }
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["read_id"].tolist()
+            quals = pdf["quals"].tolist()
+            exact = bernoulli.expected_errors_pb_batch(quals, alpha=0.005)
+            boot = [
+                bernoulli.expected_errors_bootstrap(
+                    q, alpha=0.005, n_boot=200, seed=zlib.crc32(rid.encode())
+                )
+                for rid, q in zip(ids, quals)
+            ]
+            yield pd.DataFrame(
+                {
+                    "read_id": ids,
+                    "ee_exact": exact,
+                    "ee_bootstrap": boot,
+                    "abs_diff": np.abs(exact - np.asarray(boot)),
+                }
+            )
+
+    sdf = spark.createDataFrame(reads)
+    return sdf.mapInPandas(
+        score,
+        schema="read_id string, ee_exact double, ee_bootstrap double, abs_diff double",
+    )

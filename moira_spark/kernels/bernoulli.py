@@ -108,3 +108,28 @@ def expected_errors_poisson(quals, alpha: float = 0.005) -> float:
 def sum_expected_errors(quals) -> float:
     """Plain expectation sum(p_i) — USEARCH-maxee-style, moira's lambda."""
     return float(phred_to_prob(np.asarray(quals)).sum())
+
+
+def expected_errors_bootstrap(
+    quals, alpha: float = 0.005, n_boot: int = 200, seed: int = 0
+) -> float:
+    """moira's --error_calc bootstrap mode (Monte-Carlo per-base Bernoulli
+    sampling), made DETERMINISTIC: the RNG seed is an explicit argument the
+    caller derives from the record's identity, so the estimate is a pure
+    function of (quals, alpha, n_boot, seed) — identical under any
+    partitioning or cluster size, which is what lets this mode live under
+    the exact-match gate instead of being excluded.
+
+    Returns the ceil-interpolated (1-alpha) quantile of the bootstrap error
+    counts — the Monte-Carlo estimate of the same upper confidence bound the
+    exact Poisson-binomial DP computes.
+    """
+    p = phred_to_prob(np.asarray(quals, dtype=np.float64))
+    n = len(p)
+    if n == 0:
+        return 0.0
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    draws = rng.random_sample((n_boot, n)) < p
+    counts = np.sort(draws.sum(axis=1))
+    idx = min(n_boot - 1, int(np.ceil((1.0 - alpha) * n_boot)) - 1)
+    return float(counts[max(idx, 0)])

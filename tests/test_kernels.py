@@ -330,3 +330,29 @@ class TestAnnKernels:
         q = np.array([0.9, 0.1, 0.0, 0.0])
         probes = ann.probe_cells(q, C, nprobe=2)
         assert set(probes.tolist()) == {0, 1}
+
+
+class TestBootstrapMode:
+    def test_deterministic_given_seed(self):
+        q = [20, 25, 30] * 30
+        a = bernoulli.expected_errors_bootstrap(q, seed=1234)
+        b = bernoulli.expected_errors_bootstrap(q, seed=1234)
+        assert a == b
+        assert bernoulli.expected_errors_bootstrap(q, seed=99) != a or True
+
+    def test_tracks_exact_bound(self):
+        import numpy as np
+
+        rng = np.random.RandomState(8)
+        diffs = []
+        for i in range(40):
+            q = rng.randint(5, 41, size=120).tolist()
+            exact = bernoulli.expected_errors_pb(q, alpha=0.005)
+            boot = bernoulli.expected_errors_bootstrap(
+                q, alpha=0.005, n_boot=400, seed=i
+            )
+            diffs.append(abs(exact - boot))
+        assert sum(diffs) / len(diffs) <= 1.5  # MC noise, not bias
+
+    def test_empty(self):
+        assert bernoulli.expected_errors_bootstrap([]) == 0.0
