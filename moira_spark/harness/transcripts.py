@@ -334,19 +334,17 @@ def read_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         from moira_spark.kernels import bernoulli
 
         for pdf in batches:
-            # NW alignment is inherently per-pair; iterate via zip over the
-            # column arrays (iterrows builds a Series per row — ~10x slower).
-            contigs: list[str] = []
-            qual_lists: list[list[int]] = []
-            for sf_, qf, sr_, qr in zip(
+            # fully batched: ONE vectorized NW DP across the Arrow batch
+            # (per-cell recurrence over all pairs at once), then the batched
+            # Poisson-binomial DP — no per-pair Python DP loops remain.
+            results = al.make_contig_batch(
                 pdf["seq_f"].tolist(),
                 pdf["quals_f"].tolist(),
                 pdf["seq_r"].tolist(),
                 pdf["quals_r"].tolist(),
-            ):
-                seq, quals = al.make_contig(sf_, list(qf), sr_, list(qr))
-                contigs.append(seq)
-                qual_lists.append(quals)
+            )
+            contigs = [seq for seq, _ in results]
+            qual_lists = [quals for _, quals in results]
             ee = bernoulli.expected_errors_pb_batch(qual_lists, alpha=0.005)
             yield pd.DataFrame(
                 {

@@ -58,9 +58,17 @@ def nw_align(
         for j in range(1, m + 1):
             prev = max(best[j - 1], prev + gap)
             row[j] = prev
-    # traceback
+    aligned_a, aligned_b = _traceback(a, b, score, match, mismatch, gap)
+    return aligned_a, aligned_b, int(score[n, m])
+
+
+def _traceback(
+    a: str, b: str, score: np.ndarray, match: int, mismatch: int, gap: int
+) -> tuple[str, str]:
+    """Shared by the scalar and batch DP paths — same matrix, same tie-break
+    order (diag > up > left), so the two paths cannot diverge."""
     out_a, out_b = [], []
-    i, j = n, m
+    i, j = len(a), len(b)
     while i > 0 or j > 0:
         if i > 0 and j > 0:
             sub = match if a[i - 1] == b[j - 1] else mismatch
@@ -78,7 +86,71 @@ def nw_align(
             out_a.append("-")
             out_b.append(b[j - 1])
             j -= 1
-    return "".join(reversed(out_a)), "".join(reversed(out_b)), int(score[n, m])
+    return "".join(reversed(out_a)), "".join(reversed(out_b))
+
+
+def nw_align_batch(
+    a_list, b_list, match: int = MATCH, mismatch: int = MISMATCH, gap: int = GAP
+):
+    """Batched global alignment: the DP recurrence runs once per CELL,
+    vectorized across all pairs of the batch (the per-cell left-scan is
+    sequential in j but a length-k numpy op over pairs), instead of once per
+    pair.  Padding rows/columns beyond a pair's true lengths never influence
+    cells inside its true region (DP dependencies only point to smaller
+    indices), so each pair's matrix slice is bit-identical to the scalar
+    path and the traceback is the SAME function — pytest-pinned parity.
+
+    Returns list of (aligned_a, aligned_b, score).
+    """
+    k = len(a_list)
+    if k == 0:
+        return []
+    N = max(len(a) for a in a_list)
+    M = max(len(b) for b in b_list)
+    A = np.zeros((k, max(N, 1)), dtype=np.uint8)
+    B = np.zeros((k, max(M, 1)), dtype=np.uint8)
+    for idx, s in enumerate(a_list):
+        if s:
+            A[idx, : len(s)] = np.frombuffer(s.encode(), dtype=np.uint8)
+    for idx, s in enumerate(b_list):
+        if s:
+            B[idx, : len(s)] = np.frombuffer(s.encode(), dtype=np.uint8)
+    score = np.zeros((k, N + 1, M + 1), dtype=np.int64)
+    score[:, 0, :] = np.arange(M + 1) * gap
+    score[:, :, 0] = np.arange(N + 1)[None, :] * gap
+    for i in range(1, N + 1):
+        sub = np.where(B == A[:, i - 1 : i], match, mismatch)  # (k, M)
+        diag = score[:, i - 1, :-1] + sub
+        up = score[:, i - 1, 1:] + gap
+        best = np.maximum(diag, up)
+        prev = score[:, i, 0].copy()
+        row = score[:, i]
+        for j in range(1, M + 1):
+            prev = np.maximum(best[:, j - 1], prev + gap)
+            row[:, j] = prev
+    out = []
+    for idx, (a, b) in enumerate(zip(a_list, b_list)):
+        n, m = len(a), len(b)
+        mat = score[idx, : n + 1, : m + 1]
+        aligned_a, aligned_b = _traceback(a, b, mat, match, mismatch, gap)
+        out.append((aligned_a, aligned_b, int(mat[n, m])))
+    return out
+
+
+def make_contig_batch(
+    seqs_f, quals_f, seqs_r, quals_r,
+    deltaq: int = DELTAQ,
+    qscore_cap: int = QSCORE_CAP,
+):
+    """Batched paired-read assembly: one vectorized NW DP over the whole
+    Arrow batch (nw_align_batch), then the O(len) consensus walk per pair.
+    Identical outputs to make_contig pair-by-pair (shared consensus code)."""
+    rcs = [revcomp(s) for s in seqs_r]
+    aligned = nw_align_batch(list(seqs_f), rcs)
+    return [
+        _consensus(af, ar, list(qf), list(reversed(qr)), deltaq, qscore_cap)
+        for (af, ar, _), qf, qr in zip(aligned, quals_f, quals_r)
+    ]
 
 
 def make_contig(
@@ -95,6 +167,17 @@ def make_contig(
     rc = revcomp(seq_r)
     rq = list(reversed(quals_r))
     aligned_f, aligned_r, _ = nw_align(seq_f, rc)
+    return _consensus(aligned_f, aligned_r, quals_f, rq, deltaq, qscore_cap)
+
+
+def _consensus(
+    aligned_f: str,
+    aligned_r: str,
+    quals_f: list[int],
+    rq: list[int],
+    deltaq: int,
+    qscore_cap: int,
+) -> tuple[str, list[int]]:
     out_seq: list[str] = []
     out_q: list[int] = []
     fi = ri = 0

@@ -56,3 +56,37 @@ class TestContig:
     def test_hopeless_disagreement_floors_to_q2(self):
         seq, quals = align.make_contig("AAAA", [20, 20, 20, 20], align.revcomp("AATA"), [18, 18, 18, 18])
         assert quals[2] == 2  # |20-18| < DELTAQ
+
+
+class TestBatchAlign:
+    def test_batch_matches_scalar_random_lengths(self):
+        import numpy as np
+
+        from moira_spark.kernels import align
+
+        rng = np.random.RandomState(13)
+        bases = np.array(list("ACGTN"))
+        a_list = ["".join(rng.choice(bases, size=rng.randint(1, 60))) for _ in range(40)]
+        b_list = ["".join(rng.choice(bases, size=rng.randint(1, 60))) for _ in range(40)]
+        batch = align.nw_align_batch(a_list, b_list)
+        for a, b, got in zip(a_list, b_list, batch):
+            assert got == align.nw_align(a, b)
+
+    def test_contig_batch_matches_scalar(self):
+        import numpy as np
+
+        from moira_spark.kernels import align
+
+        rng = np.random.RandomState(14)
+        bases = np.array(list("ACGT"))
+        sf, qf, sr, qr = [], [], [], []
+        for _ in range(25):
+            ref = "".join(rng.choice(bases, size=rng.randint(30, 70)))
+            cut = rng.randint(10, len(ref) - 5)
+            sf.append(ref[: cut + 5])
+            sr.append(align.revcomp(ref[cut:]))
+            qf.append(rng.randint(5, 41, size=len(sf[-1])).tolist())
+            qr.append(rng.randint(5, 41, size=len(sr[-1])).tolist())
+        batch = align.make_contig_batch(sf, qf, sr, qr)
+        for i in range(len(sf)):
+            assert batch[i] == align.make_contig(sf[i], qf[i], sr[i], qr[i])
