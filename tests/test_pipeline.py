@@ -139,3 +139,64 @@ class TestCacheLifecycle:
         from moira_spark.operators.udfs import make_score_udf
 
         assert make_score_udf(spark) is make_score_udf(spark)
+
+
+class TestUnicodeAndExtremes:
+    """Hand-crafted adversarial rows through the FULL Spark pipeline vs the
+    pandas oracle: multi-byte unicode (where Java code-point vs Python len
+    semantics could diverge), emoji-only, an enormous turn, embedded PII
+    with overlapping spans, NBSP/CJK whitespace, nulls."""
+
+    def _rows(self):
+        import pandas as pd
+
+        base = pd.Timestamp("2026-01-01")
+        texts = [
+            "café naïve résumé — totally normal sentence with accents and here are more plain words to pass length",
+            "\U0001f600\U0001f680\U0001f4a9" * 30,  # emoji-only (astral plane)
+            "z" * 50_000,  # enormous single-word turn
+            ("the quick brown fox jumps over the lazy dog and keeps going " * 4)
+            + " mail bob@ex.org call 555-123-4567 or 123-45-6789 at 10.0.0.1 card 4111 1111 1111 1111 thanks",
+            "  words separated by nbsp are one token plus more regular words to make it long enough for the length rule to pass here",
+            "你好世界 " * 40,  # CJK repeated
+            None,  # null text
+            "",  # empty text
+            "short",
+        ]
+        return pd.DataFrame(
+            {
+                "conv_id": [f"edge{i:02d}" for i in range(len(texts))],
+                "turn_idx": [0] * len(texts),
+                "role": ["user"] * len(texts),
+                "text": texts,
+                "tool": [None] * len(texts),
+                "ts": [base + pd.Timedelta(seconds=i) for i in range(len(texts))],
+            }
+        )
+
+    def test_spark_matches_oracle_on_adversarial_rows(self, spark):
+        from moira_spark.oracle import ref_pipeline as orc
+        from moira_spark.pipeline import run_pipeline
+
+        pdf = self._rows()
+        sdf = spark.createDataFrame(
+            pdf,
+            schema="conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        got = (
+            run_pipeline(spark, sdf)
+            .toPandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        ref = orc.run(pdf).sort_values("conv_id").reset_index(drop=True)
+        assert got.conv_id.tolist() == ref.conv_id.tolist()
+        assert got.keep.tolist() == ref.keep.tolist()
+        assert got.scrubbed_text.tolist() == ref.scrubbed_text.tolist()
+        assert got.conv_keep.tolist() == ref.conv_keep.tolist()
+        assert [tuple(r) for r in got.reasons] == [tuple(r) for r in ref.reasons]
+        # PII row: every class actually scrubbed
+        pii = got[got.conv_id == "edge03"].scrubbed_text.iloc[0]
+        for token in ("<EMAIL>", "<PHONE>", "<SSN>", "<IP>", "<CC>"):
+            assert token in pii, token

@@ -1,0 +1,115 @@
+"""Deterministic property-based tests (hypothesis, derandomize=True).
+
+SURVEY.md §5.2 forbids randomized testing in the gate path; hypothesis in
+derandomized mode is seed-free and reproducible, so these are enumerated
+cases in disguise — broad input coverage without nondeterminism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from moira_spark.kernels import bernoulli, scrub, sketch, text as textk
+
+DET = settings(derandomize=True, max_examples=150, deadline=None)
+
+any_text = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                           blacklist_categories=("Cs",)),
+    max_size=400,
+)
+
+
+class TestScrubProperties:
+    @DET
+    @given(any_text)
+    def test_idempotent(self, t):
+        once, _, _ = scrub.scrub_text(t)
+        twice, _, _ = scrub.scrub_text(once)
+        assert once == twice
+
+    @DET
+    @given(any_text)
+    def test_no_pii_patterns_survive(self, t):
+        out, _, _ = scrub.scrub_text(t)
+        assert scrub._PII_PATTERN.search(out) is None
+
+    @DET
+    @given(st.lists(any_text, max_size=20))
+    def test_batch_equals_scalar(self, texts):
+        b_text, b_pii, b_tox = scrub.scrub_batch(texts)
+        for i, t in enumerate(texts):
+            s_text, s_pii, s_tox = scrub.scrub_text(t)
+            assert b_text[i] == s_text
+            assert bool(b_pii[i]) == s_pii and bool(b_tox[i]) == s_tox
+
+
+class TestBernoulliProperties:
+    quals = st.lists(
+        st.floats(min_value=0.5, max_value=45.0, allow_nan=False), max_size=80
+    )
+
+    @DET
+    @given(st.lists(quals, max_size=12))
+    def test_batch_equals_scalar(self, reads):
+        batch = bernoulli.expected_errors_pb_batch(reads)
+        scalar = [bernoulli.expected_errors_pb(q) for q in reads]
+        assert batch.tolist() == scalar
+
+    @DET
+    @given(quals)
+    def test_bound_within_read_length(self, q):
+        ee = bernoulli.expected_errors_pb(q)
+        assert 0.0 <= ee <= len(q)
+
+    @DET
+    @given(quals)
+    def test_monotone_in_alpha(self, q):
+        # smaller alpha -> higher-confidence (never smaller) bound
+        loose = bernoulli.expected_errors_pb(q, alpha=0.2)
+        tight = bernoulli.expected_errors_pb(q, alpha=0.001)
+        assert tight >= loose
+
+
+class TestTextProperties:
+    @DET
+    @given(any_text)
+    def test_words_never_empty_tokens(self, t):
+        assert all(w != "" for w in textk.words(t))
+
+    @DET
+    @given(any_text)
+    def test_length_rule_consistent_with_len(self, t):
+        from moira_spark import config
+
+        if len(t) > config.MAX_CHARS:
+            assert textk.length_rule_fails(t)
+
+
+class TestSketchProperties:
+    hashes = st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=40
+    )
+
+    @DET
+    @given(st.lists(hashes, min_size=1, max_size=10))
+    def test_simhash_permutation_invariant(self, lists):
+        # simhash is a sum over tokens -> order must not matter
+        a = sketch.simhash_batch([np.array(h, dtype=np.int64) for h in lists])
+        b = sketch.simhash_batch(
+            [np.array(list(reversed(h)), dtype=np.int64) for h in lists]
+        )
+        assert a.tolist() == b.tolist()
+
+    @DET
+    @given(hashes)
+    def test_minhash_subset_dominates(self, hs):
+        # adding elements can only lower (or keep) each minhash
+        a, b = sketch.minhash_params(16)
+        hs_mod = [h % sketch.MERSENNE31 for h in hs]
+        full = sketch.minhash_batch([np.array(hs_mod, dtype=np.int64)], a, b)[0]
+        half = sketch.minhash_batch(
+            [np.array(hs_mod[: max(1, len(hs_mod) // 2)], dtype=np.int64)], a, b
+        )[0]
+        assert all(f <= h for f, h in zip(full, half))
