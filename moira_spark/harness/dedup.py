@@ -456,18 +456,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.unionAll(dup).select("vec_id", _dbl("embedding").alias("v"))
 
     bits = sim._lsh_bits(corpus.count())
-    planes = sim._hyperplanes(bits)
-    bc = spark.sparkContext.broadcast(planes)
-
-    @F.pandas_udf("array<long>")
-    def sigs_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        P = bc.value
-        weights = (1 << np.arange(P.shape[1])).astype(np.int64)
-        for vs in batches:
-            X = np.array(vs.tolist(), dtype=np.float64)
-            bits_ = np.einsum("nd,tbd->ntb", X, P) > 0
-            yield pd.Series(list((bits_.astype(np.int64) * weights).sum(axis=2)))
-
+    sigs_of = sim.make_sign_lsh_udf(spark, sim._hyperplanes(bits))
     signed = corpus.select(
         "vec_id", "v", sigs_of(F.col("v")).alias("sigs")
     ).persist()  # both self-join sides read this: one UDF pass

@@ -117,6 +117,26 @@ def _hyperplanes(bits: int, dim: int = 64) -> np.ndarray:
     return rng.standard_normal((_LSH_TABLES, bits, dim))
 
 
+def make_sign_lsh_udf(spark: SparkSession, planes: np.ndarray):
+    """Vectorized multi-table sign-LSH signature UDF over array<double>
+    vectors -> array<long> of per-table bucket ids.  Single definition
+    shared by the ANN query here and the embedding near-dup query in
+    harness/dedup.py — signature stability is the whole contract, so there
+    must be exactly one implementation to keep bit-identical."""
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("array<long>")
+    def sigs_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        P = bc.value  # (T, bits, dim)
+        weights = (1 << np.arange(P.shape[1])).astype(np.int64)
+        for vs in batches:
+            X = np.array(vs.tolist(), dtype=np.float64)
+            bits_ = np.einsum("nd,tbd->ntb", X, P) > 0
+            yield pd.Series(list((bits_.astype(np.int64) * weights).sum(axis=2)))
+
+    return sigs_of
+
+
 @register("embedding_ann_lsh", None)  # banded hashing: rows-only check
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH (bucket equi-join, no
@@ -134,20 +154,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
     bits = _lsh_bits(e.count())
-    planes = _hyperplanes(bits)
-    bc = spark.sparkContext.broadcast(planes)
-
-    @F.pandas_udf("array<long>")
-    def sigs_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        P = bc.value  # (T, bits, dim)
-        weights = (1 << np.arange(P.shape[1])).astype(np.int64)
-        for vs in batches:
-            X = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
-            # (n, T, bits) sign bits -> (n, T) bucket ids
-            bits = np.einsum("nd,tbd->ntb", X, P) > 0
-            sigs = (bits.astype(np.int64) * weights).sum(axis=2)
-            yield pd.Series(list(sigs))
-
+    sigs_of = make_sign_lsh_udf(spark, _hyperplanes(bits))
     signed = e.select(
         F.col("vec_id"), _dbl("embedding").alias("v"),
         sigs_of(_dbl("embedding")).alias("sigs"),

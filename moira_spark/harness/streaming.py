@@ -37,12 +37,17 @@ def streaming_conv_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, out_dir, ck_dir = f"{work}/in", f"{work}/out", f"{work}/ck"
 
     src = tg.gen_spark(spark, _N_TURNS, seed=42)
-    # batch 1: even turns only -> run to completion (availableNow)
+    # batch 1: even turns only -> run to completion (availableNow).  The
+    # awaitTermination return MUST be checked: on timeout the query is still
+    # running and starting the resume against the same checkpoint (or
+    # deleting the temp dir) would corrupt the check into flakiness.
     src.filter(F.col("turn_idx") % 2 == 0).write.mode("append").parquet(in_dir)
-    run_stateful_stream(spark, in_dir, out_dir, ck_dir).awaitTermination(300)
+    if not run_stateful_stream(spark, in_dir, out_dir, ck_dir).awaitTermination(600):
+        raise TimeoutError("stateful stream (batch 1) did not finish in 600s")
     # batch 2: odd turns arrive -> checkpoint-resume the same query
     src.filter(F.col("turn_idx") % 2 == 1).write.mode("append").parquet(in_dir)
-    run_stateful_stream(spark, in_dir, out_dir, ck_dir).awaitTermination(300)
+    if not run_stateful_stream(spark, in_dir, out_dir, ck_dir).awaitTermination(600):
+        raise TimeoutError("stateful stream (batch 2) did not finish in 600s")
 
     # Materialize the final verdicts before deleting the updates log (the
     # returned frame must not depend on the temp dir once we clean it up).
@@ -114,7 +119,8 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        raise TimeoutError("windowed streaming query did not finish in 600s")
     pdf = spark.read.parquet(f"{work}/out").toPandas()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(

@@ -113,9 +113,16 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moira_spark.kernels import langid
 
     # Train on the same sf_dir the query scores (parameterized like every
-    # other registry entry; a driver-local hardcoded path would train on
-    # different/unavailable data at other scale factors or on a cluster).
-    train_pdf = load(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    # other registry entry), via a BOUNDED deterministic sample — an
+    # unconditional toPandas() would collect the whole corpus to the driver
+    # at large scale factors.
+    train_pdf = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(4096)
+        .toPandas()
+    )
     corpora = {
         lang: grp["text"].tolist() for lang, grp in train_pdf.groupby("lang")
     }

@@ -137,16 +137,30 @@ def nw_align_batch(
     return out
 
 
+# Cap on DP cells materialized at once by the batched aligner: bounds worker
+# memory at ~128MB of int64 regardless of Arrow batch size or read length
+# (10k pairs of 250-base reads would otherwise allocate ~5GB per worker).
+_MAX_BATCH_CELLS = 16_000_000
+
+
 def make_contig_batch(
     seqs_f, quals_f, seqs_r, quals_r,
     deltaq: int = DELTAQ,
     qscore_cap: int = QSCORE_CAP,
 ):
-    """Batched paired-read assembly: one vectorized NW DP over the whole
-    Arrow batch (nw_align_batch), then the O(len) consensus walk per pair.
-    Identical outputs to make_contig pair-by-pair (shared consensus code)."""
+    """Batched paired-read assembly: vectorized NW DP over the Arrow batch in
+    memory-bounded chunks (see _MAX_BATCH_CELLS), then the O(len) consensus
+    walk per pair.  Identical outputs to make_contig pair-by-pair (shared
+    DP + consensus code; chunk boundaries cannot affect per-pair results)."""
+    k = len(seqs_f)
+    if k == 0:
+        return []
     rcs = [revcomp(s) for s in seqs_r]
-    aligned = nw_align_batch(list(seqs_f), rcs)
+    cells = (max(len(s) for s in seqs_f) + 1) * (max(len(s) for s in rcs) + 1)
+    chunk = max(1, _MAX_BATCH_CELLS // max(cells, 1))
+    aligned = []
+    for lo in range(0, k, chunk):
+        aligned.extend(nw_align_batch(list(seqs_f[lo : lo + chunk]), rcs[lo : lo + chunk]))
     return [
         _consensus(af, ar, list(qf), list(reversed(qr)), deltaq, qscore_cap)
         for (af, ar, _), qf, qr in zip(aligned, quals_f, quals_r)

@@ -55,6 +55,10 @@ def build_session(
     builder = (
         builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Determinism across hosts: window/date semantics must not depend on
+        # the JVM default timezone (the streaming day-window query and every
+        # DuckDB timestamp comparison assume UTC).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

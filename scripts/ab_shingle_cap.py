@@ -44,7 +44,10 @@ def main() -> None:
         F.when(F.col("doc_id") % 10 < 3, F.concat(F.col("text"), F.lit(boiler)))
         .otherwise(F.col("text")),
     )
-    work = os.path.join(REPO, ".bench_cache", "docs_boiler")
+    # cache keyed by sf_dir so switching scale factors cannot silently
+    # reuse a stale corpus
+    sf_label = os.path.basename(sf_dir.rstrip("/"))
+    work = os.path.join(REPO, ".bench_cache", f"docs_boiler_{sf_label}")
     if not os.path.exists(os.path.join(work, "_SUCCESS")):
         salted.write.mode("overwrite").parquet(work)
 

@@ -73,6 +73,10 @@ def main() -> int:
             traceback.print_exc()
             failures += 1
             continue
+        finally:
+            # several queries persist at plan branch points (sketches, ANN);
+            # drop those entries so cache does not accumulate across the run
+            spark.catalog.clearCache()
         took = time.time() - t0
         if name not in osql:
             print(f"rows  {name:28s} {len(sdf):7d} rows   (rows-only) {took:5.1f}s")
