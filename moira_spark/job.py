@@ -58,8 +58,15 @@ def audit_rows(labels: DataFrame, run_id: str, bucket: int, wall_ms: int) -> Dat
             ).alias("rule_hits")
         )
     )
+    empty_map = F.map_from_entries(
+        F.array().cast("array<struct<reason:string,n:long>>")
+    )
     return (
         base.join(hits, "partition_id", "left")
+        # partitions where no rule fired get an EMPTY map, not NULL — the
+        # audit schema declares map<string,long> and downstream map ops
+        # (element_at, map_concat) must not hit nulls
+        .withColumn("rule_hits", F.coalesce(F.col("rule_hits"), empty_map))
         .withColumn("run_id", F.lit(run_id))
         .withColumn("snapshot_bucket", F.lit(bucket))
         .withColumn("wall_ms", F.lit(wall_ms).cast("long"))
@@ -110,11 +117,17 @@ def run_filter_job(
         labels_table.stage(labels, bucket_run)
         wall_ms = int((time.time() - t0) * 1000)
         staged = spark.read.parquet(labels_table.staged_dir(bucket_run))
-        audit_table.stage(audit_rows(staged, run_id, bucket, wall_ms), bucket_run)
         # commit order: audit first, labels last — a crash between the two
         # leaves an audit run whose labels are uncommitted; the next resume
-        # re-runs the bucket and both commits are idempotent no-ops/updates.
-        audit_table.commit(spark, bucket_run, committed_keys=[key])
+        # re-runs the bucket (labels staging dir is an unreferenced orphan,
+        # safe to overwrite) but MUST NOT re-stage the audit dir: it is
+        # already referenced by a committed audit snapshot, and overwriting
+        # it would violate snapshot immutability (a crash mid-overwrite
+        # would corrupt committed data).  The audit content is deterministic
+        # modulo wall_ms, so keeping the committed copy is exact.
+        if not audit_table.is_committed(bucket_run):
+            audit_table.stage(audit_rows(staged, run_id, bucket, wall_ms), bucket_run)
+            audit_table.commit(spark, bucket_run, committed_keys=[key])
         labels_table.commit(spark, bucket_run, committed_keys=[key])
         # Release the pipeline's internal persisted frame so the cache does
         # not grow by one MEMORY_AND_DISK copy per bucket.

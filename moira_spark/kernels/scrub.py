@@ -24,6 +24,13 @@ import numpy as np
 
 from moira_spark import config
 
+# re.ASCII is load-bearing twice over: (1) semantically — SSN/phone/CC/IP
+# are ASCII-digit formats and RFC emails are ASCII, so Unicode digits (e.g.
+# Arabic-Indic U+0661) must NOT form a "phone number"; (2) it makes the
+# vectorized candidate masks in kernels/score.py EXACT — the masks check
+# ASCII bytes only, and without re.ASCII a Unicode-digit SSN would match the
+# regex while the mask skipped the text (a real missed-scrub, found in
+# review), violating the false-positives-only mask contract below.
 _PII_PATTERN = re.compile(
     r"""
     (?P<CC>\b(?:\d[ -]?){15}\d\b)                                  # 16-digit card
@@ -32,7 +39,7 @@ _PII_PATTERN = re.compile(
   | (?P<EMAIL>\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b)
   | (?P<IP>\b(?:\d{1,3}\.){3}\d{1,3}\b)
     """,
-    re.VERBOSE,
+    re.VERBOSE | re.ASCII,
 )
 
 _PII_TOKENS = {
@@ -43,9 +50,13 @@ _PII_TOKENS = {
     "IP": config.PII_IP_TOKEN,
 }
 
+# re.ASCII here restricts IGNORECASE to the ASCII fold, matching the 4-byte
+# prefix mask in kernels/score.py exactly (without it, Unicode case-folds
+# like LATIN SMALL LETTER LONG S or the Kelvin sign would match the regex
+# but slip past the byte-level mask and go unredacted).
 _TOXIC_PATTERN = re.compile(
     r"\b(?:" + "|".join(re.escape(w) for w in config.TOXIC_LEXICON) + r")\b",
-    re.IGNORECASE,
+    re.IGNORECASE | re.ASCII,
 )
 
 

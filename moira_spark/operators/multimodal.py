@@ -48,9 +48,13 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     acceptable here, but a deterministic fake keeps the downstream feature
     math testable end-to-end).
     """
-    raw = np.frombuffer(payload, dtype=np.uint8)
+    raw = np.frombuffer(payload or b"", dtype=np.uint8)
     n = width * height
-    reps = -(-n // max(len(raw), 1))
+    if len(raw) == 0:
+        # null/empty payload -> black frame; np.tile of an empty array stays
+        # empty and the reshape below would kill the task otherwise
+        return np.zeros((height, width), dtype=np.uint8)
+    reps = -(-n // len(raw))
     return np.tile(raw, reps)[:n].reshape(height, width)
 
 

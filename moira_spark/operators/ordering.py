@@ -18,8 +18,16 @@ from pyspark.sql import DataFrame, Window
 
 
 def dedupe_stable(df: DataFrame) -> DataFrame:
+    # Total order over every column that survives into outputs: without
+    # role/tool in the tiebreak, duplicate rows identical in (ts, text) but
+    # differing in role/tool would be picked nondeterministically, breaking
+    # reproducible resume and oracle parity for the good-sink.  nulls_last
+    # mirrors pandas' na_position='last' in oracle.dedupe_stable.
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("ts").asc_nulls_last(), F.col("text").asc_nulls_last()
+        F.col("ts").asc_nulls_last(),
+        F.col("text").asc_nulls_last(),
+        F.col("role").asc_nulls_last(),
+        F.col("tool").asc_nulls_last(),
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -21,9 +21,13 @@ from moira_spark.kernels.score import score_batch
 
 def dedupe_stable(df: pd.DataFrame) -> pd.DataFrame:
     """Stable turn ordering: for duplicate (conv_id, turn_idx) keep lowest ts
-    (tie -> lexicographically smallest text for full determinism)."""
+    (ties -> lexicographically smallest text, then role, then tool — a total
+    order over every surviving column, mirroring operators/ordering.py;
+    pandas na_position='last' matches Spark asc_nulls_last)."""
     df = df.sort_values(
-        ["conv_id", "turn_idx", "ts", "text"], kind="mergesort"
+        ["conv_id", "turn_idx", "ts", "text", "role", "tool"],
+        kind="mergesort",
+        na_position="last",
     ).reset_index(drop=True)
     return df.drop_duplicates(["conv_id", "turn_idx"], keep="first").reset_index(
         drop=True

@@ -132,6 +132,11 @@ def run_pipeline(
     # entry for that exact plan), so long-running callers (bucketed job,
     # foreachBatch streaming) use release_cache() after each commit.
     out._moira_scored = scored if persist_scored else None
+    # Also expose the pre-projection frame (labels + the pass-through
+    # role/tool/ts columns): filtered_output uses it to avoid re-running the
+    # dedupe window and a join over the whole source just to recover columns
+    # this plan already carried.
+    out._moira_labeled = labeled
     return out
 
 
@@ -151,18 +156,38 @@ def filtered_output(labels: DataFrame, original: DataFrame) -> DataFrame:
 
     moira's .qc.good writer analog [M]; the 'bad' side is the complement and
     the audit table carries the per-partition metrics (sources/audit.py).
+
+    Fast path: frames produced by run_pipeline carry the pre-projection plan
+    (role/tool/ts already attached to every labeled turn), so the sink is a
+    pure filter+project — no second dedupe window, no join back over the
+    source (which roughly doubled the dominant shuffle).  The join fallback
+    remains for label frames loaded from a table.
     """
-    kept = labels.filter(F.col("keep") & F.col("conv_keep"))
-    # Dedupe the source the same way the label branch did, else duplicate
-    # (conv_id, turn_idx) retry rows would fan out the inner join.
-    src = ordering.dedupe_stable(original).select(
-        "conv_id", "turn_idx", "role", "tool", "ts"
-    )
-    return kept.join(src, ["conv_id", "turn_idx"], "inner").select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        F.col("scrubbed_text").alias("text"),
-        "tool",
-        "ts",
-    )
+    full = getattr(labels, "_moira_labeled", None)
+    if full is not None:
+        out = full.filter(F.col("keep") & F.col("conv_keep")).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("scrubbed_text").alias("text"),
+            "tool",
+            "ts",
+        )
+    else:
+        kept = labels.filter(F.col("keep") & F.col("conv_keep"))
+        # Dedupe the source the same way the label branch did, else duplicate
+        # (conv_id, turn_idx) retry rows would fan out the inner join.
+        src = ordering.dedupe_stable(original).select(
+            "conv_id", "turn_idx", "role", "tool", "ts"
+        )
+        out = kept.join(src, ["conv_id", "turn_idx"], "inner").select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("scrubbed_text").alias("text"),
+            "tool",
+            "ts",
+        )
+    # forward the cache handle so callers can still release_cache()
+    out._moira_scored = getattr(labels, "_moira_scored", None)
+    return out

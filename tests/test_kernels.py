@@ -356,3 +356,43 @@ class TestBootstrapMode:
 
     def test_empty(self):
         assert bernoulli.expected_errors_bootstrap([]) == 0.0
+
+
+class TestScrubMaskSoundness:
+    """The vectorized candidate masks must never skip a text the regexes
+    would match (mask contract: false positives only).  With re.ASCII on
+    the patterns this holds by construction; these inputs are the exact
+    counterexamples that broke it before the flag."""
+
+    UNICODE_CASES = [
+        "my ssn is ١٢٣-٤٥-٧٨٩",  # arabic digits
+        "ſmeghead says hi",  # long-s case-fold of a toxic word
+        "fraKking nonsense",  # Kelvin-sign K case-fold
+        "normal clean text",
+        "real pii 123-45-6789 here",
+        "real Smeghead here",
+    ]
+
+    def test_batch_with_masks_equals_scalar(self):
+        from moira_spark.kernels.hashing import pack_texts
+        from moira_spark.kernels.score import _candidate_masks
+
+        buf, lens, offs = pack_texts(self.UNICODE_CASES)
+        pii_c, tox_c = _candidate_masks(buf, lens, offs)
+        b_text, b_pii, b_tox = scrub.scrub_batch(self.UNICODE_CASES, pii_c, tox_c)
+        for i, t in enumerate(self.UNICODE_CASES):
+            s_text, s_pii, s_tox = scrub.scrub_text(t)
+            assert b_text[i] == s_text, t
+            assert bool(b_pii[i]) == s_pii and bool(b_tox[i]) == s_tox, t
+
+    def test_ascii_semantics(self):
+        # unicode digits are NOT PII digits; ascii ones are
+        s, pii, _ = scrub.scrub_text("ssn ١٢٣-٤٥-٧٨٩")
+        assert not pii and "١" in s
+        s, pii, _ = scrub.scrub_text("ssn 123-45-6789")
+        assert pii and "<SSN>" in s
+        # unicode case-folds are not the lexicon word; ascii case still is
+        _, _, tox = scrub.scrub_text("ſmeghead")
+        assert not tox
+        _, _, tox = scrub.scrub_text("SMEGHEAD")
+        assert tox

@@ -107,3 +107,64 @@ class TestResume:
         assert got.keep.tolist() == ref.keep.tolist()
         assert got.conv_keep.tolist() == ref.conv_keep.tolist()
         assert got.scrubbed_text.tolist() == ref.scrubbed_text.tolist()
+
+
+class TestCrashBetweenCommits:
+    def test_resume_preserves_committed_audit_data(self, spark, tmp_path):
+        """Crash in the window AFTER audit-commit but BEFORE labels-commit:
+        the resume must not re-stage (overwrite) the audit data directory a
+        committed snapshot already references — snapshot immutability."""
+        import pyspark.sql.functions as F
+
+        from moira_spark.job import _bucket_of, audit_rows
+        from moira_spark.pipeline import release_cache, run_pipeline
+
+        out = str(tmp_path / "job")
+        src = tg.gen_spark(spark, N_TURNS)
+        labels_table = SnapshotTable(f"{out}/labels")
+        audit_table = SnapshotTable(f"{out}/audit")
+
+        # manually reproduce bucket 0 up to the crash point
+        run_id, bucket, n_buckets = "between", 0, 2
+        key = f"{run_id}/bucket={bucket}"
+        bucket_run = f"{run_id}-b{bucket}"
+        slice_df = src.filter(_bucket_of(F.col("conv_id"), n_buckets) == bucket)
+        labels = run_pipeline(spark, slice_df)
+        labels_table.stage(labels, bucket_run)
+        staged = spark.read.parquet(labels_table.staged_dir(bucket_run))
+        audit_table.stage(audit_rows(staged, run_id, bucket, 0), bucket_run)
+        audit_table.commit(spark, bucket_run, committed_keys=[key])
+        release_cache(labels)
+        # <crash here: labels for bucket 0 never committed>
+
+        audit_dir = audit_table.staged_dir(bucket_run)
+        before = {
+            f: os.path.getmtime(os.path.join(audit_dir, f))
+            for f in sorted(os.listdir(audit_dir))
+            if not f.startswith(".")
+        }
+        committed_rows = audit_table.read(spark).drop("wall_ms").toPandas()
+
+        # resume: must finish both buckets WITHOUT touching the audit dir
+        run_filter_job(spark, src, out, run_id=run_id, n_buckets=n_buckets)
+
+        after = {
+            f: os.path.getmtime(os.path.join(audit_dir, f))
+            for f in sorted(os.listdir(audit_dir))
+            if not f.startswith(".")
+        }
+        assert before == after, "committed audit data dir was rewritten"
+
+        # final state complete & consistent (labels are per deduped turn)
+        n_unique = src.select("conv_id", "turn_idx").distinct().count()
+        assert labels_table.read(spark).count() == n_unique
+        audit_now = audit_table.read(spark)
+        assert audit_now.select("snapshot_bucket").distinct().count() == n_buckets
+        # bucket-0 audit rows are byte-for-byte the pre-crash committed ones
+        b0 = (
+            audit_now.filter(F.col("snapshot_bucket") == 0)
+            .drop("wall_ms").toPandas()
+            .sort_values("partition_id").reset_index(drop=True)
+        )
+        want = committed_rows.sort_values("partition_id").reset_index(drop=True)
+        assert b0.equals(want)
