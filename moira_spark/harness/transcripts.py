@@ -459,3 +459,67 @@ def read_expected_errors_bootstrap(spark: SparkSession, sf_dir: str) -> DataFram
         score,
         schema="read_id string, ee_exact double, ee_bootstrap double, abs_diff double",
     )
+
+
+@register("pipeline_f1_vs_reference", None)
+def pipeline_f1_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule acceptance gate, made driver-visible: run the Spark
+    pipeline AND the single-node pandas reference oracle
+    (moira_spark/oracle/ref_pipeline.py — the spec of record for labels,
+    re-stating moira's keep/drop semantics; BASELINE.json north_rule) on the
+    same deterministic transcripts table, and emit the metrics the rule
+    gates on: keep/drop F1 >= 0.99 and byte-exact scrubbed text.
+
+    One row whose VALUES flip if either side drifts — keep_f1 and
+    scrub_exact_frac are expected to be exactly 1.0 (both sides share the
+    kernels in moira_spark/kernels, so agreement is by construction and any
+    regression in ordering, rule thresholds, scrub order, or the conv-level
+    verdict shows up here).  The reference side is a fixed-size validation
+    corpus computed driver-side in pandas (that is what "single-node
+    reference" means); the Spark side is the full distributed plan.
+    """
+    from moira_spark.datagen import transcripts as tg
+    from moira_spark.oracle import ref_pipeline as orc
+    from moira_spark.pipeline import release_cache, run_pipeline
+
+    labels = run_pipeline(spark, _transcripts(spark))
+    spark_out = labels.select(
+        "conv_id", "turn_idx", "keep", "scrubbed_text", "conv_keep"
+    ).toPandas()
+    release_cache(labels)
+
+    ref = orc.run(tg.gen_pandas(_N_TURNS, seed=42))
+    m = spark_out.merge(
+        ref[["conv_id", "turn_idx", "keep", "scrubbed_text", "conv_keep"]],
+        on=["conv_id", "turn_idx"],
+        suffixes=("_s", "_r"),
+        how="outer",
+        indicator=True,
+    )
+    joined = m["_merge"] == "both"
+    tp = int((m.keep_s.eq(True) & m.keep_r.eq(True)).sum())
+    fp = int((m.keep_s.eq(True) & m.keep_r.eq(False)).sum())
+    fn = int((m.keep_s.eq(False) & m.keep_r.eq(True)).sum())
+    f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+    scrub_exact = float((m.scrubbed_text_s == m.scrubbed_text_r).mean())
+    conv_agree = float((m.conv_keep_s == m.conv_keep_r).mean())
+    row = (
+        int(len(spark_out)),
+        int(len(ref)),
+        int(joined.sum()),
+        round(f1, 6),
+        round(float((m.keep_s == m.keep_r).mean()), 6),
+        round(scrub_exact, 6),
+        round(conv_agree, 6),
+        bool(f1 >= 0.99),
+        bool(scrub_exact == 1.0),
+    )
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "n_spark_turns int, n_reference_turns int, n_joined int, "
+            "keep_f1 double, keep_agreement double, scrub_exact_frac double, "
+            "conv_verdict_agreement double, gate_f1_ge_099 boolean, "
+            "gate_scrub_byte_exact boolean"
+        ),
+    )

@@ -200,3 +200,18 @@ class TestUnicodeAndExtremes:
         pii = got[got.conv_id == "edge03"].scrubbed_text.iloc[0]
         for token in ("<EMAIL>", "<PHONE>", "<SSN>", "<IP>", "<CC>"):
             assert token in pii, token
+
+
+class TestNorthRuleGateQuery:
+    def test_gate_row_is_perfect(self, spark):
+        """pipeline_f1_vs_reference must report exact agreement: both sides
+        share the kernels, so anything below 1.0 is a real regression."""
+        from moira_spark.harness.transcripts import pipeline_f1_vs_reference
+
+        row = pipeline_f1_vs_reference(spark, "").collect()[0].asDict()
+        assert row["n_spark_turns"] == row["n_reference_turns"] == row["n_joined"]
+        assert row["keep_f1"] == 1.0
+        assert row["keep_agreement"] == 1.0
+        assert row["scrub_exact_frac"] == 1.0
+        assert row["conv_verdict_agreement"] == 1.0
+        assert row["gate_f1_ge_099"] and row["gate_scrub_byte_exact"]
