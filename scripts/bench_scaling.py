@@ -112,7 +112,7 @@ from moira_spark.session import build_session
 import pyspark.sql.functions as F
 spark = build_session(cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
-n = 300_000_000
+n = 1_000_000_000  # big enough that the 32-cpu run is not fixed-cost bound
 df = spark.range(0, n, 1, numPartitions=4*cores)
 expr = df.select((F.col("id") % 1000).alias("k"),
                  (F.col("id") * 2654435761 % 97).alias("v"))
@@ -144,6 +144,32 @@ one()
 print("RESULT", json.dumps(timed(one, int(sys.argv[2]))))
 """
 
+
+# data-size sweep: unbounded local[32] (bench.py conditions) so the fixed
+# per-job costs vs marginal per-turn costs story is measured at the same
+# conditions the driver bench runs under
+_SWEEP_CODE = _COMMON + """
+ramp()
+from moira_spark.session import build_session
+from moira_spark.pipeline import run_pipeline, release_cache
+from moira_spark.operators.udfs import make_score_udf
+import pyspark.sql.functions as F
+spark = build_session(cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+dummy = spark.range(0, 4*cores, 1, numPartitions=2*cores).select(
+    F.concat(F.lit("warm "), F.col("id")).alias("text"))
+dummy.select(make_score_udf(spark)(F.col("text"))).write.format("noop").mode("overwrite").save()
+out = {{}}
+for n in (200_000, 1_000_000, 4_000_000):
+    src = spark.read.parquet({cache!r} + "/transcripts_" + str(n))
+    def one():
+        labels = run_pipeline(spark, src)
+        labels.write.format("noop").mode("overwrite").save()
+        release_cache(labels)
+    one()
+    out[str(n)] = timed(one, int(sys.argv[2]))
+print("RESULT", json.dumps(out))
+"""
 
 _JOB_CODE = _COMMON + """
 ramp()
@@ -224,7 +250,7 @@ def _save_results(r: dict) -> None:
 _WORK = {
     "pipeline": N_TURNS,
     "pipeline_200k": N_TURNS_200K,
-    "jvm": 300_000_000,
+    "jvm": 1_000_000_000,
     "probe": 64_000,
     "job": N_TURNS,
 }
@@ -249,6 +275,21 @@ def step(name: str, cores: int, k: int = 4) -> None:
         runs = payload["runs"]
         assert len(set(payload["kept"])) == 1, payload["kept"]
         results.setdefault("job_kept", {})[str(cores)] = payload["kept"][0]
+    elif name == "sweep":
+        for n in (200_000, 1_000_000, 4_000_000):
+            stage_table(
+                os.path.join(REPO, ".bench_cache", f"transcripts_{n}"), n
+            )
+        cache = os.path.join(REPO, ".bench_cache")
+        payload = _run_sub(_SWEEP_CODE.format(repo=REPO, cache=cache), cores, k)
+        results["sweep"] = {
+            n: int(n) / min(r[0] for r in runs_n)
+            for n, runs_n in payload.items()
+        }
+        results.setdefault("runs", {})["sweep"] = payload
+        print("sweep:", results["sweep"])
+        _save_results(results)
+        return
     else:
         raise SystemExit(f"unknown step {name}")
     best = _best(runs)
@@ -274,7 +315,12 @@ def main() -> None:
         for n in ("pipeline", "jvm", "probe", "job")
         for c in (2, 8, 32)
         if c not in results.get(n, {})
-    ] + [("pipeline_200k", c) for c in (8, 32) if c not in results.get("pipeline_200k", {})]
+    ] + [
+        ("pipeline_200k", c)
+        for c in (8, 32)
+        if c not in results.get("pipeline_200k", {})
+    ] + [("sweep", n) for n in (200_000, 1_000_000, 4_000_000)
+         if n not in results.get("sweep", {})]
     if missing:
         raise SystemExit(f"missing measurements: {missing}; run --step first")
     probe = results["probe"]
@@ -323,19 +369,20 @@ driver contract), so its figure tracks the unbounded row:
 |---|---|
 | 8 cpus (taskset)  | {results['pipeline_200k'][8]:,.0f} |
 | 32 cpus (taskset) | {results['pipeline_200k'][32]:,.0f} |
-| local[32] unbounded (= bench.py conditions) | 44,843 |
+| local[32] unbounded (= bench.py conditions) | {results['sweep'][200_000]:,.0f} |
 
 ## Data-size sweep at fixed local[32] (the "survives 100x" check)
 
-Same pipeline, warm best-of-3, input grown 20x (unbounded local[32], all
-three scales measured back-to-back in one session so the host state is
-shared and the RELATIVE shape is the signal):
+Same pipeline, ramped + warm best-of-K, input grown 20x (unbounded
+local[32] = bench.py conditions, all three scales measured back-to-back in
+one subprocess so host state is shared and the RELATIVE shape is the
+signal):
 
 | turns | best wall | turns/sec |
 |---|---|---|
-| 200k | 4.8s | 41,506 |
-| 1M | 17.6s | 56,978 |
-| 4M | 46.1s | 86,768 |
+| 200k | {200_000/results['sweep'][200_000]:.1f}s | {results['sweep'][200_000]:,.0f} |
+| 1M | {1_000_000/results['sweep'][1_000_000]:.1f}s | {results['sweep'][1_000_000]:,.0f} |
+| 4M | {4_000_000/results['sweep'][4_000_000]:.1f}s | {results['sweep'][4_000_000]:,.0f} |
 
 Throughput RISES with input size — per-job fixed costs amortize and no
 stage grows superlinearly (the only shuffles carry (conv_id, turn) keys and
@@ -380,6 +427,15 @@ scheduling), which is exactly what taskset-bounded controls are for.  On a
 real cluster N -> 4N executors adds 4x memory bandwidth with no such
 sharing.
 
+The pipeline's 2->8 efficiency ({eff(results['pipeline'],2,8):.2f}) exceeds
+the no-Spark control's because the 2-cpu config oversubscribes (JVM task
+threads + python workers + GC share 2 cores, like a real 2-core executor),
+so added cores relieve both hardware and oversubscription; the honest
+takeaway is the pair of bounds: the pipeline never scales worse than the
+same kernels with Spark removed, and nothing — including the zero-Python
+JVM path — scales past ~0.3-0.55 efficiency into the 32-wide regime on
+this single-socket VM.
+
 Per-run detail (seconds, steal fraction) for every config is in
 BENCH/scaling_results.json — individual runs during hypervisor-steal
 windows are up to 5x slower, which is why best-of-K with steal telemetry
@@ -395,6 +451,16 @@ join.  Per-turn scoring is embarrassingly parallel; the only shuffles are
 the (conv_id, turn_idx) dedupe exchange and the tiny salted partial-count
 exchange.  On executor-per-node clusters those properties — not host
 bandwidth — bound N->4N efficiency.
+
+Concretely for the 10^12-turn target: {results['pipeline'][32]:,.0f}
+turns/s on one 32-core node = {results['pipeline'][32]/32:,.0f}
+turns/s/core; a 1000-executor x 4-core cluster (4,000 cores, each executor
+an independent memory domain — the regime where the 2->8
+{eff(results['pipeline'],2,8):.2f} efficiency applies, not the
+shared-bus 32-wide regime) sustains ~{results['pipeline'][2]/2*4000/1e6:.1f}M
+turns/s at the measured per-core rate of the 2-cpu config, putting 10^12
+turns at ~{1e12/(results['pipeline'][2]/2*4000)/3600:.0f} hours of cluster
+time with zero all-to-all shuffles of the text payload.
 
 ## Appendix: salting A/B (scripts/ab_salting.py)
 
