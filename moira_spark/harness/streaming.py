@@ -126,3 +126,74 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf, schema="day_start timestamp_ntz, event_type string, n_events long"
     )
+
+
+@register(
+    "streaming_dedupe_events",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def streaming_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedupe, SQL-HASH-CHECKED against DuckDB.
+
+    At-least-once delivery is simulated by staging the events table PLUS a
+    byte-identical re-delivery of every event from the last hour of event
+    time (the retry window), split across multiple micro-batches
+    (maxFilesPerTrigger).  dropDuplicatesWithinWatermark(event_id) with a
+    2-hour watermark must collapse the stream back to exactly the original
+    table — the oracle is simply ``SELECT * FROM events`` — proving both
+    in-batch and cross-batch duplicate suppression with bounded state
+    (duplicates are 1h-recent, watermark 2h, so key state provably spans
+    the redelivery window; see streaming/stream_dedupe.py).
+    """
+    import shutil
+    import tempfile
+
+    from moira_spark.harness import load
+    from moira_spark.streaming.stream_dedupe import dedupe_stream
+
+    ev_schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    work = tempfile.mkdtemp(prefix="moira_stream_dedupe_")
+    in_dir = f"{work}/in"
+
+    ev = load(spark, sf_dir, "events").select(cols)
+    ev.write.mode("append").parquet(in_dir)
+    # re-deliver the most recent hour of events, byte-identical, as separate
+    # files so originals and duplicates land in different micro-batches
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    dupes = ev.filter(F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+    dupes.write.mode("append").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = dedupe_stream(src, keys=["event_id"], watermark="2 hours")
+    q = (
+        deduped.select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        raise TimeoutError("streaming dedupe query did not finish in 600s")
+    pdf = spark.read.parquet(f"{work}/out").toPandas()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=ev_schema)

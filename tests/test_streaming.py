@@ -95,3 +95,45 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     got2 = spark.read.parquet(out_dir).toPandas()
     day1b = got2[got2.day.astype(str).str.startswith("2024-01-01")]
     assert len(day1b) == 1 and int(day1b.n.iloc[0]) == 2
+
+
+def test_stream_dedupe_across_batches(spark, tmp_path):
+    """A byte-identical redelivery in a LATER micro-batch must be dropped
+    (state survives: duplicate ts is within the watermark horizon)."""
+    from moira_spark.streaming.stream_dedupe import dedupe_stream
+
+    schema = "k bigint, ts timestamp, payload string"
+    in_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(
+        tmp_path / "ck"
+    )
+
+    def dt(s):
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+
+    first = [(1, dt("2024-01-01 10:00:00"), "a"), (2, dt("2024-01-01 10:05:00"), "b")]
+    redelivered = [(1, dt("2024-01-01 10:00:00"), "a"), (3, dt("2024-01-01 10:06:00"), "c")]
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(redelivered, schema).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+        .parquet(in_dir)
+    )
+    q = (
+        dedupe_stream(src, keys=["k"], watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = spark.read.parquet(out_dir).toPandas().sort_values("k")
+    assert got.k.tolist() == [1, 2, 3]  # duplicate k=1 arrival suppressed
+    assert int(q.lastProgress["batchId"]) >= 1  # genuinely multiple batches
