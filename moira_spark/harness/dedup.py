@@ -105,10 +105,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------- n-gram Jaccard dedup
-@register(
-    "dedup_jaccard_3gram",
-    f"""
-    WITH corpus AS ({_PLANT_NEAR_SQL}),
+# CTE block shared by the pair query's oracle and the cluster query's
+# recursive-CTE oracle (which extends it with a transitive closure).
+_JACCARD_PAIR_CTES = f"""corpus AS ({_PLANT_NEAR_SQL}),
     toks AS (
       SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
       FROM corpus
@@ -126,13 +125,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    )"""
+
+
+@register(
+    "dedup_jaccard_3gram",
+    f"""
+    WITH {_JACCARD_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_jaccard_3gram(
@@ -485,4 +493,56 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= _EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# -------------------------------------------- near-dup cluster closure
+@register(
+    "dedup_cluster_representatives",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+    csize AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
+    SELECT c.doc_id,
+           c.component,
+           c.doc_id = c.component AS is_representative,
+           s.n_members
+    FROM comp c JOIN csize s USING (component)
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close near-dup PAIRS into CLUSTERS and pick one representative each —
+    the step that turns candidate pairs into an actual dedup decision (if
+    A~B and B~C, exactly one of {{A,B,C}} survives, not two).
+
+    Spark side: iterative min-label propagation in DataFrame ops
+    (operators/components.py; log-rounds alternating algorithm documented
+    there for 10^12-edge scale).  Oracle side: the same closure as a DuckDB
+    RECURSIVE CTE over the identical planted-pair SQL — a value-level check
+    of an iterative distributed algorithm.  Representative = min doc_id per
+    component, i.e. the original document wins over its planted mutations.
+    """
+    from moira_spark.operators.components import connected_components
+
+    pairs = dedup_jaccard_3gram(spark, sf_dir)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    csize = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(F.broadcast(csize), "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_representative"),
+        "n_members",
     )
