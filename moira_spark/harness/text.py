@@ -387,3 +387,159 @@ def doc_lang_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# ------------------------------------------------- C4-style line filtering
+# The documents table is single-line word soup, so the multi-line web page
+# is PLANTED deterministically and identically on both engines: a short
+# title, the real text as a terminated sentence, a javascript notice, a
+# short cookie line, and (for doc_id % 10 = 0) a lorem-ipsum line that
+# poisons the whole page.
+_C4_PAGE_SQL = """
+      SELECT doc_id,
+             'title for document ' || doc_id
+             || chr(10) || text || '.'
+             || chr(10) || 'please enable javascript to view this page.'
+             || chr(10) || 'cookie policy'
+             || chr(10) || CASE WHEN doc_id % 10 = 0
+                  THEN 'lorem ipsum dolor sit amet consectetur.'
+                  ELSE 'this closing sentence has enough words to survive.'
+                END AS page
+      FROM documents
+"""
+
+
+@register(
+    "doc_c4_line_filter",
+    f"""
+    WITH pages AS ({_C4_PAGE_SQL}),
+    split AS (
+      SELECT doc_id, STRING_SPLIT(page, chr(10)) AS lines FROM pages
+    ),
+    kept AS (
+      SELECT doc_id,
+             LEN(lines) AS n_lines_in,
+             LIST_FILTER(lines, x ->
+               REGEXP_MATCHES(x, '[.!?"]$')
+               AND LEN(LIST_FILTER(STRING_SPLIT(x, ' '), w -> w != '')) >= 5
+               AND NOT CONTAINS(LOWER(x), 'javascript')) AS good
+      FROM split
+    )
+    SELECT doc_id,
+           n_lines_in,
+           LEN(good) AS n_lines_kept,
+           ARRAY_TO_STRING(good, chr(10)) AS cleaned_text
+    FROM kept
+    WHERE NOT CONTAINS(LOWER(ARRAY_TO_STRING(good, chr(10))), 'lorem ipsum')
+      AND NOT CONTAINS(ARRAY_TO_STRING(good, chr(10)), '{{')
+    """,
+)
+def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, C4 heuristics):
+    keep only lines that end in terminal punctuation, have >= 5 words, and
+    do not mention javascript; then drop any page whose surviving text
+    contains "lorem ipsum" or a curly brace.  All native Column exprs
+    (split/filter/concat_ws) — line filtering stays in whole-stage codegen
+    with zero Python, which is what makes it free at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("title for document "), F.col("doc_id")),
+        F.concat(F.col("text"), F.lit(".")),
+        F.lit("please enable javascript to view this page."),
+        F.lit("cookie policy"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.lit("lorem ipsum dolor sit amet consectetur."),
+        ).otherwise(
+            F.lit("this closing sentence has enough words to survive.")
+        ),
+    )
+    lines = F.split(page, "\n")
+    n_words = lambda x: F.size(F.filter(F.split(x, " "), lambda w: w != F.lit("")))
+    good = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (n_words(x) >= 5)
+        & ~F.contains(F.lower(x), F.lit("javascript")),
+    )
+    cleaned = F.concat_ws("\n", good)
+    return (
+        d.select(
+            "doc_id",
+            F.size(lines).alias("n_lines_in"),
+            F.size(good).alias("n_lines_kept"),
+            cleaned.alias("cleaned_text"),
+        )
+        .filter(
+            ~F.contains(F.lower(F.col("cleaned_text")), F.lit("lorem ipsum"))
+            & ~F.contains(F.col("cleaned_text"), F.lit("{"))
+        )
+    )
+
+
+# --------------------------------------------- source-level quality filter
+@register(
+    "source_quality_filter",
+    f"""
+    WITH per_doc AS (
+      SELECT source,
+             n_chars,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w != '')) AS n_words,
+             CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w != '')) > 0
+                  THEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                           w -> w IN ('{_STOP_SQL}'))) * 1.0
+                       / LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w != ''))
+                  ELSE 0.0 END AS stop_ratio
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(ROUND(AVG(n_chars), 4) AS DOUBLE) AS mean_chars,
+             CAST(ROUND(AVG(n_words), 4) AS DOUBLE) AS mean_words,
+             CAST(ROUND(AVG(stop_ratio), 6) AS DOUBLE) AS mean_stop_ratio
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, mean_chars, mean_words, mean_stop_ratio,
+           (mean_chars >= 280.0 AND mean_stop_ratio >= 0.05) AS source_keep
+    FROM per_source
+    """,
+)
+def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level (domain-level) quality gating, RefinedWeb/C4 style:
+    aggregate per-document quality signals per source and keep/drop the
+    whole source on its aggregate profile — the pass that removes spam
+    domains wholesale before any per-document scoring spends compute.
+
+    Shape at 100 TB: one algebraic groupBy(source) with map-side partial
+    aggregation (counts/sums only), then the verdict broadcast back joins
+    against the doc stream — no second scan of text.  Thresholds are
+    driver-table-tuned constants; the point under check is the exact
+    aggregate arithmetic and the keep decision.
+    """
+    d = load(spark, sf_dir, "documents").select("source", "n_chars", "text")
+    w = _words_col()
+    n_words = F.size(w)
+    stop_ratio = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("double")
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    per_source = (
+        d.select("source", "n_chars", n_words.alias("n_words"), stop_ratio.alias("sr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(F.avg("n_words"), 4).alias("mean_words"),
+            F.round(F.avg("sr"), 6).alias("mean_stop_ratio"),
+        )
+    )
+    return per_source.select(
+        "*",
+        (
+            (F.col("mean_chars") >= 280.0) & (F.col("mean_stop_ratio") >= 0.05)
+        ).alias("source_keep"),
+    )
