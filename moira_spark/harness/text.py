@@ -543,3 +543,98 @@ def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mean_chars") >= 280.0) & (F.col("mean_stop_ratio") >= 0.05)
         ).alias("source_keep"),
     )
+
+
+# --------------------------------------------- training-mix stratified sample
+@register(
+    "training_mix_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang, rk AS rank_in_lang, n_lang
+    FROM ranked
+    WHERE rk <= CEIL(n_lang * CASE lang WHEN 'en' THEN 0.5
+                                        WHEN 'de' THEN 0.25
+                                        ELSE 0.1 END)
+    """,
+)
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    take the first ceil(frac_lang * n_lang) docs per language in doc_id
+    order (en 50%, de 25%, everything else 10%).  Deterministic rank-based
+    selection — not Bernoulli sample() — so the mix is reproducible across
+    runs and cluster sizes, which is what a dataset card has to promise.
+
+    One window over (lang, doc_id); at 100 TB the same shape runs per
+    partition-pruned lang bucket and the rank cutoff streams without
+    materializing the stratum.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w_rank = Window.partitionBy("lang").orderBy("doc_id")
+    frac = (
+        F.when(F.col("lang") == "en", F.lit(0.5))
+        .when(F.col("lang") == "de", F.lit(0.25))
+        .otherwise(F.lit(0.1))
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w_rank).alias("rank_in_lang"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return ranked.filter(
+        F.col("rank_in_lang") <= F.ceil(F.col("n_lang") * frac)
+    )
+
+
+# ------------------------------------------------- token-budget shard packing
+@register(
+    "shard_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w != '')) AS n_tokens
+      FROM documents
+    ),
+    runsum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, cum_tokens,
+           CAST(FLOOR((cum_tokens - 1) / 2000) AS BIGINT) AS shard_id
+    FROM runsum
+    """,
+)
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training shards (2,000 tokens
+    per shard) by running cumulative token count in doc_id order — the
+    sequence-packing/sharding pass that turns a filtered corpus into
+    training files.
+
+    The unbounded running sum is a single global-order window; at 10^12
+    docs the same assignment is computed hierarchically (per-partition
+    sums -> exclusive prefix over the tiny per-partition totals broadcast
+    back), which preserves exactly these shard ids.  The driver-scale
+    check pins the arithmetic; the hierarchy is an execution detail.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tokens = F.size(_words_col())
+    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    toks = d.select("doc_id", n_tokens.alias("n_tokens"))
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
+    ).withColumn(
+        "shard_id", F.floor((F.col("cum_tokens") - 1) / 2000).cast("bigint")
+    )
