@@ -100,7 +100,7 @@ _LSH_TABLES = 8  # independent hash tables; candidates = union over tables
 _LSH_TARGET_OCCUPANCY = 8  # vectors per bucket the signature width aims for
 
 
-def _lsh_bits(n_vectors: int) -> int:
+def _lsh_bits(n_vectors: int, occupancy: int = _LSH_TARGET_OCCUPANCY) -> int:
     """Occupancy-targeted signature width: 2^bits buckets sized so a bucket
     holds ~_LSH_TARGET_OCCUPANCY vectors.  Fixed-width signatures are wrong
     at both ends — too many bits and true neighbors never collide (measured
@@ -109,12 +109,12 @@ def _lsh_bits(n_vectors: int) -> int:
     bits, candidate work stays ~T * occupancy per query."""
     import math
 
-    return min(30, max(4, int(round(math.log2(max(n_vectors, 2) / _LSH_TARGET_OCCUPANCY)))))
+    return min(30, max(4, int(round(math.log2(max(n_vectors, 2) / occupancy)))))
 
 
-def _hyperplanes(bits: int, dim: int = 64) -> np.ndarray:
+def _hyperplanes(bits: int, dim: int = 64, n_tables: int = _LSH_TABLES) -> np.ndarray:
     rng = np.random.RandomState(2718)
-    return rng.standard_normal((_LSH_TABLES, bits, dim))
+    return rng.standard_normal((n_tables, bits, dim))
 
 
 def make_sign_lsh_udf(spark: SparkSession, planes: np.ndarray):
@@ -138,7 +138,13 @@ def make_sign_lsh_udf(spark: SparkSession, planes: np.ndarray):
 
 
 @register("embedding_ann_lsh", None)  # banded hashing: rows-only check
-def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ann_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int | None = None,
+    occupancy: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH (bucket equi-join, no
     cross join).
 
@@ -152,9 +158,11 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast query buckets), so work scales with bucket occupancy, not
     corpus size.  Measured against brute force in embedding_ann_recall.
     """
+    n_tables = _LSH_TABLES if n_tables is None else n_tables
+    occupancy = _LSH_TARGET_OCCUPANCY if occupancy is None else occupancy
     e = load(spark, sf_dir, "embeddings")
-    bits = _lsh_bits(e.count())
-    sigs_of = make_sign_lsh_udf(spark, _hyperplanes(bits))
+    bits = _lsh_bits(e.count(), occupancy)
+    sigs_of = make_sign_lsh_udf(spark, _hyperplanes(bits, n_tables=n_tables))
     signed = e.select(
         F.col("vec_id"), _dbl("embedding").alias("v"),
         sigs_of(_dbl("embedding")).alias("sigs"),
@@ -179,6 +187,8 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a pair colliding in several tables must score once
         .dropDuplicates(["query_id", "vec_id"])
     )
+    if stats_out is not None:  # A/B instrumentation: exact-scored candidates
+        stats_out["n_candidates"] = cand.count()
     cos = _dot(F.col("qe"), F.col("v")) / (
         F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
     )
@@ -202,7 +212,12 @@ _IVF_NPROBE = 4
 
 
 @register("embedding_ann_ivf", None)  # data-adaptive cells: rows-only check
-def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
     """ANN via IVF (inverted-file) cells — the second scale path next to LSH.
 
     Seeded k-means centroids are trained driver-side on a bounded
@@ -216,6 +231,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from moira_spark.kernels import ann
 
+    nprobe = _IVF_NPROBE if nprobe is None else nprobe
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", _dbl("embedding").alias("v"))
 
@@ -241,7 +257,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell": int(c),
         }
         for r_vec_id, r_v in zip(qpdf["vec_id"], qpdf["v"])
-        for c in ann.probe_cells(np.array(r_v, dtype=np.float64), C, _IVF_NPROBE)
+        for c in ann.probe_cells(np.array(r_v, dtype=np.float64), C, nprobe)
     ]
     probes = spark.createDataFrame(
         pd.DataFrame(probe_rows),
@@ -250,6 +266,8 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cells.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    if stats_out is not None:  # A/B instrumentation: exact-scored candidates
+        stats_out["n_candidates"] = cand.count()
     cos = _dot(F.col("qe"), F.col("v")) / (
         F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
     )

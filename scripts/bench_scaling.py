@@ -493,6 +493,32 @@ wash.  It is an approximation switch (drops boilerplate shingles from the
 similarity definition), kept off by default; at 100 TB enable it for the
 exact-Jaccard verify path and for corpora with heavy template boilerplate.
 
+## Appendix: ANN recall vs scan-fraction trade (scripts/ab_ann_tradeoff.py)
+
+sf0.01 embeddings (500 x 64-dim), 10 queries, recall@5 vs brute-force
+truth; "scanned" = exact-scored candidates / (queries x (corpus-1)):
+
+| method | recall@5 | scanned |
+|---|---|---|
+| brute force | 1.000 | 1.000 |
+| LSH T=8, occupancy 8 (default) | 0.460 | 0.131 |
+| LSH T=16, occupancy 8 | 0.620 | 0.234 |
+| LSH T=16, occupancy 16 | 0.800 | 0.407 |
+| LSH T=32, occupancy 32 | 0.980 | 0.847 |
+| IVF nprobe=2 of 16 cells | 0.400 | 0.126 |
+| IVF nprobe=4 (default) | 0.540 | 0.252 |
+| IVF nprobe=8 | 0.820 | 0.515 |
+
+Both curves are roughly recall ~ 1.6x scanned on this table: the synthetic
+embeddings are near-uniform on the sphere, the worst case for any
+partition-based ANN (no cluster structure to exploit — IVF cells and LSH
+buckets cut the space, but true neighbors are barely more co-located than
+random points).  The defaults stay at the scale-friendly end deliberately;
+on real embedding corpora, which cluster heavily, the same operators sit
+far above this floor.  The knobs are query parameters (n_tables/occupancy,
+nprobe), so a deployment picks its point per corpus — and
+embedding_ann_recall keeps the chosen point's recall driver-visible.
+
 Raw JSON: {json.dumps({k: {str(c): round(v, 1) for c, v in d.items()} for k, d in results.items()})}
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
