@@ -638,3 +638,101 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "shard_id", F.floor((F.col("cum_tokens") - 1) / 2000).cast("bigint")
     )
+
+
+# ---------------------------------------------- corpus -> training shards
+_SHARD_PLANT_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 41 = 0
+"""
+
+
+@register(
+    "corpus_to_shards",
+    f"""
+    WITH corpus AS ({_SHARD_PLANT_SQL}),
+    scored AS (
+      SELECT doc_id, text,
+             LENGTH(text) AS n_chars,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w != '')) AS n_words,
+             (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')))
+               * 1.0
+               / GREATEST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), w -> w != '')), 1)
+               AS symbol_ratio
+      FROM corpus
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_chars BETWEEN {config.MIN_CHARS} AND {config.MAX_CHARS}
+        AND n_words BETWEEN {config.MIN_WORDS} AND {config.MAX_WORDS}
+        AND symbol_ratio <= {config.MAX_SYMBOL_WORD_RATIO}
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(n_words) AS n_tokens
+      FROM kept GROUP BY MD5(text)
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM deduped
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum_tokens - 1) / 2000) AS BIGINT) AS shard_id
+    FROM packed
+    """,
+)
+def corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data assembly in ONE declarative plan: heuristic
+    quality filter (length bounds + symbol/word ratio, spec thresholds from
+    config.py) -> exact dedup (min doc_id per md5, planted duplicates
+    removed) -> token-budget shard packing of the survivors.
+
+    The composition is the point: filters reach the parquet scan, dedup is
+    one hash aggregation, packing is one running-sum window — Catalyst
+    fuses the filter+scoring stage into a single codegen pass over the
+    scan, so "assemble a training set" costs one shuffle for the dedup and
+    one for the global order.  Hash-checked against the identical DuckDB
+    composition.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.unionAll(
+        d.filter(F.col("doc_id") % 41 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        )
+    )
+    alnum_sp = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
+    )
+    n_chars = F.length("text")
+    n_words = F.size(_words_col())
+    sym_ratio = F.length(F.translate("text", alnum_sp, "")).cast("double") / (
+        F.greatest(n_words, F.lit(1)).cast("double")
+    )
+    kept = planted.filter(
+        (n_chars >= config.MIN_CHARS)
+        & (n_chars <= config.MAX_CHARS)
+        & (n_words >= config.MIN_WORDS)
+        & (n_words <= config.MAX_WORDS)
+        & (sym_ratio <= config.MAX_SYMBOL_WORD_RATIO)
+    )
+    deduped = (
+        kept.select("doc_id", n_words.alias("n_tokens"), F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .drop("h")
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return deduped.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w_cum) - 1) / 2000
+        ).cast("bigint").alias("shard_id"),
+    )

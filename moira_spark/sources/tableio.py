@@ -130,6 +130,67 @@ class SnapshotTable:
         self._write_snapshot(snap)
         return snap
 
+    # ---------------------------------------------------------- maintenance
+    def compact(self, spark: SparkSession, target_partitions: int = 1) -> Snapshot:
+        """Rewrite every committed run dir into one compacted run and commit
+        a snapshot referencing only it (Iceberg rewrite_data_files).
+
+        A long-running bucketed/streaming job accumulates one run dir per
+        bucket or micro-batch; at 100 TB that means small-file explosion
+        and a scan that unions thousands of directories.  Compaction is
+        data-identical (row set unchanged, committed_keys preserved so
+        resume still skips finished work); prior snapshots still time-travel
+        until vacuum() expires their data.
+        """
+        prev = self.latest_snapshot()
+        if prev is None or not prev.run_ids:
+            raise ValueError("nothing to compact: no committed snapshot")
+        run_id = f"compact-v{prev.version + 1}"
+        df = self.read(spark)
+        self.stage(df.repartition(target_partitions), run_id)
+        rows = spark.read.parquet(self.staged_dir(run_id)).count()
+        if rows != sum(prev.row_counts.values()):
+            raise RuntimeError(
+                f"compaction row mismatch: {rows} != {sum(prev.row_counts.values())}"
+            )
+        snap = Snapshot(
+            version=prev.version + 1,
+            run_ids=[run_id],
+            committed_keys=prev.committed_keys,
+            row_counts={run_id: rows},
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delete data dirs unreferenced by the ``retain_last`` most recent
+        snapshots — including orphaned staging dirs no snapshot ever
+        committed (Iceberg expire_snapshots + remove_orphan_files).
+
+        Time travel to expired snapshots stops working, exactly as with
+        Iceberg snapshot expiry; the retained window is the operator's
+        rollback horizon.  Returns the removed directories.
+        """
+        import shutil
+
+        latest = self.latest_snapshot()
+        if latest is None:
+            return []
+        keep_runs: set[str] = set()
+        for v in range(max(1, latest.version - retain_last + 1), latest.version + 1):
+            snap = self.snapshot(v)
+            if snap is not None:
+                keep_runs.update(snap.run_ids)
+        removed = []
+        for entry in sorted(os.listdir(self.data_dir)):
+            if not entry.startswith("run_id="):
+                continue
+            if entry[len("run_id="):] not in keep_runs:
+                path = os.path.join(self.data_dir, entry)
+                shutil.rmtree(path)
+                removed.append(path)
+        return removed
+
     # ------------------------------------------------------------- read path
     def snapshot(self, version: int) -> Snapshot | None:
         """Load a specific snapshot version (time travel)."""

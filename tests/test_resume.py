@@ -168,3 +168,45 @@ class TestCrashBetweenCommits:
         )
         want = committed_rows.sort_values("partition_id").reset_index(drop=True)
         assert b0.equals(want)
+
+
+class TestMaintenance:
+    def test_compact_is_data_identical_and_preserves_resume(self, spark, tmp_path):
+        from moira_spark.sources.tableio import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        for b in range(4):
+            df = spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "x")
+            t.stage(df, f"r{b}")
+            t.commit(spark, f"r{b}", committed_keys=[f"job/bucket={b}"])
+        before = sorted(r.x for r in t.read(spark).collect())
+        pre_version = t.latest_snapshot().version
+
+        snap = t.compact(spark, target_partitions=2)
+        assert snap.run_ids == [f"compact-v{snap.version}"]
+        assert sorted(r.x for r in t.read(spark).collect()) == before
+        # resume bookkeeping survives: every bucket still reads as committed
+        assert set(snap.committed_keys) == {f"job/bucket={b}" for b in range(4)}
+        # time travel to the pre-compaction snapshot still works (not vacuumed)
+        old = t.read(spark, version=pre_version)
+        assert sorted(r.x for r in old.collect()) == before
+
+    def test_vacuum_removes_expired_and_orphaned_dirs(self, spark, tmp_path):
+        import os
+
+        from moira_spark.sources.tableio import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        for b in range(3):
+            df = spark.range(b * 5, b * 5 + 5).withColumnRenamed("id", "x")
+            t.stage(df, f"r{b}")
+            t.commit(spark, f"r{b}")
+        # an orphan: staged but never committed (simulated crash)
+        t.stage(spark.range(99, 101).withColumnRenamed("id", "x"), "orphan")
+        before = sorted(r.x for r in t.read(spark).collect())
+
+        t.compact(spark)
+        removed = t.vacuum(retain_last=1)
+        names = {os.path.basename(p) for p in removed}
+        assert names == {"run_id=r0", "run_id=r1", "run_id=r2", "run_id=orphan"}
+        assert sorted(r.x for r in t.read(spark).collect()) == before
