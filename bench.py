@@ -53,6 +53,7 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    "corpus_to_shards",
 ]
 
 
