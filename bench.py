@@ -12,13 +12,14 @@ Measurement discipline:
 - the transcripts bench table is staged to parquet once (generation cost is
   not pipeline throughput; the real input path is a table scan anyway);
 - one warm-up query is run and discarded (JVM/codegen warm-up);
-- headline queries are best-of-2 and the pipeline is best-of-3 after two
-  untimed warm-up runs: this firecracker host shows transient steal /
-  contention windows where identical warm runs differ by up to 10x (see
-  BENCH/BASELINE.md controls), so a single cold-window sample would
-  benchmark the host, not the engine.  The JSON line carries per-run
-  pipeline times and the measured steal fraction so noisy windows are
-  visible rather than silently folded in.
+- headline queries are best-of-2 and the pipeline is the best of runs
+  1-4 of 5 (run 0 pays this plan shape's codegen and is excluded): this
+  firecracker host shows transient steal / contention windows where
+  identical warm runs differ by up to 10x (see BENCH/BASELINE.md
+  controls), so a single cold-window sample would benchmark the host,
+  not the engine.  The JSON line carries per-run pipeline times and the
+  measured steal fraction so noisy windows are visible rather than
+  silently folded in.
 """
 
 from __future__ import annotations
@@ -75,39 +76,10 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _ramp_burn(args) -> float:
-    """All-core busy loop — brings the virtualized host CPU up to full
-    speed.  Measured on this firecracker VM: identical numpy workloads run
-    2-3x slower until ~60-90s of sustained wide load has elapsed (frequency
-    / credit ramp), so timing anything before the ramp benchmarks the host
-    governor, not the engine."""
-    seconds, seed = args
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    a = rng.random((400, 400))
-    t_end = time.time() + seconds
-    s = 0.0
-    while time.time() < t_end:
-        s += float((a @ a).sum())
-    return s
-
-
-def _ramp_cpu(seconds: float, procs: int) -> None:
-    import multiprocessing as mp
-
-    with mp.Pool(procs) as p:
-        p.map(_ramp_burn, [(seconds, i) for i in range(procs)])
-
-
-def _cpu_jiffies() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat — Linux-only, 0s elsewhere."""
-    try:
-        with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:]]
-        return vals[7] if len(vals) > 7 else 0, sum(vals)
-    except OSError:
-        return 0, 0
+# single source of truth for ramp/steal discipline (shared with the
+# scaling study so the two benchmarks cannot drift apart)
+from moira_spark.benchutil import cpu_jiffies as _cpu_jiffies  # noqa: E402
+from moira_spark.benchutil import ramp_cpu as _ramp_cpu  # noqa: E402
 
 
 def main() -> None:

@@ -188,6 +188,10 @@ def embedding_ann_lsh(
         .dropDuplicates(["query_id", "vec_id"])
     )
     if stats_out is not None:  # A/B instrumentation: exact-scored candidates
+        # persist before counting — the count and the top-k both consume
+        # cand, and without the cache the whole signing/explode/join
+        # pipeline would execute twice (caller releases via clearCache)
+        cand = cand.persist()
         stats_out["n_candidates"] = cand.count()
     cos = _dot(F.col("qe"), F.col("v")) / (
         F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
@@ -267,6 +271,7 @@ def embedding_ann_ivf(
         F.col("vec_id") != F.col("query_id")
     )
     if stats_out is not None:  # A/B instrumentation: exact-scored candidates
+        cand = cand.persist()  # see LSH note: count + top-k share one pass
         stats_out["n_candidates"] = cand.count()
     cos = _dot(F.col("qe"), F.col("v")) / (
         F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))

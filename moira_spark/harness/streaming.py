@@ -162,16 +162,31 @@ def streaming_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = f"{work}/in"
 
     ev = load(spark, sf_dir, "events").select(cols)
-    ev.write.mode("append").parquet(in_dir)
-    # re-deliver the most recent hour of events, byte-identical, as separate
-    # files so originals and duplicates land in different micro-batches
+    # Multiple micro-batches need multiple files (the sf tables are single
+    # parquet files) processed oldest-event-time-first: a stateful op drops
+    # rows older than the advancing watermark, so originals must arrive in
+    # contiguous event-time chunks like a real ingest — randomly split
+    # files would make half the second batch "late" and the oracle wrong.
+    # FileStreamSource orders by file mtime; sequential writes + a sleep
+    # beyond mtime granularity pin that order.
+    import time as _time
+
+    med = ev.withColumn("tsd", F.col("ts").cast("timestamp").cast("double")) \
+        .approxQuantile("tsd", [0.5], 0.0)[0]
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    ev.filter(tsd <= med).repartition(1).write.mode("append").parquet(in_dir)
+    _time.sleep(0.2)
+    ev.filter(tsd > med).repartition(1).write.mode("append").parquet(in_dir)
+    _time.sleep(0.2)
+    # re-deliver the most recent hour of events, byte-identical, in a later
+    # file -> a later micro-batch, so suppression is genuinely cross-batch
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     dupes = ev.filter(F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
-    dupes.write.mode("append").parquet(in_dir)
+    dupes.repartition(1).write.mode("append").parquet(in_dir)
 
     src = (
         spark.readStream.schema(ev_schema)
-        .option("maxFilesPerTrigger", "4")
+        .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
@@ -194,6 +209,11 @@ def streaming_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(600):
         raise TimeoutError("streaming dedupe query did not finish in 600s")
+    if int(q.lastProgress["batchId"]) < 1:
+        raise RuntimeError(
+            "streaming dedupe ran in a single micro-batch — the cross-batch "
+            "property this query exists to check was not exercised"
+        )
     pdf = spark.read.parquet(f"{work}/out").toPandas()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(pdf, schema=ev_schema)

@@ -33,6 +33,11 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) undirected edges -> (id, comp) with comp = min id reachable.
 
+    The returned frame is persisted (its lineage spans every propagation
+    round; recomputing it would re-run the whole iteration) — the caller
+    owns releasing it via .unpersist() / spark.catalog.clearCache() once
+    materialized, the same contract as pipeline.run_pipeline.
+
     Raises RuntimeError if the fixpoint is not reached in ``max_iter``
     rounds (diameter larger than expected — switch to the log-rounds
     algorithm rather than silently truncating components).
@@ -74,6 +79,7 @@ def connected_components(
             labels = new
             if changed == 0:
                 return labels
+        labels.unpersist()  # error path: do not strand the last round's cache
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )

@@ -36,6 +36,11 @@ class Snapshot:
     run_ids: list[str]
     committed_keys: list[str] = field(default_factory=list)
     row_counts: dict[str, int] = field(default_factory=dict)
+    # run_ids whose DATA was folded into a compaction rewrite: no longer
+    # read, but their commit is still a fact — is_committed()/commit()
+    # must keep treating them as done or a checkpoint-replayed micro-batch
+    # would re-commit (and duplicate) after a compact().
+    retired_run_ids: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -44,6 +49,7 @@ class Snapshot:
                 "run_ids": self.run_ids,
                 "committed_keys": self.committed_keys,
                 "row_counts": self.row_counts,
+                "retired_run_ids": self.retired_run_ids,
             }
         )
 
@@ -55,6 +61,7 @@ class Snapshot:
             run_ids=d["run_ids"],
             committed_keys=d.get("committed_keys", []),
             row_counts=d.get("row_counts", {}),
+            retired_run_ids=d.get("retired_run_ids", []),
         )
 
 
@@ -99,7 +106,9 @@ class SnapshotTable:
 
     def is_committed(self, run_id: str) -> bool:
         snap = self.latest_snapshot()
-        return snap is not None and run_id in snap.run_ids
+        return snap is not None and (
+            run_id in snap.run_ids or run_id in snap.retired_run_ids
+        )
 
     def stage(self, df: DataFrame, run_id: str) -> str:
         """Write df into the run's staging dir (overwrite = crash-safe
@@ -116,8 +125,10 @@ class SnapshotTable:
     ) -> Snapshot:
         """Fold the staged run into a new snapshot (no-op if committed)."""
         prev = self.latest_snapshot()
-        if prev is not None and run_id in prev.run_ids:
-            return prev  # idempotent re-commit
+        if prev is not None and (
+            run_id in prev.run_ids or run_id in prev.retired_run_ids
+        ):
+            return prev  # idempotent re-commit (incl. compaction-retired runs)
         rows = spark.read.parquet(self.staged_dir(run_id)).count()
         snap = Snapshot(
             version=(prev.version + 1) if prev else 1,
@@ -126,6 +137,7 @@ class SnapshotTable:
                 set(prev.committed_keys if prev else []) | set(committed_keys or [])
             ),
             row_counts={**(prev.row_counts if prev else {}), run_id: rows},
+            retired_run_ids=(prev.retired_run_ids if prev else []),
         )
         self._write_snapshot(snap)
         return snap
@@ -138,9 +150,11 @@ class SnapshotTable:
         A long-running bucketed/streaming job accumulates one run dir per
         bucket or micro-batch; at 100 TB that means small-file explosion
         and a scan that unions thousands of directories.  Compaction is
-        data-identical (row set unchanged, committed_keys preserved so
-        resume still skips finished work); prior snapshots still time-travel
-        until vacuum() expires their data.
+        data-identical (row set unchanged; committed_keys preserved AND the
+        folded run_ids move to retired_run_ids, so both resume paths —
+        job.py's key-based skip and the streaming replay guard's
+        is_committed(run_id) — still treat finished work as done); prior
+        snapshots still time-travel until vacuum() expires their data.
         """
         prev = self.latest_snapshot()
         if prev is None or not prev.run_ids:
@@ -158,20 +172,28 @@ class SnapshotTable:
             run_ids=[run_id],
             committed_keys=prev.committed_keys,
             row_counts={run_id: rows},
+            retired_run_ids=sorted(set(prev.retired_run_ids) | set(prev.run_ids)),
         )
         self._write_snapshot(snap)
         return snap
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 1, min_age_seconds: float = 3 * 86400
+    ) -> list[str]:
         """Delete data dirs unreferenced by the ``retain_last`` most recent
         snapshots — including orphaned staging dirs no snapshot ever
         committed (Iceberg expire_snapshots + remove_orphan_files).
 
-        Time travel to expired snapshots stops working, exactly as with
-        Iceberg snapshot expiry; the retained window is the operator's
-        rollback horizon.  Returns the removed directories.
+        ``min_age_seconds`` protects in-flight writers: a dir staged but not
+        yet committed looks exactly like an orphan, so only dirs whose
+        mtime is older than the threshold are deleted (Iceberg's
+        remove_orphan_files defaults to 3 days for the same race).  Time
+        travel to expired snapshots stops working, exactly as with Iceberg
+        snapshot expiry; the retained window is the operator's rollback
+        horizon.  Returns the removed directories.
         """
         import shutil
+        import time
 
         latest = self.latest_snapshot()
         if latest is None:
@@ -181,14 +203,18 @@ class SnapshotTable:
             snap = self.snapshot(v)
             if snap is not None:
                 keep_runs.update(snap.run_ids)
+        now = time.time()
         removed = []
         for entry in sorted(os.listdir(self.data_dir)):
             if not entry.startswith("run_id="):
                 continue
-            if entry[len("run_id="):] not in keep_runs:
-                path = os.path.join(self.data_dir, entry)
-                shutil.rmtree(path)
-                removed.append(path)
+            path = os.path.join(self.data_dir, entry)
+            if entry[len("run_id="):] in keep_runs:
+                continue
+            if now - os.path.getmtime(path) < min_age_seconds:
+                continue  # possibly an in-flight writer's staging dir
+            shutil.rmtree(path)
+            removed.append(path)
         return removed
 
     # ------------------------------------------------------------- read path

@@ -47,34 +47,18 @@ N_TURNS = 1_000_000
 TABLE_200K = os.path.join(REPO, ".bench_cache", "transcripts_200000")
 N_TURNS_200K = 200_000
 
-# shared preamble: taskset-aware ramp burn + steal sampling
+# shared preamble: taskset-aware ramp burn + steal sampling.  The burn and
+# jiffies primitives live in moira_spark.benchutil — ONE implementation
+# shared with bench.py so the two benchmarks measure under one discipline.
 _COMMON = """
 import time, sys, json
 sys.path.insert(0, {repo!r})
 import multiprocessing as mp
-import numpy as np
+from moira_spark.benchutil import cpu_jiffies as jiffies, ramp_cpu
 cores = int(sys.argv[1])
 
-def _burn(args):
-    sec, seed = args
-    rng = np.random.default_rng(seed)
-    a = rng.random((400, 400))
-    t_end = time.time() + sec
-    s = 0.0
-    while time.time() < t_end:
-        s += float((a @ a).sum())
-    return s
-
 def ramp(sec=40.0):
-    with mp.Pool(cores) as p:
-        p.map(_burn, [(sec, i) for i in range(cores)])
-
-def jiffies():
-    try:
-        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
-        return v[7] if len(v) > 7 else 0, sum(v)
-    except OSError:
-        return 0, 1
+    ramp_cpu(sec, cores)
 
 def timed(fn, k):
     runs = []

@@ -206,7 +206,27 @@ class TestMaintenance:
         before = sorted(r.x for r in t.read(spark).collect())
 
         t.compact(spark)
-        removed = t.vacuum(retain_last=1)
+        # default age threshold protects everything this young
+        assert t.vacuum(retain_last=1) == []
+        removed = t.vacuum(retain_last=1, min_age_seconds=0)
         names = {os.path.basename(p) for p in removed}
         assert names == {"run_id=r0", "run_id=r1", "run_id=r2", "run_id=orphan"}
         assert sorted(r.x for r in t.read(spark).collect()) == before
+
+    def test_compact_keeps_replayed_commits_idempotent(self, spark, tmp_path):
+        """A checkpoint-replayed micro-batch commit after compact() must be
+        a no-op: is_committed() consults retired_run_ids, so the replayed
+        batch neither re-stages (over a dir old snapshots reference) nor
+        duplicates rows."""
+        from moira_spark.sources.tableio import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        for b in range(3):
+            df = spark.range(b * 5, b * 5 + 5).withColumnRenamed("id", "x")
+            t.stage(df, f"stream-batch-{b}")
+            t.commit(spark, f"stream-batch-{b}")
+        t.compact(spark)
+        assert t.is_committed("stream-batch-1")  # the replay guard
+        snap = t.commit(spark, "stream-batch-1")  # replayed commit: no-op
+        assert snap.version == t.latest_snapshot().version
+        assert len(t.read(spark).collect()) == 15  # rows NOT duplicated
