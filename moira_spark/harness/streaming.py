@@ -217,3 +217,76 @@ def streaming_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = spark.read.parquet(f"{work}/out").toPandas()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(pdf, schema=ev_schema)
+
+
+@register("streaming_filter_labels", None)
+def streaming_filter_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch snapshot-filtering path (streaming/stream_filter.py)
+    under the driver harness, self-verified against the batch pipeline.
+
+    A deterministic transcripts fixture arrives in three conversation-atomic
+    files (chunked on conv_id hash — stream_filter judges conversations per
+    micro-batch, so batches must carry whole conversations), one file per
+    micro-batch.  Each batch is scored, staged, and snapshot-committed; the
+    final committed labels table must agree with run_pipeline() on the same
+    rows exactly — keep, scrubbed text, and conversation verdicts — because
+    per-turn scoring is stateless and conv-atomic batching preserves the
+    conversation aggregate.  One metrics row; every value pinned at 1.0.
+    """
+    import shutil
+    import tempfile
+    import time as _time
+
+    from moira_spark.datagen import transcripts as tg
+    from moira_spark.pipeline import release_cache, run_pipeline
+    from moira_spark.sources.tableio import SnapshotTable
+    from moira_spark.streaming.stream_filter import stream_labels
+
+    work = tempfile.mkdtemp(prefix="moira_stream_filter_")
+    in_dir, out_dir, ck_dir = f"{work}/in", f"{work}/out", f"{work}/ck"
+
+    src = tg.gen_spark(spark, 1500, seed=42)
+    for i in range(3):
+        src.filter(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == i).repartition(
+            1
+        ).write.mode("append").parquet(in_dir)
+        _time.sleep(0.2)  # distinct mtimes pin the file -> batch order
+
+    q = stream_labels(spark, in_dir, out_dir, ck_dir, max_files_per_trigger=1)
+    if not q.awaitTermination(600):
+        raise TimeoutError("foreachBatch stream did not finish in 600s")
+    if int(q.lastProgress["batchId"]) < 1:
+        raise RuntimeError("stream ran in a single micro-batch")
+
+    streamed = (
+        SnapshotTable(out_dir)
+        .read(spark)
+        .select("conv_id", "turn_idx", "keep", "scrubbed_text", "conv_keep")
+        .toPandas()
+    )
+    batch_labels = run_pipeline(spark, src)
+    batch = batch_labels.select(
+        "conv_id", "turn_idx", "keep", "scrubbed_text", "conv_keep"
+    ).toPandas()
+    release_cache(batch_labels)
+    shutil.rmtree(work, ignore_errors=True)
+
+    m = streamed.merge(
+        batch, on=["conv_id", "turn_idx"], suffixes=("_s", "_b"), how="outer",
+        indicator=True,
+    )
+    row = (
+        int(len(streamed)),
+        int(len(batch)),
+        int((m["_merge"] == "both").sum()),
+        round(float((m.keep_s == m.keep_b).mean()), 6),
+        round(float((m.scrubbed_text_s == m.scrubbed_text_b).mean()), 6),
+        round(float((m.conv_keep_s == m.conv_keep_b).mean()), 6),
+    )
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "n_streamed int, n_batch int, n_joined int, keep_agreement double, "
+            "scrub_exact_frac double, conv_verdict_agreement double"
+        ),
+    )

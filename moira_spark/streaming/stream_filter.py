@@ -32,16 +32,21 @@ def stream_labels(
     output_dir: str,
     checkpoint_dir: str,
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ):
     """Start (or define) the streaming query; returns the StreamingQuery.
 
     Late rows beyond ``watermark`` on ts are still scored (stateless path);
     the watermark exists to bound any downstream stateful consumers.
+    ``max_files_per_trigger`` bounds each micro-batch (and under
+    availableNow forces a multi-batch run — useful to exercise the
+    per-batch commit/replay protocol).
     """
     schema = PIPELINE_SCHEMA
-    src: DataFrame = (
-        spark.readStream.schema(schema).parquet(input_dir).withWatermark("ts", watermark)
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src: DataFrame = reader.parquet(input_dir).withWatermark("ts", watermark)
     table = SnapshotTable(output_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
