@@ -523,3 +523,60 @@ def pipeline_f1_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gate_scrub_byte_exact boolean"
         ),
     )
+
+
+@register("doc_perplexity_separation", None)
+def doc_perplexity_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-model quality the driver harness can falsify (the LM
+    analog of doc_langid_separable): score a held-out seeded clean-English
+    corpus and a same-length gibberish corpus under the default LM and
+    emit per-class mean perplexity plus the separation margin — VALUES
+    flip if the LM breaks, not just row counts.  Pinned floor: every
+    gibberish doc must score above every clean doc (min_gibberish >
+    max_clean), the property the pipeline's ppl threshold rule relies on.
+    """
+    import numpy as np
+
+    from moira_spark.datagen import corpora
+    from moira_spark.kernels import lm
+
+    bc = spark.sparkContext.broadcast(lm.default_model())
+    rng = np.random.RandomState(7041)
+    rows = [
+        {"doc_id": f"clean_{i:03d}", "cls": "clean",
+         "text": corpora.en_sentence(rng, 40)}
+        for i in range(150)
+    ] + [
+        {"doc_id": f"gibberish_{i:03d}", "cls": "gibberish",
+         "text": corpora.gibberish(rng, 220)}
+        for i in range(150)
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+
+    @F.pandas_udf("double")
+    def ppl(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = bc.value
+        for texts in batches:
+            yield pd.Series(m.perplexity(texts.fillna("").tolist()))
+
+    scored = sdf.withColumn("ppl", ppl(F.col("text")))
+    per_cls = scored.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ppl"), 6).alias("mean_ppl"),
+        F.round(F.min("ppl"), 6).alias("min_ppl"),
+        F.round(F.max("ppl"), 6).alias("max_ppl"),
+    )
+    bounds = scored.groupBy().agg(
+        F.max(F.when(F.col("cls") == "clean", F.col("ppl"))).alias("max_clean"),
+        F.min(F.when(F.col("cls") == "gibberish", F.col("ppl"))).alias(
+            "min_gibberish"
+        ),
+    )
+    return per_cls.crossJoin(F.broadcast(bounds)).select(
+        "cls",
+        "n_docs",
+        "mean_ppl",
+        "min_ppl",
+        "max_ppl",
+        (F.col("min_gibberish") > F.col("max_clean")).alias("fully_separated"),
+    )
