@@ -346,7 +346,22 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part = per_query.unionAll(summary)
         out = part if out is None else out.unionAll(part)
-    return out
+    pdf = out.toPandas()
+    macro = pdf[pdf.query_id == "ALL"]
+    # regression floor: round 1 shipped an LSH whose recall@5 was 0.0; a
+    # collapsed ANN path must be a RED driver row, not a quiet number
+    if (macro.recall_at_k < 0.3).any():
+        raise RuntimeError(
+            "ANN macro recall fell below the 0.3 regression floor\n"
+            + macro.to_string()
+        )
+    return spark.createDataFrame(
+        pdf,
+        schema=(
+            "method string, query_id string, n_true long, n_hit long, "
+            "recall_at_k double"
+        ),
+    )
 
 
 @register(

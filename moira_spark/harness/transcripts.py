@@ -180,7 +180,7 @@ def doc_langid_separable(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.Series(langs).astype(str)
 
     scored = sdf.withColumn("pred", predict(F.col("text")))
-    return (
+    out = (
         scored.groupBy("truth")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -195,6 +195,25 @@ def doc_langid_separable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("meets_floor", F.col("accuracy") >= F.lit(0.98))
         .orderBy("truth")
     )
+    return _assert_and_rebuild(
+        spark,
+        out,
+        lambda p: bool(p.meets_floor.all()),
+        "language-ID accuracy fell below the 0.98 pinned floor",
+    )
+
+
+def _assert_and_rebuild(spark, df: DataFrame, predicate, msg: str) -> DataFrame:
+    """Materialize a small metrics frame, HARD-FAIL if the pinned property
+    does not hold, and return the rows as a fresh local frame.
+
+    Rows-only driver checks record only row counts, so a silently-false
+    quality flag would be externally invisible; raising turns a model/
+    operator regression into a red row in CORRECTNESS_r{N}.json."""
+    pdf = df.toPandas()
+    if not predicate(pdf):
+        raise RuntimeError(msg + "\n" + pdf.to_string())
+    return spark.createDataFrame(pdf, schema=df.schema)
 
 
 @register("doc_perplexity", None)
@@ -503,6 +522,13 @@ def pipeline_f1_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     f1 = 2 * tp / max(2 * tp + fp + fn, 1)
     scrub_exact = float((m.scrubbed_text_s == m.scrubbed_text_r).mean())
     conv_agree = float((m.conv_keep_s == m.conv_keep_r).mean())
+    if f1 < 0.99 or scrub_exact != 1.0:
+        # the north rule's hard gates: fail loudly so the driver records a
+        # red row, not a quietly-false flag inside a rows-only check
+        raise RuntimeError(
+            f"acceptance gate failed: keep F1={f1:.6f} (gate >=0.99), "
+            f"byte-exact scrub fraction={scrub_exact:.6f} (gate =1.0)"
+        )
     row = (
         int(len(spark_out)),
         int(len(ref)),
@@ -572,11 +598,17 @@ def doc_perplexity_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_gibberish"
         ),
     )
-    return per_cls.crossJoin(F.broadcast(bounds)).select(
+    out = per_cls.crossJoin(F.broadcast(bounds)).select(
         "cls",
         "n_docs",
         "mean_ppl",
         "min_ppl",
         "max_ppl",
         (F.col("min_gibberish") > F.col("max_clean")).alias("fully_separated"),
+    )
+    return _assert_and_rebuild(
+        spark,
+        out,
+        lambda p: bool(p.fully_separated.all()),
+        "perplexity no longer separates gibberish from clean text",
     )
