@@ -569,28 +569,31 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection — not Bernoulli sample() — so the mix is reproducible across
     runs and cluster sizes, which is what a dataset card has to promise.
 
-    One window over (lang, doc_id); at 100 TB the same shape runs per
-    partition-pruned lang bucket and the rank cutoff streams without
-    materializing the stratum.
+    Scale shape (rewritten round 3): a ``Window.partitionBy("lang")`` rank
+    sends the entire English stratum — most of a real corpus — through ONE
+    reducer, and ``count(*) over (partition by lang)`` materializes the
+    stratum besides.  Here rank_in_lang comes from the hierarchical prefix
+    rank (operators/prefix.py: range partition on (lang, doc_id), tiny
+    per-partition counts broadcast back) and n_lang from an algebraic
+    groupBy + broadcast join, so every shuffle is balanced and no stratum
+    ever sits on a single partition.  Output is bit-identical to the window
+    form (doc_id is unique), which the DuckDB window oracle pins.
     """
-    from pyspark.sql import Window
+    from moira_spark.operators.prefix import running_rank
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    w_rank = Window.partitionBy("lang").orderBy("doc_id")
     frac = (
         F.when(F.col("lang") == "en", F.lit(0.5))
         .when(F.col("lang") == "de", F.lit(0.25))
         .otherwise(F.lit(0.1))
     )
-    ranked = d.select(
-        "doc_id",
-        "lang",
-        F.row_number().over(w_rank).alias("rank_in_lang"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
-    )
+    n_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    ranked = running_rank(
+        d, order_cols=["doc_id"], group_cols=["lang"], out_col="rank_in_lang"
+    ).join(F.broadcast(n_lang), "lang")
     return ranked.filter(
         F.col("rank_in_lang") <= F.ceil(F.col("n_lang") * frac)
-    )
+    ).select("doc_id", "lang", "rank_in_lang", "n_lang")
 
 
 # ------------------------------------------------- token-budget shard packing
@@ -609,7 +612,7 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT doc_id, n_tokens, cum_tokens,
-           CAST(FLOOR((cum_tokens - 1) / 2000) AS BIGINT) AS shard_id
+           CAST(FLOOR((GREATEST(cum_tokens, 1) - 1) / 2000) AS BIGINT) AS shard_id
     FROM runsum
     """,
 )
@@ -619,24 +622,31 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence-packing/sharding pass that turns a filtered corpus into
     training files.
 
-    The unbounded running sum is a single global-order window; at 10^12
-    docs the same assignment is computed hierarchically (per-partition
-    sums -> exclusive prefix over the tiny per-partition totals broadcast
-    back), which preserves exactly these shard ids.  The driver-scale
-    check pins the arithmetic; the hierarchy is an execution detail.
+    Rewritten round 3: the running sum is the hierarchical two-phase prefix
+    sum (operators/prefix.py) — per-partition token totals, exclusive prefix
+    over those tiny totals broadcast back, partition-local cumsum + offset —
+    instead of ``Window.orderBy("doc_id")``, whose plan moved the ENTIRE
+    corpus to a single partition (Spark's own "No Partition Defined for
+    Window operation" warning).  Output is bit-identical (doc_id unique);
+    the DuckDB global-window oracle pins that, and tests/test_plans.py pins
+    the absence of Exchange SinglePartition.
+
+    shard_id clamps cum_tokens at 1 so leading zero-token documents land in
+    shard 0, not shard -1 (shard ids are file indices and must start at 0);
+    the oracle applies the identical GREATEST clamp.
     """
-    from pyspark.sql import Window
+    from moira_spark.operators.prefix import running_sum
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     n_tokens = F.size(_words_col())
-    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    toks = d.select("doc_id", n_tokens.alias("n_tokens"))
-    return toks.select(
-        "doc_id",
-        "n_tokens",
-        F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
+    toks = d.select("doc_id", n_tokens.cast("bigint").alias("n_tokens"))
+    return running_sum(
+        toks, "n_tokens", order_cols=["doc_id"], out_col="cum_tokens"
     ).withColumn(
-        "shard_id", F.floor((F.col("cum_tokens") - 1) / 2000).cast("bigint")
+        "shard_id",
+        F.floor((F.greatest(F.col("cum_tokens"), F.lit(1)) - 1) / 2000).cast(
+            "bigint"
+        ),
     )
 
 
@@ -679,7 +689,7 @@ _SHARD_PLANT_SQL = """
       FROM deduped
     )
     SELECT doc_id, n_tokens,
-           CAST(FLOOR((cum_tokens - 1) / 2000) AS BIGINT) AS shard_id
+           CAST(FLOOR((GREATEST(cum_tokens, 1) - 1) / 2000) AS BIGINT) AS shard_id
     FROM packed
     """,
 )
@@ -690,11 +700,12 @@ def corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed) -> token-budget shard packing of the survivors.
 
     The composition is the point: filters reach the parquet scan, dedup is
-    one hash aggregation, packing is one running-sum window — Catalyst
-    fuses the filter+scoring stage into a single codegen pass over the
-    scan, so "assemble a training set" costs one shuffle for the dedup and
-    one for the global order.  Hash-checked against the identical DuckDB
-    composition.
+    one hash aggregation, packing is the hierarchical prefix sum
+    (operators/prefix.py — round 3, replacing the single-partition global
+    window) — Catalyst fuses the filter+scoring stage into a single codegen
+    pass over the scan, so "assemble a training set" costs one shuffle for
+    the dedup and one balanced range shuffle for the packing order.
+    Hash-checked against the identical DuckDB composition.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.unionAll(
@@ -726,13 +737,20 @@ def corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("h")
     )
-    from pyspark.sql import Window
+    from moira_spark.operators.prefix import running_sum
 
-    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return deduped.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(
-            (F.sum("n_tokens").over(w_cum) - 1) / 2000
-        ).cast("bigint").alias("shard_id"),
+    return (
+        running_sum(
+            deduped.withColumn("n_tokens", F.col("n_tokens").cast("bigint")),
+            "n_tokens",
+            order_cols=["doc_id"],
+            out_col="cum_tokens",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.greatest(F.col("cum_tokens"), F.lit(1)) - 1) / 2000
+            ).cast("bigint").alias("shard_id"),
+        )
     )

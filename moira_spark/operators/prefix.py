@@ -1,0 +1,153 @@
+"""Distributed running aggregates without a global-order window.
+
+``Window.orderBy(k)`` with no ``partitionBy`` is the classic Spark scale
+trap: the plan inserts ``Exchange SinglePartition`` and the ENTIRE input
+serializes through one reducer (Spark even logs "No Partition Defined for
+Window operation! Moving all data to a single partition").  Fine at sf0.1,
+fatal at 10^12 rows.  ``Window.partitionBy(g).orderBy(k)`` has the same
+problem per group when a group is hot (the English stratum of a training
+mix IS most of the corpus).
+
+This module computes the same running sums hierarchically, the textbook
+two-phase parallel prefix sum (Blelloch, "Prefix Sums and Their
+Applications", CMU-CS-90-190):
+
+1. range-repartition the input on (group, order) so each partition holds a
+   contiguous, disjoint key range (partition i's keys all sort before
+   partition i+1's);
+2. one map-side aggregate produces per-(partition, group) totals — at most
+   ``n_partitions + n_groups`` tiny rows regardless of input size;
+3. the driver computes exclusive prefix offsets over those totals (a few
+   thousand rows even on a 100k-partition cluster) and broadcast-joins them
+   back;
+4. a window partitioned by (physical partition, group) — balanced by
+   construction — adds the local running sum to the offset.
+
+The output is bit-identical to the single-reducer window whenever the
+order key is unique within each group (ties across partition boundaries
+would otherwise be resolved by physical placement; callers here order by
+unique ids).  The plan contains NO ``Exchange SinglePartition`` —
+tests/test_plans.py pins that property.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+_PID = "__prefix_pid"
+_OFF = "__prefix_off"
+
+
+def running_sum(
+    df: DataFrame,
+    value_col,
+    order_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``value_col`` over ``order_cols`` (per ``group_cols``
+    if given), equivalent to
+
+        SUM(value) OVER (PARTITION BY group ORDER BY order
+                         ROWS UNBOUNDED PRECEDING)
+
+    but computed with the hierarchical two-phase prefix sum above, so no
+    single-partition exchange ever appears in the plan.
+
+    ``value_col`` may be a column name or Column expression.  ``order_cols``
+    must be unique per group (ascending order assumed) for bit-identical
+    equivalence with the window form.
+
+    The returned frame keeps every input column plus ``out_col``.  The
+    intermediate range-partitioned frame is persisted (both the totals pass
+    and the final pass read it, and partition ids must be consistent between
+    the two); it is unpersisted once the offsets are collected — the final
+    pass re-reads from cache while materialized and recomputes
+    deterministically afterwards (range bounds are seeded by partition id in
+    Spark's RangePartitioner, so recomputation yields the same placement).
+    """
+    spark = df.sparkSession
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+    keys = [*group_cols, *order_cols]
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    ranged = (
+        df.withColumn("__prefix_val", value)
+        .repartitionByRange(n, *[F.col(c) for c in keys])
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        totals = (
+            ranged.groupBy(_PID, *group_cols)
+            .agg(F.sum("__prefix_val").alias("__tot"))
+            .collect()
+        )
+        # Exclusive prefix per group over partition ids.  Range partitioning
+        # guarantees pid order == key order, so summing totals of lower pids
+        # (same group) gives exactly the amount that precedes this partition.
+        totals.sort(key=lambda r: ([r[c] for c in group_cols], r[_PID]))
+        offsets, acc, cur_group = [], 0, object()
+        for r in totals:
+            g = tuple(r[c] for c in group_cols)
+            if g != cur_group:
+                cur_group, acc = g, 0
+            offsets.append((*g, r[_PID], acc))
+            acc += r["__tot"] or 0
+
+        off_schema = ", ".join(
+            [f"{c} {t}" for c, t in zip(group_cols, _types_of(df, group_cols))]
+            + [f"{_PID} int", f"{_OFF} bigint"]
+        )
+        off_df = spark.createDataFrame(offsets, schema=off_schema)
+
+        w = Window.partitionBy(_PID, *group_cols).orderBy(
+            *[F.col(c) for c in order_cols]
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        out = (
+            ranged.join(F.broadcast(off_df), [_PID, *group_cols])
+            .withColumn(
+                out_col, F.sum("__prefix_val").over(w) + F.col(_OFF)
+            )
+            .drop(_PID, _OFF, "__prefix_val")
+        )
+        # Force the offsets join plan to resolve while `ranged` is cached;
+        # the caller materializes lazily and may do so after unpersist —
+        # recomputation is deterministic (see docstring).
+        return out
+    finally:
+        # Defer actual block eviction until the query that consumes `out`
+        # finishes if it is already running; Spark handles in-flight reads.
+        ranged.unpersist(blocking=False)
+
+
+def running_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ROW_NUMBER() OVER (PARTITION BY group ORDER BY order) without a
+    hot-group single-reducer window: a running sum of the constant 1."""
+    return running_sum(
+        df,
+        F.lit(1).cast("bigint"),
+        order_cols,
+        group_cols,
+        out_col=out_col,
+        num_partitions=num_partitions,
+    )
+
+
+def _types_of(df: DataFrame, cols: Sequence[str]) -> list[str]:
+    m = dict(df.dtypes)
+    return [m[c] for c in cols]

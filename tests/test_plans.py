@@ -1,0 +1,92 @@
+"""Physical-plan regression tests (round-3, verdict item 5).
+
+PLANS.md documents the plan conventions (pushed filters, pruned ReadSchema,
+broadcast joins for small sides, one Arrow hop per UDF stage, no
+single-partition exchange); until now a plan regression only surfaced as a
+bench number.  These tests make the properties fail fast in pytest.
+
+Counting notes:
+- ``executedPlan().toString()`` is the PRE-execution plan: a persisted
+  branch point appears once per consumer until its InMemoryRelation
+  materializes, so Arrow counts for cached two-branch plans are asserted
+  as upper bounds (the runtime executes the stage once).
+- ``SinglePartition`` is the string Spark prints for the
+  ``Exchange SinglePartition`` a global-order window inserts — the exact
+  scale bug the hierarchical prefix sum removed.  Zero tolerance.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import moira_spark.harness as harness
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = harness.queries()[name](spark, SF)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    return s
+
+
+def _pushed(plan: str) -> int:
+    return len(
+        [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
+    )
+
+
+# (query, max_single_partition, max_arrow, min_broadcast_joins, min_pushed)
+CASES = [
+    ("shard_packing", 0, 0, 1, 0),
+    ("corpus_to_shards", 0, 0, 1, 1),
+    ("training_mix_sample", 0, 0, 2, 1),
+    ("transcripts_pipeline", 0, 2, 1, 0),
+    ("doc_perplexity", 0, 1, 0, 0),
+    ("doc_langid", 0, 1, 0, 0),
+    ("q1_pricing_summary", 0, 0, 0, 1),
+    ("embedding_cosine_topk", 0, 0, 0, 1),
+]
+
+
+@pytest.mark.parametrize("name,max_sp,max_arrow,min_bhj,min_pushed", CASES)
+def test_plan_properties(spark, name, max_sp, max_arrow, min_bhj, min_pushed):
+    plan = _plan(spark, name)
+    sp = plan.count("SinglePartition")
+    assert sp <= max_sp, f"{name}: {sp} single-partition exchange(s)\n{plan}"
+    arrow = plan.count("ArrowEvalPython")
+    assert arrow <= max_arrow, f"{name}: {arrow} Arrow hops (max {max_arrow})"
+    bhj = plan.count("BroadcastHashJoin")
+    assert bhj >= min_bhj, f"{name}: {bhj} broadcast joins (need >= {min_bhj})"
+    assert _pushed(plan) >= min_pushed, f"{name}: pushed filters missing"
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_region_revenue"])
+def test_no_sort_merge_join_in_headliners(spark, name):
+    # Small dims must broadcast; a SortMergeJoin in these plans means the
+    # broadcast threshold or an explicit hint regressed.
+    plan = _plan(spark, name)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_scan_column_pruning(spark):
+    # q1 projects 6 lineitem columns; the parquet scan must not read more.
+    # (ReadSchema is truncated in toString(), so parse the FileScan column
+    # list instead.)
+    plan = _plan(spark, "q1_pricing_summary")
+    reads = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert reads, plan
+    widest = max(len([c for c in r.split(",") if c.strip()]) for r in reads)
+    assert widest <= 8, f"q1 scan reads {widest} columns: {reads}"
+
+
+def test_pipeline_uses_one_python_runtime_per_stage(spark):
+    # The flagship keep/drop pipeline computes every per-turn score in ONE
+    # vectorized Arrow stage (two plan appearances = the persisted branch
+    # consumed by good-rows and audit); row-at-a-time PythonUDF must never
+    # appear anywhere.
+    plan = _plan(spark, "transcripts_pipeline")
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in plan"
