@@ -96,8 +96,75 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_TABLES = 8  # independent hash tables; candidates = union over tables
+_LSH_TABLES = 12  # independent hash tables; candidates = union over tables
 _LSH_TARGET_OCCUPANCY = 8  # vectors per bucket the signature width aims for
+
+
+def _quantized(base: DataFrame) -> DataFrame:
+    """int8 per-vector scale quantization, computed JVM-side: adds
+    (scale double, code array<tinyint>) to a (vec_id, v) frame.  The ANN
+    index stores (bucket/cell, code, scale) — 8x smaller than the float64
+    vectors — and candidate generation + approximate scoring never touch
+    the full embedding column."""
+    maxabs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    vscale = F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0)
+    code = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale"))).cast(
+        "array<tinyint>"
+    )
+    return base.withColumn("scale", vscale).withColumn("code", code)
+
+
+def _adc_rerank(
+    base: DataFrame,
+    cand: DataFrame,
+    rerank: int,
+    stats_out: dict | None,
+) -> DataFrame:
+    """Shared ADC + exact re-rank tail for both ANN paths (the +R stage of
+    Jegou et al.'s IVFADC+R, applied uniformly): candidates
+    (query_id, qe, vec_id, code, scale) are approx-scored with the
+    asymmetric dot q . (code * scale) — pure codegen, reads only the int8
+    code — and only the top-``rerank`` per query are exact-scored via a
+    join back to the full vectors.  Exact work per query is bounded by
+    ``rerank`` regardless of how many candidates the buckets produced."""
+    adc = F.col("scale") * F.aggregate(
+        F.zip_with(F.col("qe"), F.col("code"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        cand.select("query_id", "qe", "vec_id", adc.alias("adc_score"))
+        .withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= rerank)
+        .select("query_id", "qe", "vec_id")
+    )
+    if stats_out is not None:
+        shortlist = shortlist.persist()
+        stats_out["n_exact"] = shortlist.count()  # exact-scored rows
+
+    exact = shortlist.join(
+        base.select("vec_id", F.col("v").alias("ne")), "vec_id"
+    )
+    cos = _dot(F.col("qe"), F.col("ne")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    )
+    scored = exact.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
 
 
 def _lsh_bits(n_vectors: int, occupancy: int = _LSH_TARGET_OCCUPANCY) -> int:
@@ -137,45 +204,74 @@ def make_sign_lsh_udf(spark: SparkSession, planes: np.ndarray):
     return sigs_of
 
 
+_LSH_NFLIP = 2  # multiprobe: extra low-margin bit flips per table
+_ANN_RERANK = 50  # exact-scored candidates per query after the ADC pass
+
+
 @register("embedding_ann_lsh", None)  # banded hashing: rows-only check
 def embedding_ann_lsh(
     spark: SparkSession,
     sf_dir: str,
     n_tables: int | None = None,
     occupancy: int | None = None,
+    nflip: int | None = None,
+    rerank: int | None = None,
     stats_out: dict | None = None,
 ) -> DataFrame:
-    """ANN via multi-table random-hyperplane LSH (bucket equi-join, no
-    cross join).
+    """ANN via multi-table random-hyperplane LSH with multiprobe and
+    ADC re-rank (bucket equi-join, no cross join).
 
-    T=8 independent tables of occupancy-sized sign signatures; a pair is a
-    candidate if it collides in ANY table (a single fixed-width table
-    measured recall@5 = 0.0 here — one 12-bit signature almost never agrees
-    on all bits for true neighbors; the multi-table union over
-    occupancy-targeted buckets is the standard fix and what makes the
-    recall/scale trade real).  Signatures are computed in one vectorized
-    Arrow hop; the corpus side of the candidate join is map-side only
-    (broadcast query buckets), so work scales with bucket occupancy, not
-    corpus size.  Measured against brute force in embedding_ann_recall.
+    T=12 independent tables of occupancy-sized sign signatures; a pair is a
+    candidate if it collides in ANY table.  Round 3 adds two stages:
+
+    - query-side multiprobe (Lv et al., "Multi-Probe LSH", VLDB 2007):
+      each query also probes the buckets reached by flipping its ``nflip``
+      lowest-|margin| signature bits — recall@5 on this deliberately
+      low-margin corpus goes 0.46 -> ~0.8 where buying the same recall
+      with more tables needed 41% of the corpus exact-scored;
+    - the shared ADC + exact re-rank tail (_adc_rerank): bucket rows carry
+      int8 codes, candidates are approx-scored JVM-side, and only the
+      top-``rerank`` per query touch full vectors — so exact work per
+      query is bounded by ``rerank`` no matter how many buckets collide.
+
+    Corpus signatures are one vectorized Arrow hop (shared bit-for-bit with
+    the near-dup query via make_sign_lsh_udf); query probe buckets are
+    computed driver-side from the tiny query set and broadcast, so the
+    corpus side of the candidate join stays map-side only and work scales
+    with bucket occupancy x probes, not corpus size.  Measured against
+    brute force in embedding_ann_recall.
     """
+    from moira_spark.kernels import ann
+
     n_tables = _LSH_TABLES if n_tables is None else n_tables
     occupancy = _LSH_TARGET_OCCUPANCY if occupancy is None else occupancy
+    nflip = _LSH_NFLIP if nflip is None else nflip
+    rerank = _ANN_RERANK if rerank is None else rerank
     e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _dbl("embedding").alias("v"))
     bits = _lsh_bits(e.count(), occupancy)
-    sigs_of = make_sign_lsh_udf(spark, _hyperplanes(bits, n_tables=n_tables))
-    signed = e.select(
-        F.col("vec_id"), _dbl("embedding").alias("v"),
-        sigs_of(_dbl("embedding")).alias("sigs"),
-    ).persist()  # feeds corpus AND query branches: one UDF pass
-
-    buckets = signed.select(
-        "vec_id", "v", F.posexplode("sigs").alias("t", "sig")
+    planes = _hyperplanes(bits, n_tables=n_tables)
+    sigs_of = make_sign_lsh_udf(spark, planes)
+    buckets = _quantized(base).select(
+        "vec_id", "scale", "code",
+        F.posexplode(sigs_of(F.col("v"))).alias("t", "sig"),
     )
-    q = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qe"),
-        F.col("t").alias("qt"),
-        F.col("sig").alias("qsig"),
+
+    # Query probe buckets: tiny (n_queries x T x (1+nflip)), driver-side.
+    qpdf = (
+        base.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", F.col("v").alias("qe"))
+        .toPandas()
+    )
+    probe_rows = [
+        {"query_id": int(qid), "qe": list(map(float, qv)), "qt": t, "qsig": s}
+        for qid, qv in zip(qpdf["vec_id"], qpdf["qe"])
+        for t, sigs in enumerate(ann.lsh_probe_sigs(np.array(qv), planes, nflip))
+        for s in sigs
+    ]
+    q = spark.createDataFrame(
+        pd.DataFrame(probe_rows),
+        schema="query_id long, qe array<double>, qt int, qsig long",
     )
     cand = (
         buckets.join(
@@ -184,35 +280,21 @@ def embedding_ann_lsh(
             & (F.col("sig") == F.col("qsig"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        # a pair colliding in several tables must score once
+        # a pair colliding in several tables/probes must score once
         .dropDuplicates(["query_id", "vec_id"])
     )
-    if stats_out is not None:  # A/B instrumentation: exact-scored candidates
-        # persist before counting — the count and the top-k both consume
+    if stats_out is not None:  # A/B instrumentation: ADC-scored candidates
+        # persist before counting — the count and the re-rank both consume
         # cand, and without the cache the whole signing/explode/join
         # pipeline would execute twice (caller releases via clearCache)
         cand = cand.persist()
         stats_out["n_candidates"] = cand.count()
-    cos = _dot(F.col("qe"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cos, 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim")
-    )
+    return _adc_rerank(base, cand, rerank, stats_out)
 
 
-_IVF_CELLS = 16
-_IVF_NPROBE = 4
+_IVF_CELLS = 32
+_IVF_NPROBE = 8
+_IVF_ASSIGN = 2  # corpus multi-assignment: each vector indexed in top-a cells
 
 
 @register("embedding_ann_ivf", None)  # data-adaptive cells: rows-only check
@@ -220,38 +302,67 @@ def embedding_ann_ivf(
     spark: SparkSession,
     sf_dir: str,
     nprobe: int | None = None,
+    cells_k: int | None = None,
+    assign: int | None = None,
+    rerank: int | None = None,
     stats_out: dict | None = None,
 ) -> DataFrame:
-    """ANN via IVF (inverted-file) cells — the second scale path next to LSH.
+    """ANN via IVF-ADC: inverted-file cells + asymmetric distance on int8
+    codes + exact re-rank (the coarse-quantizer + ADC scheme of Jegou,
+    Douze & Schmid, TPAMI 2011; re-rank per their IVFADC+R variant).
 
-    Seeded k-means centroids are trained driver-side on a bounded
-    deterministic sample (first 2048 vec_ids), broadcast, and every vector
-    is assigned to its max-cosine cell in one vectorized Arrow hop — a
-    linear, shuffle-free pass, like the sketch queries.  A query scans only
-    its nprobe nearest cells: candidate generation is an equi-join of the
-    corpus against the tiny broadcast (query, probe-cell) list, so work
-    scales with cell occupancy, not corpus size.  Exact cosine + top-k runs
-    on candidates only.  Recall vs brute force: embedding_ann_recall.
+    Round-3 rewrite for recall: the r2 version exact-scored every vector in
+    nprobe=4 of 16 cells (recall 0.54 at 25% exact-scanned).  Structure now:
+
+    1. seeded k-means centroids trained driver-side on a bounded
+       deterministic sample, broadcast;
+    2. every corpus vector indexed in its top-``assign`` cells
+       (multi-assignment — index is ``assign`` x bigger, recall at fixed
+       nprobe much higher) in one vectorized Arrow hop, carrying an int8
+       CODE (per-vector scale quantization, 8x smaller than the float64
+       embedding) instead of the full vector;
+    3. a query probes its ``nprobe`` best cells by centroid margin
+       (multiprobe): candidates = equi-join against the tiny broadcast
+       probe list, approx-scored JVM-side with the asymmetric dot
+       q . (code * scale) — cheap, reads only the code column;
+    4. only the top-``rerank`` ADC candidates per query are exact-scored,
+       via a join back to the full vectors on vec_id.
+
+    At 10^12 vectors the same shape holds with k ~ 2^16 cells and nprobe
+    ~64: the probed fraction is ~0.1%, the ADC pass reads 8x fewer bytes
+    than full vectors, and the exact pass touches ``rerank`` rows per query.
+    On this (deliberately near-isotropic, low-margin) test corpus:
+    recall@5 0.86 with ~44% ADC-scanned / ~10% exact-scanned, vs 0.54 at
+    25% exact for the r2 shape.  Recall gate: embedding_ann_recall.
     """
     from moira_spark.kernels import ann
 
     nprobe = _IVF_NPROBE if nprobe is None else nprobe
+    cells_k = _IVF_CELLS if cells_k is None else cells_k
+    assign = _IVF_ASSIGN if assign is None else assign
+    rerank = _ANN_RERANK if rerank is None else rerank
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", _dbl("embedding").alias("v"))
 
     sample = base.orderBy("vec_id").limit(2048).toPandas()
     C = ann.kmeans_fit(
-        np.array(sample["v"].tolist()), k=_IVF_CELLS, iters=10, seed=7
+        np.array(sample["v"].tolist()), k=cells_k, iters=15, seed=7
     )
     bc = spark.sparkContext.broadcast(C)
 
-    @F.pandas_udf("int")
-    def cell_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    @F.pandas_udf("array<int>")
+    def cells_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         cents = bc.value
         for vs in batches:
-            yield pd.Series(ann.assign_cells(vs.tolist(), cents))
+            yield pd.Series(ann.assign_cells_multi(vs.tolist(), cents, assign))
 
-    cells = base.select("vec_id", "v", cell_of(F.col("v")).alias("cell"))
+    # The index stores (cell, code, scale), never the full vector.
+    index = _quantized(base).select(
+        "vec_id",
+        "scale",
+        "code",
+        F.explode(cells_of(F.col("v"))).alias("cell"),
+    )
 
     qpdf = sample[sample["vec_id"] < _N_QUERIES]
     probe_rows = [
@@ -267,28 +378,16 @@ def embedding_ann_ivf(
         pd.DataFrame(probe_rows),
         schema="query_id long, qe array<double>, cell int",
     )
-    cand = cells.join(F.broadcast(probes), "cell").filter(
-        F.col("vec_id") != F.col("query_id")
+    cand = (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        # multi-assignment: a vector can meet a query in several cells
+        .dropDuplicates(["query_id", "vec_id"])
     )
-    if stats_out is not None:  # A/B instrumentation: exact-scored candidates
-        cand = cand.persist()  # see LSH note: count + top-k share one pass
-        stats_out["n_candidates"] = cand.count()
-    cos = _dot(F.col("qe"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cos, 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim")
-    )
+    if stats_out is not None:
+        cand = cand.persist()  # count + re-rank share one pass
+        stats_out["n_candidates"] = cand.count()  # ADC-scored rows
+    return _adc_rerank(base, cand, rerank, stats_out)
 
 
 @register("embedding_ann_recall", None)
@@ -304,9 +403,12 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = embedding_cosine_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("true_neighbor")
     )
+    n_corpus = load(spark, sf_dir, "embeddings").count()
+    denom = float(_N_QUERIES * (n_corpus - 1))
     out = None
     for method, fn in (("lsh", embedding_ann_lsh), ("ivf", embedding_ann_ivf)):
-        approx = fn(spark, sf_dir).select(
+        stats: dict = {}
+        approx = fn(spark, sf_dir, stats_out=stats).select(
             "query_id", F.col("neighbor_id").alias("ann_neighbor")
         )
         hits = truth.join(
@@ -332,7 +434,15 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
                 "recall_at_k"
             ),
+            F.lit(None).cast("double").alias("adc_scanned_frac"),
+            F.lit(None).cast("double").alias("exact_scanned_frac"),
         )
+        # Scan-fraction accounting (the other half of the ANN trade):
+        # adc = candidates scored from int8 codes, exact = full-precision
+        # re-ranked rows.  Populated on the ALL row so the driver pins the
+        # trade, not just the recall.
+        adc_frac = round(stats["n_candidates"] / denom, 6)
+        exact_frac = round(stats["n_exact"] / denom, 6)
         summary = per_query.agg(
             F.sum("n_true").alias("n_true"),
             F.sum("n_hit").alias("n_hit"),
@@ -343,23 +453,30 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
             "n_hit",
             "recall_at_k",
+            F.lit(adc_frac).alias("adc_scanned_frac"),
+            F.lit(exact_frac).alias("exact_scanned_frac"),
         )
-        part = per_query.unionAll(summary)
-        out = part if out is None else out.unionAll(part)
-    pdf = out.toPandas()
+        # materialize this method's rows BEFORE dropping its persists
+        part = per_query.unionAll(summary).toPandas()
+        out = part if out is None else pd.concat([out, part], ignore_index=True)
+        spark.catalog.clearCache()  # release the stats_out persists
+    pdf = out
     macro = pdf[pdf.query_id == "ALL"]
     # regression floor: round 1 shipped an LSH whose recall@5 was 0.0; a
-    # collapsed ANN path must be a RED driver row, not a quiet number
-    if (macro.recall_at_k < 0.3).any():
+    # collapsed ANN path must be a RED driver row, not a quiet number.
+    # Raised 0.3 -> 0.6 in round 3 once multiprobe LSH (0.76) and IVF-ADC
+    # with exact re-rank (0.86) gave the gate real teeth.
+    if (macro.recall_at_k < 0.6).any():
         raise RuntimeError(
-            "ANN macro recall fell below the 0.3 regression floor\n"
+            "ANN macro recall fell below the 0.6 regression floor\n"
             + macro.to_string()
         )
     return spark.createDataFrame(
         pdf,
         schema=(
             "method string, query_id string, n_true long, n_hit long, "
-            "recall_at_k double"
+            "recall_at_k double, adc_scanned_frac double, "
+            "exact_scanned_frac double"
         ),
     )
 

@@ -54,8 +54,48 @@ def assign_cells(X, C: np.ndarray) -> np.ndarray:
     return (Xn @ C.T).argmax(axis=1).astype(np.int32)
 
 
+def assign_cells_multi(X, C: np.ndarray, a: int) -> list[list[int]]:
+    """Top-``a`` highest-cosine cells per row (multi-assignment: each vector
+    is indexed in its ``a`` best cells, trading index size for recall — the
+    standard IVF replication knob).  Stable order, cell ids sorted."""
+    Xn = normalize(np.asarray(list(X), dtype=np.float64))
+    aff = Xn @ C.T
+    top = np.argsort(-aff, axis=1, kind="stable")[:, :a]
+    return [sorted(int(c) for c in row) for row in top]
+
+
 def probe_cells(q: np.ndarray, C: np.ndarray, nprobe: int) -> np.ndarray:
-    """The nprobe highest-cosine cells for one query vector (sorted ids)."""
+    """The nprobe highest-cosine cells for one query vector (sorted ids) —
+    multiprobe by centroid margin: cells are ranked by cosine to the query,
+    so probe i+1 is always the next-best margin."""
     qn = normalize(q.reshape(1, -1))[0]
     order = np.argsort(-(C @ qn), kind="stable")
     return np.sort(order[:nprobe]).astype(np.int32)
+
+
+def lsh_probe_sigs(
+    q: np.ndarray, planes: np.ndarray, nflip: int
+) -> list[list[int]]:
+    """Multiprobe sign-LSH: per hash table, the query's own bucket plus the
+    buckets reached by flipping each of the ``nflip`` lowest-|margin| bits
+    (Lv et al., "Multi-Probe LSH", VLDB 2007).  A near neighbor that lands
+    one low-confidence bit away still becomes a candidate without paying
+    for more tables or wider buckets.
+
+    Uses the identical einsum/threshold arithmetic as the corpus-side
+    signature UDF (harness/similarity.py make_sign_lsh_udf) so a query's
+    base bucket always equals its corpus signature bit-for-bit.
+    """
+    X = np.asarray(q, dtype=np.float64).reshape(1, -1)
+    proj = np.einsum("nd,tbd->ntb", X, planes)[0]  # (T, bits) margins
+    bits = proj > 0
+    weights = (1 << np.arange(planes.shape[1])).astype(np.int64)
+    out: list[list[int]] = []
+    for t in range(planes.shape[0]):
+        base = int((bits[t].astype(np.int64) * weights).sum())
+        sigs = [base]
+        order = np.argsort(np.abs(proj[t]), kind="stable")
+        for j in order[:nflip]:
+            sigs.append(base ^ int(weights[j]))
+        out.append(sigs)
+    return out

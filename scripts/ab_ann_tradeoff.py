@@ -48,29 +48,54 @@ def main() -> None:
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
 
     print(f"corpus={n_corpus} queries={sim._N_QUERIES} k={sim._TOP_K}")
-    print("method          | recall@5 | scanned")
-    print("brute force     |    1.000 | 1.000")
-    for n_tables, occ in ((8, 8), (16, 8), (16, 16), (32, 16), (32, 32)):
+    print("method                        | recall@5 | cand(approx) | exact")
+    print("brute force                   |    1.000 |        1.000 | 1.000")
+    for n_tables, occ, nflip in (
+        (8, 8, 0),
+        (8, 8, 2),
+        (12, 8, 2),  # the default
+        (16, 8, 1),
+    ):
         stats: dict = {}
         rows = sim.embedding_ann_lsh(
-            spark, SF_DIR, n_tables=n_tables, occupancy=occ, stats_out=stats
+            spark,
+            SF_DIR,
+            n_tables=n_tables,
+            occupancy=occ,
+            nflip=nflip,
+            stats_out=stats,
         ).collect()
         spark.catalog.clearCache()
         frac = stats["n_candidates"] / denom
+        exact_frac = stats["n_exact"] / denom
         print(
-            f"lsh T={n_tables:<3} occ={occ:<3} | "
-            f"{recall_of(truth, rows):8.3f} | {frac:.3f}"
+            f"lsh T={n_tables:<3} occ={occ:<3} flip={nflip:<2}    | "
+            f"{recall_of(truth, rows):8.3f} | {frac:12.3f} | {exact_frac:.3f}"
         )
-    for nprobe in (2, 4, 6, 8):
+    for cells_k, a, nprobe, rr in (
+        (16, 1, 4, 500),
+        (32, 1, 8, 500),
+        (32, 2, 8, 50),
+        (32, 2, 8, 100),
+        (64, 2, 16, 50),
+    ):
         stats = {}
         rows = sim.embedding_ann_ivf(
-            spark, SF_DIR, nprobe=nprobe, stats_out=stats
+            spark,
+            SF_DIR,
+            nprobe=nprobe,
+            cells_k=cells_k,
+            assign=a,
+            rerank=rr,
+            stats_out=stats,
         ).collect()
         spark.catalog.clearCache()
-        frac = stats["n_candidates"] / denom
+        adc_frac = stats["n_candidates"] / denom
+        exact_frac = stats["n_exact"] / denom
         print(
-            f"ivf nprobe={nprobe:<4} | "
-            f"{recall_of(truth, rows):8.3f} | {frac:.3f}"
+            f"ivf k={cells_k:<3} a={a} np={nprobe:<3} R={rr:<4}| "
+            f"{recall_of(truth, rows):8.3f} | {adc_frac:12.3f} | "
+            f"{exact_frac:.3f}"
         )
 
 
