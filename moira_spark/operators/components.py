@@ -13,12 +13,21 @@ are dense (pair generators emit most intra-cluster edges), so 1-3 rounds
 in practice.  The driver-side loop touches only one scalar aggregate per
 round (the changed-label count) — no row data ever reaches the driver.
 
-At 10^12-edge scale, swap the propagation step for the alternating
-large-star/small-star rounds of Kiveris et al., "Connected Components in
-MapReduce and Beyond" (SoCC 2014) — O(log n) rounds independent of
-diameter, same per-round shape (self-join + min-agg).  The interface is
-the same; propagation is used here because planted-cluster diameters are
-tiny and every round is two shuffles on (id) keys.
+Two algorithms behind one interface:
+
+- ``connected_components`` — min-label propagation; rounds = graph
+  diameter.  The right tool for dense near-dup clusters (pair generators
+  emit most intra-cluster edges, diameter 1-3) and each round is two
+  cheap shuffles on (id) keys.  Raises rather than silently truncating
+  when the diameter exceeds ``max_iter``.
+- ``connected_components_bigstar`` — the alternating large-star /
+  small-star rounds of Kiveris et al., "Connected Components in MapReduce
+  and Beyond" (SoCC 2014): O(log n) rounds INDEPENDENT of diameter, so a
+  pair generator that emits long chains (transitive fuzzy matches,
+  follow-your-nose entity resolution) converges where propagation would
+  need diameter rounds.  Each round is a groupBy-min plus a co-partitioned
+  join — no collect_list, so a hot node never materializes its whole
+  neighborhood in one task.
 """
 
 from __future__ import annotations
@@ -33,10 +42,10 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) undirected edges -> (id, comp) with comp = min id reachable.
 
-    The returned frame is persisted (its lineage spans every propagation
-    round; recomputing it would re-run the whole iteration) — the caller
-    owns releasing it via .unpersist() / spark.catalog.clearCache() once
-    materialized, the same contract as pipeline.run_pipeline.
+    The returned frame is localCheckpoint-ed (materialized, lineage
+    truncated); its blocks are freed by the ContextCleaner when the frame
+    is garbage collected — callers may still call .unpersist() /
+    clearCache() harmlessly, the same contract as pipeline.run_pipeline.
 
     Raises RuntimeError if the fixpoint is not reached in ``max_iter``
     rounds (diameter larger than expected — switch to the log-rounds
@@ -47,11 +56,16 @@ def connected_components(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    # localCheckpoint per round, not persist: each round's frame references
+    # the previous labels twice (via nmin and the join-back), so without
+    # truncating the logical plan the tree doubles per round and Catalyst
+    # re-plans an exponentially growing graph.  See the same note in
+    # connected_components_bigstar.
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iter):
@@ -68,20 +82,120 @@ def connected_components(
                         F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
                     ).alias("comp"),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new.join(labels.select("id", F.col("comp").alias("old")), "id")
                 .filter(F.col("comp") != F.col("old"))
                 .count()
             )
-            labels.unpersist()
             labels = new
             if changed == 0:
                 return labels
-        labels.unpersist()  # error path: do not strand the last round's cache
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
     finally:
         sym.unpersist()
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round (Kiveris et al. SoCC 2014).
+
+    large-star(u): m = min(N(u) + {u}); rewire every neighbor v > u to m.
+    small-star(u): over edges directed high->low (u > v): m = min(N-(u));
+                   rewire u and every smaller neighbor to m.
+
+    Both are expressed as groupBy-min + join on the SAME key (no
+    collect_list): the min-aggregate and the join co-partition, so a round
+    costs one shuffle of the edge list plus a map-side rewire.
+    """
+    if large:
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        out = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+    else:
+        dird = edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        mins = dird.groupBy("src").agg(F.min("dst").alias("m"))
+        rewired = dird.join(mins, "src")
+        out = rewired.select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        ).union(rewired.select("src", F.col("m").alias("dst")))
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components_bigstar(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """(src, dst) undirected edges -> (id, comp), comp = min id reachable —
+    in O(log n) alternating large-star/small-star rounds, independent of
+    graph diameter (Kiveris et al., SoCC 2014).
+
+    Same contract as connected_components (including the caller-releases
+    persistence rule); use this when the pair generator can emit long
+    chains.  Convergence is detected by a stable (count, xxhash64-sum)
+    edge-set checksum — one tiny aggregate per round reaches the driver,
+    never row data.  ``max_iter`` is a safety net two orders above the
+    log2 bound for any realistic graph.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # localCheckpoint, not persist: each star round references the previous
+    # round's frame TWICE (the symmetrizing union), so without truncating
+    # the logical plan the tree doubles every round and Catalyst re-plans an
+    # exponentially growing graph (observed as minutes of pure planning by
+    # round ~8).  localCheckpoint materializes the rows AND cuts lineage to
+    # a LogicalRDD; on a real cluster with executor-loss concerns, set a
+    # checkpoint dir and use reliable .checkpoint() instead — same shape.
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        after_large = _star_round(cur, large=True)
+        cur = _star_round(after_large, large=False).localCheckpoint(eager=True)
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: ANSI-safe against long overflow while
+            # staying an exact, order-independent checksum
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            # Fixpoint: edges now form stars (child -> root); roots and
+            # isolated nodes label themselves via the left join.
+            labels = nodes.join(
+                cur.select(F.col("src").alias("id"), F.col("dst").alias("comp")),
+                "id",
+                "left",
+            ).select(
+                "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+            )
+            nodes.unpersist(blocking=False)
+            return labels.persist(StorageLevel.MEMORY_AND_DISK)
+        prev_sig = sig
+    nodes.unpersist(blocking=False)
+    raise RuntimeError(
+        f"connected_components_bigstar did not converge in {max_iter} rounds"
+    )
