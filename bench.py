@@ -54,7 +54,9 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    "shard_packing",
     "corpus_to_shards",
+    "pipeline_f1_vs_reference",
 ]
 
 
@@ -136,8 +138,15 @@ def main() -> None:
         _materialize(labels)
         pipeline_runs.append(round(time.time() - t0, 3))
         release_cache(labels)
-    # run 0 pays this plan shape's codegen — warm best is min over runs 1-4
-    pipeline_sec = min(pipeline_runs[1:])
+    # run 0 pays this plan shape's codegen — warm best is min over runs 1-4;
+    # the median of the same runs is reported alongside (ADVICE r2): a
+    # best-of floor can ride one lucky low-steal window, the median cannot,
+    # so round-over-round regressions are judged against BOTH.
+    warm = sorted(pipeline_runs[1:])
+    pipeline_sec = warm[0]
+    pipeline_median = round(
+        (warm[len(warm) // 2] + warm[(len(warm) - 1) // 2]) / 2, 3
+    )
     timings["transcripts_pipeline"] = round(pipeline_sec, 3)
 
     steal1, total1 = _cpu_jiffies()
@@ -155,6 +164,8 @@ def main() -> None:
         "cpus": CPUS,
         "pipeline_turns": n_turns,
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "pipeline_median_sec": pipeline_median,
+        "turns_per_sec_median": round(n_turns / pipeline_median, 1),
         "pipeline_runs_sec": pipeline_runs,
         "host_steal_frac": steal_frac,
     }

@@ -27,10 +27,16 @@ def _burn(args: tuple[float, int]) -> float:
 
 
 def ramp_cpu(seconds: float, procs: int) -> None:
-    """Bring the virtualized host up to full speed before timing anything."""
+    """Bring the virtualized host up to full speed before timing anything.
+
+    Spawn (not fork) context: bench.py calls this AFTER the Spark JVM and
+    its py4j threads are up, and forking a multithreaded process is a known
+    intermittent-deadlock source (a thread holding a lock at fork time
+    leaves the child's copy locked forever).  The burn workers only need
+    numpy, so the spawn startup cost is noise."""
     import multiprocessing as mp
 
-    with mp.Pool(procs) as p:
+    with mp.get_context("spawn").Pool(procs) as p:
         p.map(_burn, [(seconds, i) for i in range(procs)])
 
 

@@ -18,6 +18,15 @@ orphaned staging dir that no snapshot references, so re-running the same
 run_id is idempotent: the orphan is overwritten, and commit happens once.
 This is exactly Iceberg's optimistic snapshot protocol minus manifest-level
 file tracking (sufficient here because each run writes its own directory).
+
+Concurrency (round 3): snapshot files are created with an atomic
+link-if-absent (full content written to a temp file first, then os.link —
+which fails with FileExistsError when the version already exists).  A commit
+or compaction that loses the race re-reads the fresh snapshot and retries
+with the next version, exactly Iceberg's CAS commit loop; the loser of a
+compact-vs-append race therefore re-folds the appended rows instead of
+silently dropping them.  LATEST is a convenience hint; readers resolve the
+maximum v<N>.json so a stale pointer can never hide a committed snapshot.
 """
 
 from __future__ import annotations
@@ -65,6 +74,13 @@ class Snapshot:
         )
 
 
+_CAS_RETRIES = 10
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed this snapshot version first (CAS lost)."""
+
+
 class SnapshotTable:
     """One snapshot-committed parquet table."""
 
@@ -77,22 +93,47 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- snapshots
     def latest_snapshot(self) -> Snapshot | None:
-        pointer = os.path.join(self.snap_dir, "LATEST")
-        if not os.path.exists(pointer):
+        """Highest committed snapshot.  Resolved by scanning v<N>.json names
+        (immutable once linked into place), NOT by trusting LATEST: two
+        racing writers swing the pointer in commit order only by luck, and
+        a stale pointer must never hide a committed snapshot.  LATEST is
+        still maintained as a human-readable hint."""
+        versions = [
+            int(n[1:-5])
+            for n in os.listdir(self.snap_dir)
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        ]
+        if not versions:
             return None
-        with open(pointer) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.snap_dir, name)) as f:
-            return Snapshot.from_json(f.read())
+        return self.snapshot(max(versions))
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        """Atomic: write snapshot file, then rename a temp LATEST pointer."""
+        """Atomically publish a snapshot version, or raise
+        SnapshotConflictError if another writer got there first.
+
+        The full content is written and fsynced to a temp file, then
+        os.link() makes it visible under its version name — link is atomic
+        and fails with FileExistsError when the version exists, so readers
+        can never observe a partial snapshot and no two writers can both
+        claim the same version (the CAS of Iceberg's commit protocol)."""
         name = f"v{snap.version}.json"
         path = os.path.join(self.snap_dir, name)
-        with open(path, "w") as f:
-            f.write(snap.to_json())
-            f.flush()
-            os.fsync(f.fileno())
+        fd, tmp = tempfile.mkstemp(dir=self.snap_dir)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(snap.to_json())
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)  # atomic create-if-absent
+            except FileExistsError:
+                raise SnapshotConflictError(
+                    f"snapshot v{snap.version} already committed by another "
+                    "writer"
+                ) from None
+        finally:
+            os.unlink(tmp)
+        # best-effort hint; correctness never depends on it
         fd, tmp = tempfile.mkstemp(dir=self.snap_dir)
         with os.fdopen(fd, "w") as f:
             f.write(name)
@@ -123,24 +164,40 @@ class SnapshotTable:
         run_id: str,
         committed_keys: list[str] | None = None,
     ) -> Snapshot:
-        """Fold the staged run into a new snapshot (no-op if committed)."""
-        prev = self.latest_snapshot()
-        if prev is not None and (
-            run_id in prev.run_ids or run_id in prev.retired_run_ids
-        ):
-            return prev  # idempotent re-commit (incl. compaction-retired runs)
-        rows = spark.read.parquet(self.staged_dir(run_id)).count()
-        snap = Snapshot(
-            version=(prev.version + 1) if prev else 1,
-            run_ids=(prev.run_ids if prev else []) + [run_id],
-            committed_keys=sorted(
-                set(prev.committed_keys if prev else []) | set(committed_keys or [])
-            ),
-            row_counts={**(prev.row_counts if prev else {}), run_id: rows},
-            retired_run_ids=(prev.retired_run_ids if prev else []),
+        """Fold the staged run into a new snapshot (no-op if committed).
+
+        CAS-retries on snapshot conflict: if another writer commits between
+        our read and our write, re-read the fresh snapshot (which may
+        already contain this run_id — then it is a no-op) and try the next
+        version."""
+        rows = None
+        for _ in range(_CAS_RETRIES):
+            prev = self.latest_snapshot()
+            if prev is not None and (
+                run_id in prev.run_ids or run_id in prev.retired_run_ids
+            ):
+                return prev  # idempotent re-commit (incl. compaction-retired)
+            if rows is None:  # staged data is fixed; count once
+                rows = spark.read.parquet(self.staged_dir(run_id)).count()
+            snap = Snapshot(
+                version=(prev.version + 1) if prev else 1,
+                run_ids=(prev.run_ids if prev else []) + [run_id],
+                committed_keys=sorted(
+                    set(prev.committed_keys if prev else [])
+                    | set(committed_keys or [])
+                ),
+                row_counts={**(prev.row_counts if prev else {}), run_id: rows},
+                retired_run_ids=(prev.retired_run_ids if prev else []),
+            )
+            try:
+                self._write_snapshot(snap)
+                return snap
+            except SnapshotConflictError:
+                continue
+        raise SnapshotConflictError(
+            f"commit of run {run_id!r} lost {_CAS_RETRIES} CAS races; "
+            "a writer is livelocking this table"
         )
-        self._write_snapshot(snap)
-        return snap
 
     # ---------------------------------------------------------- maintenance
     def compact(self, spark: SparkSession, target_partitions: int = 1) -> Snapshot:
@@ -155,27 +212,45 @@ class SnapshotTable:
         job.py's key-based skip and the streaming replay guard's
         is_committed(run_id) — still treat finished work as done); prior
         snapshots still time-travel until vacuum() expires their data.
+
+        CAS-retries on snapshot conflict: a commit landing between the
+        snapshot read and the snapshot write (e.g. a live foreachBatch
+        micro-batch — the exact workload compaction targets) makes the
+        version-file link fail, and the WHOLE rewrite restarts from the
+        fresh snapshot so the newly appended rows are folded in rather
+        than silently dropped.
         """
-        prev = self.latest_snapshot()
-        if prev is None or not prev.run_ids:
-            raise ValueError("nothing to compact: no committed snapshot")
-        run_id = f"compact-v{prev.version + 1}"
-        df = self.read(spark)
-        self.stage(df.repartition(target_partitions), run_id)
-        rows = spark.read.parquet(self.staged_dir(run_id)).count()
-        if rows != sum(prev.row_counts.values()):
-            raise RuntimeError(
-                f"compaction row mismatch: {rows} != {sum(prev.row_counts.values())}"
+        for _ in range(_CAS_RETRIES):
+            prev = self.latest_snapshot()
+            if prev is None or not prev.run_ids:
+                raise ValueError("nothing to compact: no committed snapshot")
+            run_id = f"compact-v{prev.version + 1}"
+            df = spark.read.parquet(*[self.staged_dir(r) for r in prev.run_ids])
+            self.stage(df.repartition(target_partitions), run_id)
+            rows = spark.read.parquet(self.staged_dir(run_id)).count()
+            if rows != sum(prev.row_counts.values()):
+                raise RuntimeError(
+                    f"compaction row mismatch: {rows} != "
+                    f"{sum(prev.row_counts.values())}"
+                )
+            snap = Snapshot(
+                version=prev.version + 1,
+                run_ids=[run_id],
+                committed_keys=prev.committed_keys,
+                row_counts={run_id: rows},
+                retired_run_ids=sorted(
+                    set(prev.retired_run_ids) | set(prev.run_ids)
+                ),
             )
-        snap = Snapshot(
-            version=prev.version + 1,
-            run_ids=[run_id],
-            committed_keys=prev.committed_keys,
-            row_counts={run_id: rows},
-            retired_run_ids=sorted(set(prev.retired_run_ids) | set(prev.run_ids)),
+            try:
+                self._write_snapshot(snap)
+                return snap
+            except SnapshotConflictError:
+                continue  # re-read, re-fold the newly committed rows
+        raise SnapshotConflictError(
+            f"compaction lost {_CAS_RETRIES} CAS races; "
+            "a writer is livelocking this table"
         )
-        self._write_snapshot(snap)
-        return snap
 
     def vacuum(
         self, retain_last: int = 1, min_age_seconds: float = 3 * 86400

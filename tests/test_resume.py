@@ -230,3 +230,74 @@ class TestMaintenance:
         snap = t.commit(spark, "stream-batch-1")  # replayed commit: no-op
         assert snap.version == t.latest_snapshot().version
         assert len(t.read(spark).collect()) == 15  # rows NOT duplicated
+
+
+class TestSnapshotConcurrency:
+    """CAS commit protocol (round-3 ADVICE fix): a commit landing between a
+    maintenance operation's snapshot read and write must never be lost."""
+
+    def test_commit_retries_past_conflicting_version(self, spark, tmp_path):
+        # Another writer (a second SnapshotTable handle on the same dir)
+        # claims v2 first; our commit must CAS-retry onto v3, keeping both.
+        t1 = SnapshotTable(str(tmp_path / "t"))
+        t2 = SnapshotTable(str(tmp_path / "t"))
+        t1.stage(spark.range(3).toDF("x"), "r1")
+        t1.commit(spark, "r1")
+        t1.stage(spark.range(4).toDF("x"), "r2")
+        t2.stage(spark.range(5).toDF("x"), "r3")
+        t2.commit(spark, "r3")  # wins v2
+        snap = t1.commit(spark, "r2")  # must land v3, not overwrite v2
+        assert snap.version == 3
+        assert set(snap.run_ids) == {"r1", "r3", "r2"}
+        assert t1.read(spark).count() == 12
+
+    def test_compact_refolds_rows_committed_mid_compaction(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # The exact ADVICE scenario: a foreachBatch-style commit lands
+        # between compact()'s snapshot read and its snapshot write.  The
+        # losing compaction must retry from the fresh snapshot and fold the
+        # new rows in — before the fix, last-writer-wins silently dropped
+        # them.
+        from moira_spark.sources import tableio
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(3).toDF("x"), "r1")
+        t.commit(spark, "r1")
+
+        real_write = SnapshotTable._write_snapshot
+        fired = {"done": False}
+
+        def racing_write(self_, snap):
+            if not fired["done"]:
+                fired["done"] = True
+                other = SnapshotTable(self_.table_dir)
+                other.stage(spark.range(100, 104).toDF("x"), "mid-batch")
+                other.commit(spark, "mid-batch")  # claims the version first
+            return real_write(self_, snap)
+
+        monkeypatch.setattr(SnapshotTable, "_write_snapshot", racing_write)
+        snap = t.compact(spark)
+        assert fired["done"]
+        # every row survives: 3 original + 4 committed mid-compaction
+        assert t.read(spark).count() == 7
+        assert sorted(r.x for r in t.read(spark).collect()) == [
+            0, 1, 2, 100, 101, 102, 103,
+        ]
+        # the mid-batch run stays resumable-committed after being folded
+        assert t.is_committed("mid-batch")
+        assert snap.version == t.latest_snapshot().version
+
+    def test_partial_snapshot_file_never_visible(self, spark, tmp_path):
+        # latest_snapshot resolves max v<N>.json; files appear via os.link
+        # of fully-written temp files, so a reader never parses a partial
+        # snapshot.  Simulate a straggler temp file and a stale LATEST.
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(2).toDF("x"), "r1")
+        t.commit(spark, "r1")
+        t.stage(spark.range(2).toDF("x"), "r2")
+        t.commit(spark, "r2")
+        # stale LATEST hint must not hide v2
+        with open(os.path.join(t.snap_dir, "LATEST"), "w") as f:
+            f.write("v1.json")
+        assert t.latest_snapshot().version == 2
