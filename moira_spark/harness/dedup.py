@@ -497,9 +497,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------- near-dup cluster closure
-@register(
-    "dedup_cluster_representatives",
-    f"""
+_CLUSTER_SQL = f"""
     WITH RECURSIVE {_JACCARD_PAIR_CTES},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -519,8 +517,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.doc_id = c.component AS is_representative,
            s.n_members
     FROM comp c JOIN csize s USING (component)
-    """,
-)
+    """
+
+
+@register("dedup_cluster_representatives", _CLUSTER_SQL)
 def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Close near-dup PAIRS into CLUSTERS and pick one representative each —
     the step that turns candidate pairs into an actual dedup decision (if
@@ -537,6 +537,33 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 
     pairs = dedup_jaccard_3gram(spark, sf_dir)
     comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    csize = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(F.broadcast(csize), "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_representative"),
+        "n_members",
+    )
+
+
+@register("dedup_cluster_bigstar", _CLUSTER_SQL)
+def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster closure as dedup_cluster_representatives but via the
+    log-rounds alternating large-star/small-star algorithm
+    (operators/components.py connected_components_bigstar, Kiveris et al.
+    SoCC 2014) — O(log n) rounds independent of component diameter, the
+    tool for pair generators that emit long chains.
+
+    Both algorithms hash-match the SAME DuckDB RECURSIVE-CTE oracle, which
+    pins algorithm-equivalence at the value level: min-id labels must be
+    identical whichever closure computed them.
+    """
+    from moira_spark.operators.components import connected_components_bigstar
+
+    pairs = dedup_jaccard_3gram(spark, sf_dir)
+    comp = connected_components_bigstar(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     csize = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
