@@ -520,6 +520,20 @@ _CLUSTER_SQL = f"""
     """
 
 
+def _cluster_output(comp):
+    """(id, comp) labels -> the shared cluster-representatives schema: one
+    row per doc with its component, representative flag (min doc_id wins),
+    and component size.  Single definition for both closure algorithms so
+    the representative-selection rule can never diverge between them."""
+    csize = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(F.broadcast(csize), "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_representative"),
+        "n_members",
+    )
+
+
 @register("dedup_cluster_representatives", _CLUSTER_SQL)
 def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Close near-dup PAIRS into CLUSTERS and pick one representative each —
@@ -539,13 +553,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    csize = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
-    return comp.join(F.broadcast(csize), "comp").select(
-        F.col("id").alias("doc_id"),
-        F.col("comp").alias("component"),
-        (F.col("id") == F.col("comp")).alias("is_representative"),
-        "n_members",
-    )
+    return _cluster_output(comp)
 
 
 @register("dedup_cluster_bigstar", _CLUSTER_SQL)
@@ -566,10 +574,4 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components_bigstar(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    csize = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
-    return comp.join(F.broadcast(csize), "comp").select(
-        F.col("id").alias("doc_id"),
-        F.col("comp").alias("component"),
-        (F.col("id") == F.col("comp")).alias("is_representative"),
-        "n_members",
-    )
+    return _cluster_output(comp)

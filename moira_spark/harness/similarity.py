@@ -143,6 +143,7 @@ def _adc_rerank(
     )
     if stats_out is not None:
         shortlist = shortlist.persist()
+        stats_out.setdefault("_persisted", []).append(shortlist)
         stats_out["n_exact"] = shortlist.count()  # exact-scored rows
 
     exact = shortlist.join(
@@ -286,8 +287,10 @@ def embedding_ann_lsh(
     if stats_out is not None:  # A/B instrumentation: ADC-scored candidates
         # persist before counting — the count and the re-rank both consume
         # cand, and without the cache the whole signing/explode/join
-        # pipeline would execute twice (caller releases via clearCache)
+        # pipeline would execute twice (caller releases via the
+        # stats_out["_persisted"] handles, or clearCache)
         cand = cand.persist()
+        stats_out.setdefault("_persisted", []).append(cand)
         stats_out["n_candidates"] = cand.count()
     return _adc_rerank(base, cand, rerank, stats_out)
 
@@ -386,6 +389,7 @@ def embedding_ann_ivf(
     )
     if stats_out is not None:
         cand = cand.persist()  # count + re-rank share one pass
+        stats_out.setdefault("_persisted", []).append(cand)
         stats_out["n_candidates"] = cand.count()  # ADC-scored rows
     return _adc_rerank(base, cand, rerank, stats_out)
 
@@ -459,7 +463,11 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize this method's rows BEFORE dropping its persists
         part = per_query.unionAll(summary).toPandas()
         out = part if out is None else pd.concat([out, part], ignore_index=True)
-        spark.catalog.clearCache()  # release the stats_out persists
+        # release ONLY this query's persists — clearCache() here would evict
+        # every cache in the shared session, including frames the caller or
+        # a composed pipeline is still holding
+        for frame in stats.get("_persisted", []):
+            frame.unpersist()
     pdf = out
     macro = pdf[pdf.query_id == "ALL"]
     # regression floor: round 1 shipped an LSH whose recall@5 was 0.0; a

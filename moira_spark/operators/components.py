@@ -37,6 +37,22 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Best-effort eager release of a localCheckpoint'ed frame's blocks.
+
+    localCheckpoint persists its RDD directly (not via the CacheManager, so
+    DataFrame.unpersist() is a no-op for it) and the ContextCleaner only
+    frees the blocks after the Python proxy is garbage collected — an
+    unbounded wait on a long iteration.  Releasing the underlying RDD keeps
+    executor storage bounded at ~2 label-table copies per loop.  Wrapped in
+    try/except: if the internal API moves, the fallback is simply the GC
+    path, never a wrong result."""
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
@@ -89,6 +105,7 @@ def connected_components(
                 .filter(F.col("comp") != F.col("old"))
                 .count()
             )
+            _free_checkpoint(labels)  # new is materialized; old blocks done
             labels = new
             if changed == 0:
                 return labels
@@ -153,7 +170,6 @@ def connected_components_bigstar(
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # localCheckpoint, not persist: each star round references the previous
     # round's frame TWICE (the symmetrizing union), so without truncating
@@ -171,7 +187,9 @@ def connected_components_bigstar(
     prev_sig = None
     for _ in range(max_iter):
         after_large = _star_round(cur, large=True)
+        prev = cur
         cur = _star_round(after_large, large=False).localCheckpoint(eager=True)
+        _free_checkpoint(prev)  # cur is materialized; prev blocks done
         row = cur.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal(38,0) sum: ANSI-safe against long overflow while
@@ -192,10 +210,8 @@ def connected_components_bigstar(
             ).select(
                 "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
             )
-            nodes.unpersist(blocking=False)
             return labels.persist(StorageLevel.MEMORY_AND_DISK)
         prev_sig = sig
-    nodes.unpersist(blocking=False)
     raise RuntimeError(
         f"connected_components_bigstar did not converge in {max_iter} rounds"
     )

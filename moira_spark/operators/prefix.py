@@ -37,7 +37,6 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 _PID = "__prefix_pid"
 _OFF = "__prefix_off"
@@ -79,54 +78,90 @@ def running_sum(
     keys = [*group_cols, *order_cols]
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # localCheckpoint (NOT persist + unpersist): the offsets below are only
+    # valid for the exact partition placement they were computed under, and
+    # RangePartitioner's reservoir sampling is seeded by the runtime RDD id
+    # — a recomputation after cache eviction could draw different bounds,
+    # silently shifting boundary rows onto partitions whose offsets don't
+    # include them.  Checkpointing materializes the placement once and
+    # truncates lineage, so the final pass can never re-sample; blocks are
+    # freed by the ContextCleaner when the frame is garbage collected.
     ranged = (
         df.withColumn("__prefix_val", value)
         .repartitionByRange(n, *[F.col(c) for c in keys])
         .withColumn(_PID, F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    try:
-        totals = (
-            ranged.groupBy(_PID, *group_cols)
-            .agg(F.sum("__prefix_val").alias("__tot"))
-            .collect()
+    totals = (
+        ranged.groupBy(_PID, *group_cols)
+        .agg(F.sum("__prefix_val").alias("__tot"))
+        .collect()
+    )
+    # Exclusive prefix per group over partition ids.  Range partitioning
+    # guarantees pid order == key order, so summing totals of lower pids
+    # (same group) gives exactly the amount that precedes this partition.
+    # NULL group keys sort first via the (is-null, value) key — matching
+    # the NULLS FIRST placement of the range partitioning.
+    totals.sort(
+        key=lambda r: (
+            [(r[c] is None, r[c]) for c in group_cols],
+            r[_PID],
         )
-        # Exclusive prefix per group over partition ids.  Range partitioning
-        # guarantees pid order == key order, so summing totals of lower pids
-        # (same group) gives exactly the amount that precedes this partition.
-        totals.sort(key=lambda r: ([r[c] for c in group_cols], r[_PID]))
-        offsets, acc, cur_group = [], 0, object()
-        for r in totals:
-            g = tuple(r[c] for c in group_cols)
-            if g != cur_group:
-                cur_group, acc = g, 0
-            offsets.append((*g, r[_PID], acc))
-            acc += r["__tot"] or 0
+    )
+    # Offsets inherit the type Spark's own SUM produced for the value (sum
+    # of int -> bigint, double -> double, decimal -> widened decimal), so a
+    # non-integral value_col round-trips through createDataFrame exactly;
+    # the running accumulator starts from the matching Python zero.
+    sum_type = (
+        df.select(F.sum(value).alias("__t")).schema[0].dataType.simpleString()
+    )
+    if sum_type in ("double", "float"):
+        zero: object = 0.0
+    elif sum_type.startswith("decimal"):
+        from decimal import Decimal
 
-        off_schema = ", ".join(
-            [f"{c} {t}" for c, t in zip(group_cols, _types_of(df, group_cols))]
-            + [f"{_PID} int", f"{_OFF} bigint"]
-        )
-        off_df = spark.createDataFrame(offsets, schema=off_schema)
+        zero = Decimal(0)
+    else:
+        zero = 0
+    offsets, acc, cur_group = [], zero, object()
+    for r in totals:
+        g = tuple(r[c] for c in group_cols)
+        if g != cur_group:
+            cur_group, acc = g, zero
+        offsets.append((*g, r[_PID], acc))
+        acc += r["__tot"] if r["__tot"] is not None else zero
+    off_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in zip(group_cols, _types_of(df, group_cols))]
+        + [f"{_PID} int", f"{_OFF} {sum_type}"]
+    )
+    off_df = spark.createDataFrame(offsets, schema=off_schema)
 
-        w = Window.partitionBy(_PID, *group_cols).orderBy(
-            *[F.col(c) for c in order_cols]
-        ).rowsBetween(Window.unboundedPreceding, 0)
-        out = (
-            ranged.join(F.broadcast(off_df), [_PID, *group_cols])
-            .withColumn(
-                out_col, F.sum("__prefix_val").over(w) + F.col(_OFF)
-            )
-            .drop(_PID, _OFF, "__prefix_val")
+    # Null-safe equi-join on the group columns: a plain column-list join
+    # would drop every NULL-group row (NULL != NULL in join semantics),
+    # whereas the window form this operator replaces keeps them.
+    w = Window.partitionBy(_PID, *group_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranged.join(F.broadcast(off_df.withColumnsRenamed(
+            {c: f"__off_{c}" for c in group_cols}
+        ).withColumnRenamed(_PID, "__off_pid")),
+            (ranged[_PID] == F.col("__off_pid"))
+            & _null_safe_all(ranged, group_cols),
         )
-        # Force the offsets join plan to resolve while `ranged` is cached;
-        # the caller materializes lazily and may do so after unpersist —
-        # recomputation is deterministic (see docstring).
-        return out
-    finally:
-        # Defer actual block eviction until the query that consumes `out`
-        # finishes if it is already running; Spark handles in-flight reads.
-        ranged.unpersist(blocking=False)
+        .withColumn(out_col, F.sum("__prefix_val").over(w) + F.col(_OFF))
+        .drop(
+            _PID, _OFF, "__prefix_val", "__off_pid",
+            *[f"__off_{c}" for c in group_cols],
+        )
+    )
+
+
+def _null_safe_all(left: DataFrame, group_cols: Sequence[str]):
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & left[c].eqNullSafe(F.col(f"__off_{c}"))
+    return cond
 
 
 def running_rank(

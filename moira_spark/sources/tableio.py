@@ -224,7 +224,13 @@ class SnapshotTable:
             prev = self.latest_snapshot()
             if prev is None or not prev.run_ids:
                 raise ValueError("nothing to compact: no committed snapshot")
-            run_id = f"compact-v{prev.version + 1}"
+            # Per-attempt nonce: two compactors racing from the same base
+            # version must stage into DIFFERENT directories — with a shared
+            # deterministic name, the loser's mode("overwrite") would delete
+            # the data files of the snapshot the winner already committed.
+            # The loser's orphaned dir is reclaimed by vacuum() (min-age
+            # guarded) like any other uncommitted staging dir.
+            run_id = f"compact-v{prev.version + 1}-{os.urandom(4).hex()}"
             df = spark.read.parquet(*[self.staged_dir(r) for r in prev.run_ids])
             self.stage(df.repartition(target_partitions), run_id)
             rows = spark.read.parquet(self.staged_dir(run_id)).count()

@@ -40,10 +40,15 @@ def _pushed(plan: str) -> int:
 
 
 # (query, max_single_partition, max_arrow, min_broadcast_joins, min_pushed)
+# Note: queries built on operators/prefix.py return a plan rooted at the
+# eager localCheckpoint (Scan ExistingRDD), so the parquet scan — and its
+# pushed filters — executed inside the checkpoint job and cannot appear in
+# the returned plan; their min_pushed is therefore 0 here, and scan-level
+# pushdown is asserted on the non-checkpointed queries below.
 CASES = [
     ("shard_packing", 0, 0, 1, 0),
-    ("corpus_to_shards", 0, 0, 1, 1),
-    ("training_mix_sample", 0, 0, 2, 1),
+    ("corpus_to_shards", 0, 0, 1, 0),
+    ("training_mix_sample", 0, 0, 2, 0),
     ("transcripts_pipeline", 0, 2, 1, 0),
     ("doc_perplexity", 0, 1, 0, 0),
     ("doc_langid", 0, 1, 0, 0),

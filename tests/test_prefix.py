@@ -96,3 +96,36 @@ def test_no_single_partition_exchange_in_plan(spark):
     out = running_sum(df, "v", ["id"], out_col="cum", num_partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_null_group_keys_survive_and_match_window(spark):
+    # A NULL lang stratum must neither crash the driver-side sort nor be
+    # dropped by the offsets join (NULL != NULL in plain join semantics).
+    data = [(None if i % 5 == 0 else ("en" if i % 2 else "de"), i, 1)
+            for i in range(60)]
+    df = spark.createDataFrame(data, "lang string, id long, v long")
+    got = running_sum(
+        df, "v", order_cols=["id"], group_cols=["lang"], out_col="cum",
+        num_partitions=6,
+    )
+    want = _window_cumsum(df, "v", ["id"], ["lang"])
+
+    def rows(frame):
+        return sorted(
+            (tuple(r) for r in frame.select("lang", "id", "cum").collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert rows(got) == rows(want)
+
+
+def test_double_valued_running_sum(spark):
+    # The offsets column inherits SUM's result type — double values must
+    # round-trip (previously the bigint-hardcoded schema rejected floats).
+    data = [(i, 0.5 + (i % 3) * 0.25) for i in range(40)]
+    df = spark.createDataFrame(data, "id long, v double")
+    got = running_sum(df, "v", ["id"], out_col="cum", num_partitions=5)
+    want = _window_cumsum(df, "v", ["id"])
+    a = {r.id: round(r.cum, 9) for r in got.collect()}
+    b = {r.id: round(r.cum, 9) for r in want.collect()}
+    assert a == b

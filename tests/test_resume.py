@@ -183,7 +183,10 @@ class TestMaintenance:
         pre_version = t.latest_snapshot().version
 
         snap = t.compact(spark, target_partitions=2)
-        assert snap.run_ids == [f"compact-v{snap.version}"]
+        # run id carries the target version plus a per-attempt nonce (racing
+        # compactors must never share a staging dir)
+        assert len(snap.run_ids) == 1
+        assert snap.run_ids[0].startswith(f"compact-v{snap.version}-")
         assert sorted(r.x for r in t.read(spark).collect()) == before
         # resume bookkeeping survives: every bucket still reads as committed
         assert set(snap.committed_keys) == {f"job/bucket={b}" for b in range(4)}
@@ -301,3 +304,38 @@ class TestSnapshotConcurrency:
         with open(os.path.join(t.snap_dir, "LATEST"), "w") as f:
             f.write("v1.json")
         assert t.latest_snapshot().version == 2
+
+    def test_racing_compactions_use_distinct_staging_dirs(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # Two compactors racing from the same base version must stage into
+        # different directories: with a shared deterministic dir name the
+        # loser's mode("overwrite") would delete the winner's committed
+        # data files.
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(6).toDF("x"), "r1")
+        t.commit(spark, "r1")
+
+        real_write = SnapshotTable._write_snapshot
+        fired = {"done": False}
+
+        def racing_write(self_, snap):
+            if not fired["done"] and str(snap.run_ids[0]).startswith("compact-"):
+                fired["done"] = True
+                SnapshotTable(self_.table_dir).compact(spark)  # wins the CAS
+            return real_write(self_, snap)
+
+        monkeypatch.setattr(SnapshotTable, "_write_snapshot", racing_write)
+        t.compact(spark)
+        assert fired["done"]
+        latest = t.latest_snapshot()
+        assert latest.version == 3  # v1 commit, v2 winner, v3 retried loser
+        assert t.read(spark).count() == 6
+        assert sorted(r.x for r in t.read(spark).collect()) == list(range(6))
+        # both compaction attempts left distinct dirs; winner's is intact
+        runs = [
+            e for e in sorted(
+                __import__("os").listdir(t.data_dir)
+            ) if "compact" in e
+        ]
+        assert len(runs) >= 2 and len(set(runs)) == len(runs)
