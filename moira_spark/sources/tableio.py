@@ -50,6 +50,12 @@ class Snapshot:
     # must keep treating them as done or a checkpoint-replayed micro-batch
     # would re-commit (and duplicate) after a compact().
     retired_run_ids: list[str] = field(default_factory=list)
+    # Iceberg-style schema evolution: the table schema lives in the
+    # snapshot METADATA (StructType JSON), not in parquet footers.  Readers
+    # apply it explicitly, so runs committed before a column was added
+    # read back with NULLs in the new column and no footer-merge scan ever
+    # happens (mergeSchema=true reads every file's footer — wrong at 100 TB).
+    schema_json: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -59,6 +65,7 @@ class Snapshot:
                 "committed_keys": self.committed_keys,
                 "row_counts": self.row_counts,
                 "retired_run_ids": self.retired_run_ids,
+                "schema_json": self.schema_json,
             }
         )
 
@@ -71,6 +78,7 @@ class Snapshot:
             committed_keys=d.get("committed_keys", []),
             row_counts=d.get("row_counts", {}),
             retired_run_ids=d.get("retired_run_ids", []),
+            schema_json=d.get("schema_json"),
         )
 
 
@@ -79,6 +87,30 @@ _CAS_RETRIES = 10
 
 class SnapshotConflictError(RuntimeError):
     """Another writer committed this snapshot version first (CAS lost)."""
+
+
+def _evolve_schema(prev_json: str | None, staged: "StructType") -> str:
+    """Iceberg-style additive schema evolution: fields are matched by name,
+    new fields append, and a same-name type change is refused (Iceberg only
+    allows safe type promotions; this emulation allows none).  Returns the
+    merged schema as StructType JSON for the snapshot record."""
+    from pyspark.sql.types import StructType
+
+    if prev_json is None:
+        return staged.json()
+    prev = StructType.fromJson(json.loads(prev_json))
+    by_name = {f.name: f for f in prev.fields}
+    merged = list(prev.fields)
+    for f in staged.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            merged.append(f)
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution rejected: column {f.name!r} changes type "
+                f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
+            )
+    return StructType(merged).json()
 
 
 class SnapshotTable:
@@ -171,14 +203,17 @@ class SnapshotTable:
         already contain this run_id — then it is a no-op) and try the next
         version."""
         rows = None
+        staged_schema = None
         for _ in range(_CAS_RETRIES):
             prev = self.latest_snapshot()
             if prev is not None and (
                 run_id in prev.run_ids or run_id in prev.retired_run_ids
             ):
                 return prev  # idempotent re-commit (incl. compaction-retired)
-            if rows is None:  # staged data is fixed; count once
-                rows = spark.read.parquet(self.staged_dir(run_id)).count()
+            if rows is None:  # staged data is fixed; scan once
+                staged = spark.read.parquet(self.staged_dir(run_id))
+                rows = staged.count()
+                staged_schema = staged.schema
             snap = Snapshot(
                 version=(prev.version + 1) if prev else 1,
                 run_ids=(prev.run_ids if prev else []) + [run_id],
@@ -188,6 +223,9 @@ class SnapshotTable:
                 ),
                 row_counts={**(prev.row_counts if prev else {}), run_id: rows},
                 retired_run_ids=(prev.retired_run_ids if prev else []),
+                schema_json=_evolve_schema(
+                    prev.schema_json if prev else None, staged_schema
+                ),
             )
             try:
                 self._write_snapshot(snap)
@@ -231,7 +269,15 @@ class SnapshotTable:
             # The loser's orphaned dir is reclaimed by vacuum() (min-age
             # guarded) like any other uncommitted staging dir.
             run_id = f"compact-v{prev.version + 1}-{os.urandom(4).hex()}"
-            df = spark.read.parquet(*[self.staged_dir(r) for r in prev.run_ids])
+            prev_paths = [self.staged_dir(r) for r in prev.run_ids]
+            if prev.schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                df = spark.read.schema(
+                    StructType.fromJson(json.loads(prev.schema_json))
+                ).parquet(*prev_paths)
+            else:
+                df = spark.read.parquet(*prev_paths)
             self.stage(df.repartition(target_partitions), run_id)
             rows = spark.read.parquet(self.staged_dir(run_id)).count()
             if rows != sum(prev.row_counts.values()):
@@ -247,6 +293,7 @@ class SnapshotTable:
                 retired_run_ids=sorted(
                     set(prev.retired_run_ids) | set(prev.run_ids)
                 ),
+                schema_json=prev.schema_json,
             )
             try:
                 self._write_snapshot(snap)
@@ -316,4 +363,12 @@ class SnapshotTable:
         if snap is None or not snap.run_ids:
             return None
         paths = [self.staged_dir(r) for r in snap.run_ids]
+        if snap.schema_json is not None:
+            # schema from snapshot metadata, Iceberg-style: runs written
+            # before a column existed read back with NULLs there, and no
+            # per-file footer merge (mergeSchema) is ever needed
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            return spark.read.schema(schema).parquet(*paths)
         return spark.read.parquet(*paths)

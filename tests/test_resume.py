@@ -339,3 +339,51 @@ class TestSnapshotConcurrency:
             ) if "compact" in e
         ]
         assert len(runs) >= 2 and len(set(runs)) == len(runs)
+
+
+class TestSchemaEvolution:
+    """Iceberg-style additive schema evolution: schema lives in snapshot
+    metadata; old runs read back with NULLs in later-added columns."""
+
+    def test_added_column_reads_as_null_for_old_runs(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(3).toDF("x"), "r1")
+        t.commit(spark, "r1")
+        import pyspark.sql.functions as F
+
+        t.stage(
+            spark.range(3, 5).toDF("x").withColumn("y", F.col("x") * 10), "r2"
+        )
+        t.commit(spark, "r2")
+        out = t.read(spark).orderBy("x").collect()
+        assert [r.x for r in out] == [0, 1, 2, 3, 4]
+        assert [r.y for r in out] == [None, None, None, 30, 40]
+        # time travel: v1 predates the column entirely
+        assert t.read(spark, version=1).columns == ["x"]
+
+    def test_type_change_is_refused(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(3).toDF("x"), "r1")
+        t.commit(spark, "r1")
+        t.stage(
+            spark.range(2).select(F.col("id").cast("string").alias("x")), "r2"
+        )
+        with pytest.raises(ValueError, match="schema evolution rejected"):
+            t.commit(spark, "r2")
+
+    def test_compact_preserves_evolved_schema(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(3).toDF("x"), "r1")
+        t.commit(spark, "r1")
+        t.stage(
+            spark.range(3, 5).toDF("x").withColumn("y", F.lit("v")), "r2"
+        )
+        t.commit(spark, "r2")
+        t.compact(spark)
+        out = t.read(spark).orderBy("x").collect()
+        assert [r.x for r in out] == [0, 1, 2, 3, 4]
+        assert [r.y for r in out] == [None, None, None, "v", "v"]
