@@ -94,3 +94,68 @@ def job_resume_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "time_travel_consistent boolean, audit_buckets int"
         ),
     )
+
+
+@register("table_maintenance_lifecycle", None)
+def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg-semantics maintenance tier under the driver harness:
+    additive schema evolution -> compaction -> vacuum, on one table.
+
+    Sequence: commit 3 runs (the third adds a column -> earlier rows read
+    back NULL there), compact (data-identical rewrite, schema carried,
+    folded runs retired so replayed commits stay idempotent), vacuum with
+    age-0 (expired + orphaned staging dirs removed), and re-read.  One row
+    of deterministic values; any drift in schema-evolution NULL backfill,
+    compaction row preservation, retire bookkeeping, or vacuum scope flips
+    a value.
+    """
+    import os
+
+    from moira_spark.sources.tableio import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="moira_maint_check_")
+    t = SnapshotTable(f"{work}/t")
+    t.stage(spark.range(0, 5).toDF("x"), "r1")
+    t.commit(spark, "r1")
+    t.stage(spark.range(5, 8).toDF("x"), "r2")
+    t.commit(spark, "r2")
+    t.stage(
+        spark.range(8, 10).toDF("x").withColumn("y", F.col("x") * 2), "r3"
+    )
+    t.commit(spark, "r3")
+    t.stage(spark.range(90, 95).toDF("x"), "orphan")  # never committed
+
+    evolved = t.read(spark)
+    nulls_backfilled = evolved.filter(F.col("y").isNull()).count()
+    sum_y = evolved.agg(
+        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("s")
+    ).collect()[0]["s"]
+
+    snap = t.compact(spark)
+    removed = t.vacuum(retain_last=1, min_age_seconds=0)
+    after = t.read(spark)
+    row = {
+        "rows_before": 10,
+        "rows_after_compact_vacuum": after.count(),
+        "sum_x": after.agg(F.sum("x").cast("long").alias("s")).collect()[0]["s"],
+        "nulls_backfilled_in_new_col": nulls_backfilled,
+        "sum_new_col": sum_y,
+        "schema_after": ",".join(after.columns),
+        "runs_retired": len(snap.retired_run_ids),
+        "replayed_commit_idempotent": t.is_committed("r2"),
+        "dirs_vacuumed": len(removed),
+        "data_dirs_left": sum(
+            1 for e in os.listdir(t.data_dir) if e.startswith("run_id=")
+        ),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "rows_before int, rows_after_compact_vacuum long, sum_x long, "
+            "nulls_backfilled_in_new_col long, sum_new_col long, "
+            "schema_after string, runs_retired int, "
+            "replayed_commit_idempotent boolean, dirs_vacuumed int, "
+            "data_dirs_left int"
+        ),
+    )
