@@ -481,3 +481,114 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_value_m"),
     )
+
+
+# ------------------------------------------------- approximate sketch tier
+@register("events_approx_distinct", None)  # HLL values are engine-specific
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type, with the
+    exact count alongside and the relative error ASSERTED in-query.
+
+    The sketch tier a 100 TB pipeline actually uses: COUNT(DISTINCT) over
+    10^12 rows shuffles every distinct value; approx_count_distinct merges
+    fixed-size HLL sketches map-side (one pass, no distinct shuffle).  HLL
+    estimates are engine- and rsd-specific so there is no DuckDB hash
+    oracle; instead the query computes the exact answer too (driver-scale
+    data makes that cheap) and raises if any relative error exceeds 3x the
+    configured rsd=0.02 — a self-verifying approximation.
+    """
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ),
+        )
+        .orderBy("event_type")
+    )
+    pdf = out.toPandas()
+    if (pdf.rel_err > 0.06).any():
+        raise RuntimeError(
+            "HLL relative error exceeded 3x rsd:\n" + pdf.to_string()
+        )
+    return spark.createDataFrame(
+        pdf,
+        schema=(
+            "event_type string, approx_users long, exact_users long, "
+            "rel_err double"
+        ),
+    )
+
+
+@register("events_approx_quantiles", None)  # sketch values engine-specific
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) percentiles of the event
+    value column, accuracy asserted in-query.
+
+    Exact percentiles need a full sort per group; the GK sketch is a
+    bounded-size mergeable summary — the only viable shape at 10^12 rows.
+    accuracy=10000 bounds RANK error at ~1e-4; the query re-derives the
+    actual rank of each returned value and raises if it deviates from the
+    target quantile by more than 0.01, making the approximation
+    self-verifying without an engine-specific oracle (a VALUE bound would
+    be wrong: adjacent ranks in a sparse tail can be far apart).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value"), 3).alias("v")
+    )
+    qs = [0.5, 0.9, 0.99]
+    approx = e.groupBy("event_type").agg(
+        F.percentile_approx("v", qs, 10000).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # The GK guarantee is on RANK, not value (a sparse tail can put a large
+    # value gap between adjacent ranks), so verify what the sketch promises:
+    # the fraction of rows <= the returned value must sit within eps of q.
+    ranked = (
+        e.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type", "n", "ap")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("v") <= F.element_at("ap", i + 1), 1
+                    ).otherwise(0)
+                ).alias(f"le_{i}")
+                for i in range(len(qs))
+            ]
+        )
+    )
+    out = ranked.select(
+        "event_type",
+        *[
+            F.round(F.element_at("ap", i + 1), 3).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.round(
+                F.abs(F.col(f"le_{i}") / F.col("n") - F.lit(q)), 6
+            ).alias(f"rank_err_p{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ],
+    ).orderBy("event_type")
+    pdf = out.toPandas()
+    err_cols = [c for c in pdf.columns if c.startswith("rank_err")]
+    if (pdf[err_cols] > 0.01).any().any():
+        raise RuntimeError(
+            "GK sketch rank error exceeded the 0.01 bound:\n" + pdf.to_string()
+        )
+    return spark.createDataFrame(
+        pdf,
+        schema=(
+            "event_type string, p50 double, p90 double, p99 double, "
+            "rank_err_p50 double, rank_err_p90 double, rank_err_p99 double"
+        ),
+    )
