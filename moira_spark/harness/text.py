@@ -9,6 +9,9 @@ exactly on both engines.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -753,4 +756,87 @@ def corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.greatest(F.col("cum_tokens"), F.lit(1)) - 1) / 2000
             ).cast("bigint").alias("shard_id"),
         )
+    )
+
+
+# ------------------------------------------------ learned quality classifier
+@register("doc_quality_model", None)  # learned scores: self-verifying check
+def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality scoring (kernels/quality.py): the fineweb/DCLM-style
+    model pass layered over the heuristic rules — seeded numpy logistic
+    regression over surface features, weak-labeled by the corruption modes
+    the heuristics fire on, trained driver-side at build time, broadcast,
+    and served in ONE vectorized Arrow hop (the langid/lm serving shape).
+
+    Output rows: a held-out eval cohort per class (seed disjoint from the
+    training seed) with mean score and accuracy — HARD-FAILED below 0.98
+    so a degenerate model is a red driver row — plus the sf documents
+    table scored as a deployment cohort (deterministic mean/quantiles; at
+    100 TB this cohort is the actual filter pass, one linear scan).
+    """
+    from moira_spark.kernels import quality
+
+    model = quality.train(seed=42)
+    bc = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf("double")
+    def score_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = bc.value
+        for texts in batches:
+            yield pd.Series(m.score(texts.tolist()))
+
+    eval_texts, eval_y = quality.training_set(seed=777, n_per_class=200)
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"text": eval_texts, "label": eval_y.astype(int)})
+    ).select("text", "label", score_of(F.col("text")).alias("score"))
+    cohorts = (
+        eval_df.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(
+                F.avg(
+                    ((F.col("score") > 0.5).cast("int") == F.col("label"))
+                    .cast("double")
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+        .collect()
+    )
+    rows = [
+        {
+            "cohort": "eval_clean" if r["label"] == 1 else "eval_corrupted",
+            "n": r["n"],
+            "mean_score": r["mean_score"],
+            "accuracy": r["accuracy"],
+        }
+        for r in cohorts
+    ]
+    for r in rows:
+        if r["accuracy"] < 0.98:
+            raise RuntimeError(
+                f"quality model degenerated: {r['cohort']} accuracy "
+                f"{r['accuracy']} < 0.98 floor"
+            )
+
+    docs = load(spark, sf_dir, "documents").select(
+        score_of(F.col("text")).alias("score")
+    )
+    d = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+    ).collect()[0]
+    rows.append(
+        {
+            "cohort": "documents",
+            "n": d["n"],
+            "mean_score": d["mean_score"],
+            "accuracy": None,
+        }
+    )
+    rows.sort(key=lambda r: r["cohort"])
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="cohort string, n long, mean_score double, accuracy double",
     )

@@ -396,3 +396,37 @@ class TestScrubMaskSoundness:
         assert not tox
         _, _, tox = scrub.scrub_text("SMEGHEAD")
         assert tox
+
+
+class TestQualityModel:
+    """Learned quality classifier (kernels/quality.py)."""
+
+    def test_separates_held_out_corruption_modes(self):
+        import numpy as np
+
+        from moira_spark.kernels import quality
+
+        m = quality.train(seed=42)
+        texts, y = quality.training_set(seed=999, n_per_class=120)
+        s = m.score(texts)
+        acc = ((s > 0.5) == (y == 1)).mean()
+        assert acc >= 0.98, acc
+        assert s[y == 1].mean() > 0.9 and s[y == 0].mean() < 0.1
+
+    def test_deterministic_across_trainings(self):
+        import numpy as np
+
+        from moira_spark.kernels import quality
+
+        a, b = quality.train(seed=42), quality.train(seed=42)
+        assert np.array_equal(a.w, b.w) and a.b == b.b
+        assert np.array_equal(a.mu, b.mu) and np.array_equal(a.sigma, b.sigma)
+
+    def test_features_shape_and_edges(self):
+        from moira_spark.kernels import quality
+
+        X = quality.features(["", "a", "the the the the", "normal clean text here"])
+        assert X.shape == (4, len(quality.FEATURE_NAMES))
+        assert X[0, 0] == 0.0  # log1p(0)
+        # repetition bomb has max_word_freq 1.0; clean text lower
+        assert X[2, 6] == 1.0 and X[3, 6] < 0.5
