@@ -575,3 +575,58 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     return _cluster_output(comp)
+
+
+@register(
+    "corpus_near_dedup",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    cnodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM cnodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src)
+    SELECT c.doc_id,
+           COALESCE(m.doc_id IS NOT NULL, FALSE) AS was_clustered
+    FROM corpus c
+    LEFT JOIN comp m ON c.doc_id = m.doc_id
+    WHERE m.doc_id IS NULL OR m.doc_id = m.component
+    """,
+)
+def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end NEAR-dedup capstone in one query: shingle-join pair
+    generation -> log-rounds large-star/small-star cluster closure
+    (connected_components_bigstar) -> keep exactly one representative per
+    cluster (min doc_id) plus every unclustered document.
+
+    This is the pass that actually shrinks a crawl: pairs alone cannot
+    dedup (A~B, B~C keeps two of three), so closure + representative
+    selection IS the operator.  Every stage is the scale shape — bucketed
+    candidate join, O(log n) closure rounds independent of chain length,
+    one anti-join — and the whole composition hash-matches the DuckDB
+    RECURSIVE-CTE transitive closure at the value level.
+    """
+    from moira_spark.operators.components import connected_components_bigstar
+
+    corpus = _planted_near(spark, sf_dir)
+    pairs = dedup_jaccard_3gram(spark, sf_dir)
+    comp = connected_components_bigstar(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    reps = comp.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("was_clustered")
+    )
+    clustered_ids = comp.select(F.col("id").alias("doc_id"))
+    unclustered = (
+        corpus.select("doc_id")
+        .join(clustered_ids, "doc_id", "left_anti")
+        .select("doc_id", F.lit(False).alias("was_clustered"))
+    )
+    return unclustered.unionAll(reps)
