@@ -113,3 +113,84 @@ class TestSketchProperties:
             [np.array(hs_mod[: max(1, len(hs_mod) // 2)], dtype=np.int64)], a, b
         )[0]
         assert all(f <= h for f, h in zip(full, half))
+
+
+class TestQualityFeatureProperties:
+    @DET
+    @given(st.lists(any_text, max_size=16))
+    def test_feature_ranges_and_determinism(self, texts):
+        from moira_spark.kernels import quality
+
+        X = quality.features(texts)
+        assert X.shape == (len(texts), len(quality.FEATURE_NAMES))
+        assert np.array_equal(X, quality.features(texts))
+        if len(texts):
+            # ratio features live in [0, 1]
+            for j in (2, 3, 4, 5, 6, 7):
+                assert (X[:, j] >= 0.0).all() and (X[:, j] <= 1.0).all(), j
+            assert (X[:, 0] >= 0.0).all()  # log1p(len)
+
+    @DET
+    @given(st.lists(any_text, min_size=1, max_size=8))
+    def test_scores_are_probabilities(self, texts):
+        from moira_spark.kernels import quality
+
+        m = quality.train(seed=42, n_per_class=60, iters=50)
+        s = m.score(texts)
+        assert ((s >= 0.0) & (s <= 1.0)).all()
+
+
+class TestPgmWavProperties:
+    @DET
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_pgm_roundtrip_any_plane(self, w, h, seed):
+        from moira_spark.operators import multimodal as mm
+
+        plane = np.random.RandomState(seed).randint(
+            0, 256, (h, w)
+        ).astype(np.uint8)
+        got = mm._decode_pgm(mm.encode_pgm(plane))
+        assert got is not None and (got == plane).all()
+
+    @DET
+    @given(
+        st.integers(min_value=1, max_value=4000),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_wav_roundtrip_any_pcm(self, n, seed):
+        from moira_spark.operators import multimodal as mm
+
+        pcm = (
+            np.random.RandomState(seed).randint(-32768, 32767, n)
+        ).astype(np.int16)
+        got = mm._decode_wav(mm.encode_wav(pcm, 16000))
+        assert got is not None
+        dec, rate = got
+        assert rate == 16000 and (dec == pcm).all()
+
+
+class TestLshProbeProperties:
+    @DET
+    @given(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.integers(min_value=0, max_value=4),
+    )
+    def test_probes_are_base_plus_single_flips(self, seed, nflip):
+        from moira_spark.kernels import ann
+
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((3, 6, 8))
+        q = rng.standard_normal(8)
+        probes = ann.lsh_probe_sigs(q, planes, nflip)
+        assert len(probes) == 3
+        for sigs in probes:
+            assert len(sigs) == 1 + nflip
+            assert len(set(sigs)) == len(sigs)  # distinct buckets
+            base = sigs[0]
+            for s in sigs[1:]:
+                x = base ^ s
+                assert x and (x & (x - 1)) == 0  # exactly one bit flipped
