@@ -205,7 +205,13 @@ def make_sign_lsh_udf(spark: SparkSession, planes: np.ndarray):
     return sigs_of
 
 
-_LSH_NFLIP = 2  # multiprobe: extra low-margin bit flips per table
+# Multiprobe flips per table scale with signature width: wider signatures
+# (bigger corpora) split true neighbors across more low-margin bit
+# boundaries, so the probe count must grow with bits or recall decays as
+# the corpus grows (measured: fixed 2 flips = 0.82 recall at 6 bits/500
+# vecs but 0.58 at 8 bits/2000 vecs; bits//2 flips holds 0.84/0.76).
+def _lsh_nflip(bits: int) -> int:
+    return max(2, bits // 2)
 _ANN_RERANK = 50  # exact-scored candidates per query after the ADC pass
 
 
@@ -227,9 +233,11 @@ def embedding_ann_lsh(
 
     - query-side multiprobe (Lv et al., "Multi-Probe LSH", VLDB 2007):
       each query also probes the buckets reached by flipping its ``nflip``
-      lowest-|margin| signature bits — recall@5 on this deliberately
-      low-margin corpus goes 0.46 -> ~0.8 where buying the same recall
-      with more tables needed 41% of the corpus exact-scored;
+      lowest-|margin| signature bits (default scales as bits//2 so recall
+      holds as occupancy-targeted signatures widen with the corpus) —
+      recall@5 on this deliberately low-margin corpus goes 0.46 -> ~0.8
+      where buying the same recall with more tables needed 41% of the
+      corpus exact-scored;
     - the shared ADC + exact re-rank tail (_adc_rerank): bucket rows carry
       int8 codes, candidates are approx-scored JVM-side, and only the
       top-``rerank`` per query touch full vectors — so exact work per
@@ -246,11 +254,11 @@ def embedding_ann_lsh(
 
     n_tables = _LSH_TABLES if n_tables is None else n_tables
     occupancy = _LSH_TARGET_OCCUPANCY if occupancy is None else occupancy
-    nflip = _LSH_NFLIP if nflip is None else nflip
     rerank = _ANN_RERANK if rerank is None else rerank
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", _dbl("embedding").alias("v"))
     bits = _lsh_bits(e.count(), occupancy)
+    nflip = _lsh_nflip(bits) if nflip is None else nflip
     planes = _hyperplanes(bits, n_tables=n_tables)
     sigs_of = make_sign_lsh_udf(spark, planes)
     buckets = _quantized(base).select(
