@@ -62,13 +62,58 @@ from moira_spark.harness import (  # noqa: E402,F401
 # ``_PRIORITY`` leads with the spec-critical queries (BASELINE.json
 # north_rule order: pipeline -> F1 gate -> audit/lineage -> model quality
 # gates -> moira read tier -> resume), then the scale-sensitive corpus
-# queries, then dedup/similarity/streaming/multimodal.  The well-trodden
-# relational tier deliberately sits past position 50: every one of those
-# queries hash-matched DuckDB in BOTH round 1 and round 2, so they are the
-# cheapest rows to leave externally unrefreshed.  Anything registered but not
-# listed keeps registration order after the listed names (so new queries are
-# never silently dropped — tests/test_registry.py pins the invariants).
+# queries, then dedup/similarity/streaming/multimodal.  Anything registered
+# but not listed keeps registration order after the listed names (so new
+# queries are never silently dropped — tests/test_registry.py pins the
+# invariants).
+#
+# ROTATION POLICY (round 4, after the round-3 lesson where six brand-new
+# queries landed past the cut unverified): every query FIRST REGISTERED in
+# the current or previous round MUST sit inside the first 50; the seats are
+# freed by rotating out queries that are externally proven (>= 2 green
+# driver rounds, listed in EXTERNALLY_PROVEN below) or that a stronger
+# sibling covers (dedup_simhash <- dedup_minhash_lsh; embedding_ann_lsh/ivf
+# <- embedding_ann_recall, whose hard floor runs both).  The media pair
+# rotates each round (image/audio <-> resize/frames) so no multimodal mode
+# goes two rounds without an external row.  tests/test_registry.py enforces
+# the invariant mechanically: an oracle-backed or hard-floor query may sit
+# past index 49 only if it is in EXTERNALLY_PROVEN or covered-by-sibling.
 # ---------------------------------------------------------------------------
+# Queries with >= 2 green external driver rounds (hash_match: true in at
+# least two of CORRECTNESS_r01/r02/r03) — eligible for tail rotation.
+EXTERNALLY_PROVEN: frozenset[str] = frozenset(
+    {
+        # relational tier: green r1 + r2
+        "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+        "orders_by_month", "top_customers_having", "suppliers_with_lineitems",
+        "customers_without_big_orders", "heavy_buyers_minus_heavy_errorers",
+        "lineitem_cube", "events_rollup", "event_type_stats",
+        "events_json_extract", "first_event_per_user", "sessionize_events",
+        "top3_events_per_user", "topk_events_global",
+        "value_percentiles_by_type",
+        # text/dedup/similarity/streaming: green r2 + r3
+        "read_revcomp", "read_collapse", "doc_length_rule", "doc_symbol_ratio",
+        "doc_token_stats", "doc_stopword_ratio", "doc_bpe_token_count",
+        "doc_fingerprint", "doc_gopher_stats", "doc_scrub_emails",
+        "doc_scrub_pii", "doc_lang_allowlist", "doc_c4_line_filter",
+        "dedup_exact", "dedup_jaccard_3gram", "dedup_embedding_cosine",
+        "dedup_cluster_representatives", "embedding_cosine_topk",
+        "embedding_knn_label", "embedding_label_centroids",
+        "streaming_windowed_counts", "streaming_dedupe_events",
+    }
+)
+
+# Rows-only queries whose behavior a stronger in-window sibling exercises
+# (documented eviction justification for the invariant test).
+COVERED_BY_SIBLING: dict[str, str] = {
+    "dedup_simhash": "dedup_minhash_lsh",
+    "embedding_ann_lsh": "embedding_ann_recall",
+    "embedding_ann_ivf": "embedding_ann_recall",
+    "streaming_filter_labels": "streaming_conv_verdicts",
+    "media_image_features": "media_resize_features",
+    "media_audio_features": "media_frame_samples",
+}
+
 _PRIORITY: tuple[str, ...] = (
     # flagship + spec acceptance gates (north_rule core)
     "transcripts_pipeline",
@@ -88,35 +133,37 @@ _PRIORITY: tuple[str, ...] = (
     "read_expected_errors_bootstrap",
     "doc_winnow_fingerprint",
     "job_resume_identity",
-    # scale-sensitive corpus assembly (single-reducer rewrites land r3)
+    "table_maintenance_lifecycle",
+    # scale-sensitive corpus assembly
     "source_quality_filter",
     "training_mix_sample",
     "shard_packing",
     "corpus_to_shards",
-    # text / quality heuristics (SQL-checked)
+    # text / quality heuristics (SQL-checked) + learned classifier gate
     "doc_length_rule",
     "doc_symbol_ratio",
-    "doc_token_stats",
-    "doc_stopword_ratio",
     "doc_bpe_token_count",
-    "doc_fingerprint",
     "doc_gopher_stats",
-    "doc_scrub_emails",
     "doc_scrub_pii",
-    "doc_lang_allowlist",
     "doc_c4_line_filter",
-    # dedup tier
+    "doc_quality_model",
+    # sketch tier (HLL++ / GK quantiles, self-verifying floors)
+    "events_approx_distinct",
+    "events_approx_quantiles",
+    # dedup tier (incl. round-3/4 capstones: closure, capped, incremental)
     "dedup_exact",
     "dedup_jaccard_3gram",
+    "dedup_jaccard_capped",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_cluster_representatives",
-    # similarity tier
+    "dedup_cluster_bigstar",
+    "corpus_near_dedup",
+    "dedup_incremental",
+    "dedup_incremental_minhash",
+    # similarity tier (ann_recall's hard floor runs both LSH and IVF paths)
     "embedding_cosine_topk",
-    "embedding_ann_lsh",
-    "embedding_ann_ivf",
     "embedding_ann_recall",
     "embedding_knn_label",
     "embedding_label_centroids",
@@ -124,10 +171,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_conv_verdicts",
     "streaming_windowed_counts",
     "streaming_dedupe_events",
-    "streaming_filter_labels",
-    # multimodal tier (decoders env-gated; 2 of 4 in-window)
-    "media_image_features",
-    "media_audio_features",
+    # multimodal tier (decoders env-gated; pair rotates each round)
+    "media_resize_features",
+    "media_frame_samples",
 )
 
 

@@ -15,6 +15,8 @@ candidate generation is an equi-join on a key with controlled fan-out.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Iterator
 
 import numpy as np
@@ -105,9 +107,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------- n-gram Jaccard dedup
-# CTE block shared by the pair query's oracle and the cluster query's
-# recursive-CTE oracle (which extends it with a transitive closure).
-_JACCARD_PAIR_CTES = f"""corpus AS ({_PLANT_NEAR_SQL}),
+def _jaccard_ctes_sql(corpus_sql: str, max_df: int | None = None) -> str:
+    """Oracle-side CTE block: word-3-gram shingles -> (optional df cap) ->
+    pairwise Jaccard >= 0.5.  One builder for every Jaccard oracle so the
+    capped and uncapped variants can never diverge in shingling rules."""
+    if max_df is None:
+        sh_final = "sh"
+        cap_ctes = ""
+    else:
+        sh_final = "shc"
+        cap_ctes = f""",
+    kept_sh AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df}
+    ),
+    shc AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN kept_sh USING (shingle)
+    )"""
+    return f"""corpus AS ({corpus_sql}),
     toks AS (
       SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
       FROM corpus
@@ -119,11 +135,12 @@ _JACCARD_PAIR_CTES = f"""corpus AS ({_PLANT_NEAR_SQL}),
                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
         FROM toks WHERE LEN(w) >= 3
       )
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    ){cap_ctes},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM {sh_final} GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM {sh_final} a
+      JOIN {sh_final} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     pairs AS (
@@ -136,26 +153,14 @@ _JACCARD_PAIR_CTES = f"""corpus AS ({_PLANT_NEAR_SQL}),
     )"""
 
 
-@register(
-    "dedup_jaccard_3gram",
-    f"""
-    WITH {_JACCARD_PAIR_CTES}
-    SELECT doc_a, doc_b, jaccard FROM pairs
-    """,
-)
-def dedup_jaccard_3gram(
-    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
-) -> DataFrame:
-    """Near-dup detection via word-3-gram shingles + shingle equi-join.
+# CTE block shared by the pair query's oracle and the cluster query's
+# recursive-CTE oracle (which extends it with a transitive closure).
+_JACCARD_PAIR_CTES = _jaccard_ctes_sql(_PLANT_NEAR_SQL)
 
-    Shuffle-friendly: candidates come from joining on the shingle value, so
-    cost scales with shared-shingle pairs, not with n^2.  ``max_shingle_df``
-    (off by default) additionally drops boilerplate shingles shared by more
-    than that many docs — the fan-out cap needed at real web scale.  NOTE:
-    capping changes intersection counts, so it is an approximation switch,
-    not a pure optimization; the oracle-checked default keeps it off.
-    """
-    corpus = _planted_near(spark, sf_dir)
+
+def _shingle_rows(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram rows — the Spark twin of the
+    ``sh`` CTE above.  All-JVM: split/filter/transform/explode, no Python."""
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     toks = corpus.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
     shingle = F.transform(
@@ -167,17 +172,12 @@ def dedup_jaccard_3gram(
             F.element_at(F.col("w"), i + 2),
         ),
     )
-    sh = (
-        toks.select("doc_id", F.explode(shingle).alias("shingle"))
-        .distinct()
-    )
-    if max_shingle_df is not None:
-        sh = cap_hot_shingles(sh, max_shingle_df)
-    # sh feeds three plan branches; deliberately NOT persisted — caching the
-    # exploded shingle rows measured SLOWER (3.2s vs 2.3s at sf0.1) than
-    # recomputing the all-JVM explode from the column-pruned scan.  Persist
-    # pays off only when the branch subtree crosses into Python (see the
-    # sketch queries below).
+    return toks.select("doc_id", F.explode(shingle).alias("shingle")).distinct()
+
+
+def _jaccard_pairs_from(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs with Jaccard >= threshold from shingle
+    rows, via the shuffle-friendly shingle equi-join (never O(n^2))."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -200,9 +200,110 @@ def dedup_jaccard_3gram(
     return (
         inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_jaccard_3gram",
+    f"""
+    WITH {_JACCARD_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+)
+def dedup_jaccard_3gram(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
+) -> DataFrame:
+    """Near-dup detection via word-3-gram shingles + shingle equi-join.
+
+    Shuffle-friendly: candidates come from joining on the shingle value, so
+    cost scales with shared-shingle pairs, not with n^2.  ``max_shingle_df``
+    (off by default) additionally drops boilerplate shingles shared by more
+    than that many docs — the fan-out cap needed at real web scale.  NOTE:
+    capping changes intersection counts, so it is an approximation switch,
+    not a pure optimization; the oracle-checked default keeps it off.
+    """
+    corpus = _planted_near(spark, sf_dir)
+    # sh feeds three plan branches; deliberately NOT persisted — caching the
+    # exploded shingle rows measured SLOWER (3.2s vs 2.3s at sf0.1) than
+    # recomputing the all-JVM explode from the column-pruned scan.  Persist
+    # pays off only when the branch subtree crosses into Python (see the
+    # sketch queries below).
+    sh = _shingle_rows(corpus)
+    if max_shingle_df is not None:
+        sh = cap_hot_shingles(sh, max_shingle_df)
+    return _jaccard_pairs_from(sh)
+
+
+# --------------------------------------- capped n-gram Jaccard (boilerplate)
+_CAP_MAX_DF = 20
+
+# Boilerplate plant: half the corpus shares a 6-word legal footer whose four
+# interior shingles have document frequency ~|corpus|/2 — the exact fan-out
+# bomb cap_hot_shingles exists for.  Near-dup plants derive from the
+# boilerplated text so capped Jaccard still finds them.
+_PLANT_BOILER_SQL = """
+      SELECT doc_id, text FROM boiler
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra trailing token'
+      FROM boiler WHERE doc_id % 50 = 0
+"""
+
+
+@register(
+    "dedup_jaccard_capped",
+    f"""
+    WITH boiler AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN text || ' legal notice all rights reserved worldwide'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    {_jaccard_ctes_sql(_PLANT_BOILER_SQL, max_df=_CAP_MAX_DF)}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-shingle document-frequency cap — the switch the 100 TB near
+    -dedup path REQUIRES — exercised and oracle-verified.
+
+    The corpus plants the web-scale pathology: a 6-word boilerplate footer
+    ("all rights reserved...") appended to every even doc_id, whose interior
+    shingles are shared by ~half the corpus.  Uncapped, the candidate
+    equi-join fans out quadratically on those keys (|corpus|^2/4 pairs from
+    four shingles); with ``max_shingle_df={_CAP_MAX_DF}`` they are dropped
+    before the join and cost nothing.  The DuckDB oracle applies the
+    IDENTICAL df cutoff (HAVING COUNT(*) <= {_CAP_MAX_DF}), so the
+    approximation the cap introduces — Jaccard computed over capped shingle
+    sets on both sides — is itself hash-checked, not just benchmarked.
+    Round 3 shipped the cap off-by-default and only A/B'd its speed; this
+    query is the correctness row the scale default was missing.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" legal notice all rights reserved worldwide"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = boiler.unionAll(
+        boiler.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra trailing token")).alias(
+                "text"
+            ),
+        )
+    )
+    sh = cap_hot_shingles(_shingle_rows(corpus), _CAP_MAX_DF)
+    return _jaccard_pairs_from(sh)
 
 
 # ------------------------------------------------------------ MinHash + LSH
@@ -630,3 +731,419 @@ def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(False).alias("was_clustered"))
     )
     return unclustered.unionAll(reps)
+
+
+# ------------------------------------- incremental (cross-snapshot) dedup
+# A production pipeline never dedups a static corpus: each day's crawl is
+# deduped against everything previously COMMITTED.  Batch 1 (doc_id % 3 != 0)
+# is committed to a SnapshotTable with its fingerprints + MinHash signatures;
+# batch 2 is the "new" data, seeded with exact copies of committed docs
+# (% 30 = 1 -> +5e6), near copies of committed docs (% 30 = 2 -> +6e6, extra
+# trailing token), intra-batch exact copies (% 30 = 0 -> +7e6), and genuinely
+# new docs (doc_id % 3 = 0).  A new doc survives iff it is neither an exact
+# dup (fingerprint in the committed snapshot, or a smaller-id twin within the
+# batch) nor a near dup (word-3-gram Jaccard >= 0.5 vs any committed doc).
+_INCREMENTAL_B2_SQL = """
+    b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    b2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, text FROM b1 WHERE doc_id % 30 = 1
+      UNION ALL
+      SELECT doc_id + 6000000 AS doc_id, text || ' extra trailing token'
+      FROM b1 WHERE doc_id % 30 = 2
+      UNION ALL
+      SELECT doc_id + 7000000 AS doc_id, text FROM documents
+      WHERE doc_id % 30 = 0
+    )"""
+
+
+def _incremental_batches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = d.filter(F.col("doc_id") % 3 != 0)
+    b2 = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .unionAll(
+            b1.filter(F.col("doc_id") % 30 == 1).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            b1.filter(F.col("doc_id") % 30 == 2).select(
+                (F.col("doc_id") + 6000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra trailing token")).alias(
+                    "text"
+                ),
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 30 == 0).select(
+                (F.col("doc_id") + 7000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return b1, b2
+
+
+def _with_shingle_set(df: DataFrame, out: str = "s") -> DataFrame:
+    """Per-row DISTINCT word-3-gram array column — total over short docs
+    (< 3 words -> empty array; the slice bound keeps every element_at index
+    in range, so no row can throw under ANSI mode)."""
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    d = df.withColumn("_w", w)
+    shingles = F.transform(
+        F.slice(F.col("_w"), 1, F.greatest(F.size("_w") - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_w"), i + 1),
+            F.element_at(F.col("_w"), i + 2),
+            F.element_at(F.col("_w"), i + 3),
+        ),
+    )
+    return d.withColumn(out, F.array_distinct(shingles)).drop("_w")
+
+
+def _make_minhash_udf():
+    from moira_spark.kernels import sketch
+
+    av, bv = sketch.minhash_params(_MINHASH_K)
+
+    @F.pandas_udf("array<long>")
+    def minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for hs in batches:
+            yield pd.Series(sketch.minhash_batch(hs.tolist(), av, bv))
+
+    return minhash
+
+
+def _with_signatures(df: DataFrame) -> DataFrame:
+    """Adds (s, fingerprint, mh) per row: distinct shingle set, md5 of text,
+    and the k=64 MinHash signature (NULL when the doc has no shingles — the
+    kernel's explicit empties-disallowed contract)."""
+    minhash = _make_minhash_udf()
+    h_arr = F.transform(
+        F.col("s"), lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE))
+    )
+    with_s = _with_shingle_set(df).withColumn(
+        "fingerprint", F.md5("text")
+    )
+    signed = with_s.filter(F.size("s") >= 1).withColumn("mh", minhash(h_arr))
+    unsigned = with_s.filter(F.size("s") < 1).withColumn(
+        "mh", F.lit(None).cast("array<long>")
+    )
+    return signed.unionAll(unsigned)
+
+
+def _commit_corpus_snapshot(spark: SparkSession, b1: DataFrame) -> "object":
+    """Commit batch 1 (text + md5 fingerprint + MinHash signature) to a
+    SnapshotTable — the persisted state an incremental pipeline carries
+    between runs.  Signatures ride along per-row (zero-shuffle, one Arrow
+    hop) so the next run can LSH-join against them without re-sketching
+    history."""
+    import tempfile
+
+    from moira_spark.sources.tableio import SnapshotTable
+
+    enriched = _with_signatures(b1).select(
+        "doc_id", "text", "fingerprint", "mh"
+    )
+    work = tempfile.mkdtemp(prefix="moira_incremental_")
+    table = SnapshotTable(f"{work}/corpus")
+    table.stage(enriched, "run-1")
+    table.commit(spark, "run-1")
+    return table
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH {_INCREMENTAL_B2_SQL},
+    fp1 AS (SELECT DISTINCT MD5(text) AS h FROM b1),
+    b2h AS (SELECT doc_id, text, MD5(text) AS h FROM b2),
+    firsts AS (SELECT h, MIN(doc_id) AS first_id FROM b2h GROUP BY h),
+    tok1 AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM b1
+    ),
+    sh1 AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok1 WHERE LEN(w) >= 3
+      )
+    ),
+    tok2 AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM b2
+    ),
+    sh2 AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok2 WHERE LEN(w) >= 3
+      )
+    ),
+    sz1 AS (SELECT doc_id, COUNT(*) AS sz FROM sh1 GROUP BY doc_id),
+    sz2 AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS i
+      FROM sh2 a JOIN sh1 b ON a.shingle = b.shingle
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near AS (
+      SELECT DISTINCT new_id AS doc_id
+      FROM inter
+      JOIN sz2 ON inter.new_id = sz2.doc_id
+      JOIN sz1 ON inter.old_id = sz1.doc_id
+      WHERE i * 1.0 / (sz2.sz + sz1.sz - i) >= 0.5
+    )
+    SELECT b.doc_id,
+           (f.h IS NOT NULL OR b.doc_id > fi.first_id) AS dup_exact,
+           (n.doc_id IS NOT NULL) AS dup_near,
+           (f.h IS NULL AND b.doc_id = fi.first_id AND n.doc_id IS NULL)
+             AS survives
+    FROM b2h b
+    JOIN firsts fi ON b.h = fi.h
+    LEFT JOIN fp1 f ON b.h = f.h
+    LEFT JOIN near n ON b.doc_id = n.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup — the daily-crawl composition a
+    100 TB pipeline runs: dedup NEW data against previously COMMITTED data,
+    not a static corpus against itself.
+
+    Batch 1 is genuinely committed through SnapshotTable (fingerprints +
+    per-row MinHash signatures persisted; sources/tableio.py CAS protocol),
+    then read back from the snapshot — the query exercises the real state
+    handoff, not a simulation of it.  New-batch flags: ``dup_exact`` =
+    fingerprint anti-join vs the committed snapshot OR a smaller-id twin
+    inside the batch (min-id-wins, same rule as dedup_exact); ``dup_near`` =
+    word-3-gram Jaccard >= 0.5 vs any committed doc via the shingle
+    equi-join (bucketed candidate generation — cost scales with shared
+    shingles between batches, never |new| x |committed|; cap_hot_shingles
+    applies unchanged when the committed side is web-scale).  The DuckDB
+    oracle recomputes all three flags from first principles, so the snapshot
+    round-trip itself is value-checked.  The result is localCheckpointed so
+    the temp table can be deleted before the driver collects.
+    """
+    b1, b2 = _incremental_batches(spark, sf_dir)
+    table = _commit_corpus_snapshot(spark, b1)
+    committed = table.read(spark)
+
+    fp1 = (
+        committed.select("fingerprint")
+        .distinct()
+        .withColumn("in_committed", F.lit(True))
+    )
+    b2h = b2.select("doc_id", "text", F.md5("text").alias("h"))
+    firsts = b2h.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+
+    sh1 = _shingle_rows(committed.select("doc_id", "text"))
+    sh2 = _shingle_rows(b2)
+    sz1 = sh1.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sz2 = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh2.alias("a"), sh1.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("old_id")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("s2.sz") + F.col("s1.sz") - F.col("i")
+    ).cast("double")
+    near = (
+        inter.join(
+            F.broadcast(sz2.alias("s2")), F.col("new_id") == F.col("s2.doc_id")
+        )
+        .join(
+            F.broadcast(sz1.alias("s1")), F.col("old_id") == F.col("s1.doc_id")
+        )
+        .filter(jac >= 0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    flagged = (
+        b2h.join(F.broadcast(firsts), "h")
+        .join(
+            F.broadcast(fp1),
+            F.col("h") == F.col("fingerprint"),
+            "left",
+        )
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("in_committed"), F.lit(False))
+                | (F.col("doc_id") > F.col("first_id"))
+            ).alias("dup_exact"),
+            F.coalesce(F.col("is_near"), F.lit(False)).alias("dup_near"),
+            (
+                F.col("in_committed").isNull()
+                & (F.col("doc_id") == F.col("first_id"))
+                & F.col("is_near").isNull()
+            ).alias("survives"),
+        )
+    )
+    out = flagged.localCheckpoint(eager=True)
+    shutil.rmtree(os.path.dirname(table.table_dir), ignore_errors=True)
+    return out
+
+
+@register("dedup_incremental_minhash", None)  # banded hashing: rows-only
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for incremental near-dedup: LSH-band join of new-batch
+    MinHash signatures against the signatures PERSISTED in the committed
+    snapshot (no re-shingling of history in the candidate stage), exact
+    Jaccard verify on candidates only.  Same batches and flags as the
+    SQL-checked ``dedup_incremental`` twin; the difference is candidate
+    generation — banded signature equi-join (O(collisions)) instead of the
+    shingle equi-join (O(shared shingles)), which is what survives when the
+    committed side is 10^12 documents.
+
+    Self-verifying floor (hard-fails, so the driver row is meaningful
+    without an oracle): every planted exact copy of a committed doc MUST be
+    flagged dup_exact (recall 1.0 — identical text gives an identical
+    fingerprint), and every planted near copy MUST be flagged dup_near
+    (identical prefixes give near-identical signatures; band collision is
+    deterministic under the fixed seeds, and the exact-Jaccard verify
+    bounds precision at 1.0).
+    """
+    b1, b2 = _incremental_batches(spark, sf_dir)
+    table = _commit_corpus_snapshot(spark, b1)
+    committed = table.read(spark).persist()  # signatures + text, read twice
+
+    b2s = _with_signatures(b2).select(
+        "doc_id", "s", "fingerprint", "mh"
+    ).persist()  # feeds bands + verify + flags: one Arrow pass
+
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+
+    def _bands(df: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.element_at(
+                                F.col("mh"), bi * rows_per_band + r + 1
+                            )
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("sig"),
+                )
+                for bi in range(_LSH_BANDS)
+            ]
+        )
+        return (
+            df.filter(F.col("mh").isNotNull())
+            .select("doc_id", F.explode(bands).alias("b"))
+            .select(
+                "doc_id",
+                F.col("b.band").alias("band"),
+                F.col("b.sig").alias("sig"),
+            )
+        )
+
+    new_bands = _bands(b2s).alias("l")
+    old_bands = _bands(committed).alias("r")
+    cand = (
+        new_bands.join(
+            old_bands,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig")),
+        )
+        .select(
+            F.col("l.doc_id").alias("new_id"), F.col("r.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only: committed shingles recomputed from
+    # the snapshot's stored text (candidates are a tiny fraction of history)
+    old_sets = _with_shingle_set(committed.select("doc_id", "text")).select(
+        F.col("doc_id").alias("old_id"), F.col("s").alias("old_s")
+    )
+    new_sets = b2s.select(F.col("doc_id").alias("new_id"), F.col("s").alias("new_s"))
+    near = (
+        cand.join(new_sets, "new_id")
+        .join(old_sets, "old_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("new_s", "old_s")).cast("double")
+            / F.greatest(
+                F.size(F.array_union("new_s", "old_s")), F.lit(1)
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    fp1 = committed.select("fingerprint").distinct().withColumn(
+        "in_committed", F.lit(True)
+    )
+    firsts = b2s.groupBy("fingerprint").agg(F.min("doc_id").alias("first_id"))
+    flagged = (
+        b2s.select("doc_id", "fingerprint")
+        .join(F.broadcast(firsts), "fingerprint")
+        .join(F.broadcast(fp1), "fingerprint", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("in_committed"), F.lit(False))
+                | (F.col("doc_id") > F.col("first_id"))
+            ).alias("dup_exact"),
+            F.coalesce(F.col("is_near"), F.lit(False)).alias("dup_near"),
+            (
+                F.col("in_committed").isNull()
+                & (F.col("doc_id") == F.col("first_id"))
+                & F.col("is_near").isNull()
+            ).alias("survives"),
+        )
+    )
+    out = flagged.localCheckpoint(eager=True)
+
+    # hard floor: planted recall must be perfect, or the query refuses to
+    # return rows (driver-visible failure without an oracle)
+    gate = out.agg(
+        F.sum(
+            F.when(
+                (F.col("doc_id") >= 5000000)
+                & (F.col("doc_id") < 6000000)
+                & ~F.col("dup_exact"),
+                1,
+            ).otherwise(0)
+        ).alias("missed_exact"),
+        F.sum(
+            F.when(
+                (F.col("doc_id") >= 6000000)
+                & (F.col("doc_id") < 7000000)
+                & ~F.col("dup_near"),
+                1,
+            ).otherwise(0)
+        ).alias("missed_near"),
+        F.sum(
+            F.when(
+                (F.col("doc_id") >= 7000000) & ~F.col("dup_exact"), 1
+            ).otherwise(0)
+        ).alias("missed_intra"),
+    ).collect()[0]
+    committed.unpersist()
+    b2s.unpersist()
+    shutil.rmtree(os.path.dirname(table.table_dir), ignore_errors=True)
+    if gate["missed_exact"] or gate["missed_near"] or gate["missed_intra"]:
+        raise AssertionError(
+            "incremental MinHash dedup missed planted duplicates: "
+            f"exact={gate['missed_exact']} near={gate['missed_near']} "
+            f"intra={gate['missed_intra']}"
+        )
+    return out

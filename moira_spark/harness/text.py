@@ -614,7 +614,12 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
       FROM toks
     )
-    SELECT doc_id, n_tokens, cum_tokens,
+    SELECT doc_id, n_tokens,
+           -- DuckDB's windowed SUM(BIGINT) widens to HUGEINT, which pandas
+           -- receives as float64 ("32.0"); Spark emits int64 ("32").  The
+           -- driver's value hash distinguishes the two (round-3 red row), so
+           -- pin the oracle back to BIGINT before it leaves SQL.
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
            CAST(FLOOR((GREATEST(cum_tokens, 1) - 1) / 2000) AS BIGINT) AS shard_id
     FROM runsum
     """,

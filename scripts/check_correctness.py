@@ -32,7 +32,13 @@ def value_hash(df: pd.DataFrame) -> str:
         if v is None or v != v:
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.9g}"
+            # Keep a float marker on integral floats: the driver's hash
+            # distinguishes float64 32.0 from int64 32 (round-3 shard_packing
+            # red row came from DuckDB HUGEINT->float64 passing here under
+            # the old "%.9g" collapse).  The mirror must be at least as
+            # strict as the driver, so never normalize away the dtype.
+            s = f"{v:.9g}"
+            return s if ("." in s or "e" in s or "inf" in s) else s + ".0"
         if isinstance(v, (pd.Timestamp,)):
             return v.isoformat()
         return str(v)

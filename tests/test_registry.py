@@ -70,3 +70,59 @@ def test_priority_names_exist():
     # A typo in _PRIORITY would silently demote a query to the tail.
     unknown = [n for n in harness._PRIORITY if n not in harness.REGISTRY]
     assert not unknown, f"_PRIORITY names not in REGISTRY: {unknown}"
+
+
+# Rows-only queries that hard-fail in-query on an accuracy floor — as
+# driver-informative as an oracle row, so the same window rule applies.
+HARD_FLOOR_QUERIES = [
+    "doc_langid_separable",
+    "doc_perplexity_separation",
+    "pipeline_f1_vs_reference",
+    "embedding_ann_recall",
+    "events_approx_distinct",
+    "events_approx_quantiles",
+    "doc_quality_model",
+    "dedup_incremental_minhash",
+]
+
+
+def test_no_unproven_checked_query_exiled_past_window():
+    """The round-3 failure mode, made impossible: every query that carries a
+    DuckDB oracle or an in-query hard-fail floor MUST sit inside the
+    driver's 50-query window unless it already has >= 2 green external
+    driver rounds (EXTERNALLY_PROVEN) or a stronger in-window sibling
+    exercises it (COVERED_BY_SIBLING).  New queries are checked, not
+    appended into the void."""
+    order = list(harness.queries())
+    pos = {n: i for i, n in enumerate(order)}
+    checked = set(harness.oracle_sql()) | set(HARD_FLOOR_QUERIES)
+    exiled = {
+        n: pos[n]
+        for n in checked
+        if pos[n] >= DRIVER_WINDOW
+        and n not in harness.EXTERNALLY_PROVEN
+        and n not in harness.COVERED_BY_SIBLING
+    }
+    assert not exiled, (
+        "oracle-backed/hard-floor queries past the driver window without "
+        f"external proof or a covering sibling: {exiled}"
+    )
+
+
+def test_sibling_cover_is_inside_window():
+    # An eviction justified by "a stronger sibling covers it" is only valid
+    # while that sibling is itself externally checked.
+    order = list(harness.queries())
+    pos = {n: i for i, n in enumerate(order)}
+    bad = {
+        evicted: sib
+        for evicted, sib in harness.COVERED_BY_SIBLING.items()
+        if sib not in pos or pos[sib] >= DRIVER_WINDOW
+    }
+    assert not bad, f"covering siblings missing from the window: {bad}"
+
+
+def test_window_is_exactly_full():
+    # 50 seats, 50 occupants: an accidental _PRIORITY deletion would let
+    # registration-order tail queries drift into the window unreviewed.
+    assert len(harness._PRIORITY) == DRIVER_WINDOW
