@@ -38,6 +38,12 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cac
 # turns for the transcript-pipeline bench, keyed by sf directory name
 _TURNS_BY_SF = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 200_000}
 
+# Engine queries only.  pipeline_f1_vs_reference was removed from the timed
+# set in round 4 (it runs the pandas REFERENCE oracle alongside Spark — a
+# fixed-small-scale acceptance gate, not an engine query; in round 3 it was
+# the single heaviest "headline" entry and made round-over-round bench
+# deltas track the oracle, not the engine).  It still runs under the
+# correctness harness every round.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -49,14 +55,15 @@ HEADLINE = [
     "doc_perplexity",
     "dedup_exact",
     "dedup_jaccard_3gram",
+    "dedup_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_incremental",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
     "shard_packing",
     "corpus_to_shards",
-    "pipeline_f1_vs_reference",
 ]
 
 
@@ -112,15 +119,24 @@ def main() -> None:
     _ramp_cpu(seconds=60.0, procs=CPUS)
     steal0, total0 = _cpu_jiffies()
 
+    # 3 runs per query; report best (comparable to prior rounds' best-of
+    # floor) AND median + raw runs (ADVICE r3: a best-of floor can ride one
+    # lucky low-steal window, the median cannot — regressions are judged
+    # against both).
     timings: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
+    query_median: dict[str, float] = {}
     for name in HEADLINE:
-        best = 9e9
-        for _ in range(2):  # best-of-2: absorbs transient host-steal windows
+        runs: list[float] = []
+        for _ in range(3):
             t0 = time.time()
             _materialize(qs[name](spark, SF_DIR))
-            best = min(best, time.time() - t0)
+            runs.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        srt = sorted(runs)
+        timings[name] = srt[0]
+        query_runs[name] = runs
+        query_median[name] = srt[len(srt) // 2]
 
     # flagship: transcript pipeline over the staged parquet table.
     # Warm best-of-3: the first run pays one-off costs no steady-state
@@ -160,6 +176,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": query_median,
+        "query_runs": query_runs,
         "sf": _sf_label(),
         "cpus": CPUS,
         "pipeline_turns": n_turns,

@@ -120,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_f1_vs_reference",
     "transcripts_audit",
     "transcripts_good_sink",
-    "transcripts_rule_histogram",
     "doc_langid",
     "doc_langid_separable",
     "doc_perplexity",
@@ -143,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_length_rule",
     "doc_symbol_ratio",
     "doc_bpe_token_count",
+    "doc_bpe_trained",
     "doc_gopher_stats",
     "doc_scrub_pii",
     "doc_c4_line_filter",

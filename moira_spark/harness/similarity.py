@@ -108,9 +108,17 @@ def _quantized(base: DataFrame) -> DataFrame:
     the full embedding column."""
     maxabs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
     vscale = F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0)
-    code = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale"))).cast(
-        "array<tinyint>"
-    )
+    # clamp to [-127, 127] BEFORE the tinyint cast: with the current scale
+    # formula (maxabs/127) values are in range by construction, but the
+    # non-ANSI cast would silently wrap if the formula ever changed —
+    # clamping makes overflow impossible rather than merely absent.
+    code = F.transform(
+        F.col("v"),
+        lambda x: F.least(
+            F.greatest(F.round(x / F.col("scale")), F.lit(-127.0)),
+            F.lit(127.0),
+        ),
+    ).cast("array<tinyint>")
     return base.withColumn("scale", vscale).withColumn("code", code)
 
 

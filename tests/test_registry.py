@@ -83,6 +83,8 @@ HARD_FLOOR_QUERIES = [
     "events_approx_quantiles",
     "doc_quality_model",
     "dedup_incremental_minhash",
+    "read_expected_errors_bootstrap",
+    "doc_bpe_trained",
 ]
 
 
