@@ -43,13 +43,55 @@ def parse_args(argv):
         action="store_true",
         help="force shuffle join for the conversation-verdict join-back",
     )
+    # moira-style threshold surface (maps onto moira_spark.config via
+    # apply_overrides — the pandas oracle reads the same module, so the
+    # F1/byte-exact acceptance gates hold under any setting):
+    #   --min-chars/--max-chars/--min-words/--max-words <- moira --truncate
+    #     and the length gate; --ppl-max <- --maxerrors/--uncert (expected
+    #     errors re-expressed as a perplexity ceiling); --max-bad-turns <-
+    #     paired-read whole-pair discard, lifted to conversations.
+    t = p.add_argument_group("filter thresholds (defaults: moira_spark/config.py)")
+    t.add_argument("--min-chars", type=int, dest="MIN_CHARS")
+    t.add_argument("--max-chars", type=int, dest="MAX_CHARS")
+    t.add_argument("--min-words", type=int, dest="MIN_WORDS")
+    t.add_argument("--max-words", type=int, dest="MAX_WORDS")
+    t.add_argument(
+        "--max-symbol-ratio", type=float, dest="MAX_SYMBOL_WORD_RATIO"
+    )
+    t.add_argument("--ppl-max", type=float, dest="PPL_MAX")
+    t.add_argument("--ppl-min-chars", type=int, dest="PPL_MIN_CHARS")
+    t.add_argument("--lang-min-conf", type=float, dest="LANG_MIN_CONF")
+    t.add_argument(
+        "--langs",
+        dest="LANG_ALLOWLIST",
+        help="comma-separated language allowlist (default: en)",
+    )
+    t.add_argument("--max-bad-turns", type=int, dest="CONV_MAX_BAD_TURNS")
+    t.add_argument(
+        "--salt-buckets",
+        type=int,
+        dest="CONV_AGG_SALT_BUCKETS",
+        help="salt buckets for the hot-conversation two-phase aggregation",
+    )
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    from moira_spark import config
     from moira_spark.job import run_filter_job
     from moira_spark.session import build_session
+
+    overrides = {
+        k: getattr(args, k, None) for k in config._OVERRIDABLE
+    }
+    if overrides.get("LANG_ALLOWLIST"):
+        overrides["LANG_ALLOWLIST"] = tuple(
+            s.strip() for s in overrides["LANG_ALLOWLIST"].split(",") if s.strip()
+        )
+    changed = config.apply_overrides(**overrides)
+    if changed:
+        print(json.dumps({"threshold_overrides": changed}), file=sys.stderr)
 
     spark = build_session(app_name=f"moira-spark-{args.run_id}", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")

@@ -77,6 +77,49 @@ CONV_MAX_BAD_TURNS = 5
 # Salt buckets for the two-phase conversation aggregation (hot-conv skew).
 CONV_AGG_SALT_BUCKETS = 32
 
+# ------------------------------------------------------------- CLI overrides
+# moira exposes its thresholds as command-line options (--truncate,
+# --maxerrors/--uncert, paired-discard, ...).  The transposed engine keeps
+# the spec defaults above as the single source of truth, but driver.py maps
+# the moira-style flag surface onto them via this function.  Overrides
+# mutate the module constants BEFORE any pipeline/oracle code reads them —
+# and because the pandas oracle and the Spark pipeline import THIS module,
+# an override can never make the two sides disagree (the F1/byte-exact
+# gates hold under any setting).
+_OVERRIDABLE = {
+    "MIN_CHARS": int,
+    "MAX_CHARS": int,
+    "MIN_WORDS": int,
+    "MAX_WORDS": int,
+    "MAX_SYMBOL_WORD_RATIO": float,
+    "PPL_MAX": float,
+    "PPL_MIN_CHARS": int,
+    "LANG_MIN_CONF": float,
+    "LANG_ALLOWLIST": tuple,
+    "CONV_MAX_BAD_TURNS": int,
+    "CONV_AGG_SALT_BUCKETS": int,
+}
+
+
+def apply_overrides(**kwargs) -> dict:
+    """Validate and apply CLI threshold overrides; returns what changed.
+    Unknown keys raise (a typo'd flag must not silently run with defaults);
+    None values are ignored (argparse's unset marker)."""
+    changed = {}
+    g = globals()
+    for key, value in kwargs.items():
+        if value is None:
+            continue
+        if key not in _OVERRIDABLE:
+            raise ValueError(f"not an overridable threshold: {key}")
+        caster = _OVERRIDABLE[key]
+        value = tuple(value) if caster is tuple else caster(value)
+        if g[key] != value:
+            g[key] = value
+            changed[key] = value
+    return changed
+
+
 # Rule names, also the vocabulary of the ``reasons`` column (sorted output).
 REASON_LENGTH = "length"
 REASON_SYMBOL = "symbol_ratio"

@@ -215,3 +215,48 @@ class TestNorthRuleGateQuery:
         assert row["scrub_exact_frac"] == 1.0
         assert row["conv_verdict_agreement"] == 1.0
         assert row["gate_f1_ge_099"] and row["gate_scrub_byte_exact"]
+
+
+def test_config_overrides_change_verdicts(spark):
+    """The moira-style CLI threshold surface (driver.py -> config.apply_
+    overrides): overrides must actually steer the pipeline AND keep the
+    Spark/oracle sides agreeing, because both read the same module."""
+    from moira_spark import config
+    from moira_spark.datagen import transcripts as tg
+    from moira_spark.oracle import ref_pipeline as orc
+    from moira_spark.pipeline import release_cache, run_pipeline
+
+    saved = {k: getattr(config, k) for k in ("PPL_MAX", "CONV_MAX_BAD_TURNS")}
+    try:
+        import pytest
+
+        with pytest.raises(ValueError):
+            config.apply_overrides(NOT_A_KNOB=1)
+        assert config.apply_overrides(PPL_MAX=None) == {}  # unset flag: no-op
+
+        src = tg.gen_spark(spark, 2000, seed=7)
+        base = run_pipeline(spark, src)
+        base_kept = base.filter("keep AND conv_keep").count()
+        release_cache(base)
+
+        # a brutally low perplexity ceiling must drop more turns, and the
+        # pandas oracle must agree row-for-row under the same override
+        changed = config.apply_overrides(PPL_MAX=5.0, CONV_MAX_BAD_TURNS=1)
+        assert changed == {"PPL_MAX": 5.0, "CONV_MAX_BAD_TURNS": 1}
+        strict = run_pipeline(spark, src)
+        sdf = strict.select("conv_id", "turn_idx", "keep", "conv_keep").toPandas()
+        strict_kept = int((sdf["keep"] & sdf["conv_keep"]).sum())
+        release_cache(strict)
+        assert strict_kept < base_kept
+
+        ref = orc.run(tg.gen_pandas(2000, seed=7))
+        merged = sdf.merge(
+            ref[["conv_id", "turn_idx", "keep", "conv_keep"]],
+            on=["conv_id", "turn_idx"],
+            suffixes=("_s", "_r"),
+        )
+        assert len(merged) == len(sdf)
+        assert (merged["keep_s"] == merged["keep_r"]).all()
+        assert (merged["conv_keep_s"] == merged["conv_keep_r"]).all()
+    finally:
+        config.apply_overrides(**saved)
