@@ -280,6 +280,15 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets on both sides — is itself hash-checked, not just benchmarked.
     Round 3 shipped the cap off-by-default and only A/B'd its speed; this
     query is the correctness row the scale default was missing.
+
+    Plan note: the capped shingle frame feeds four branches and the
+    pre-execution plan shows the subtree re-expanded (32 pruned 2-column
+    scans).  Persisting it was A/B'd at sf0.1/local[32]: 2.0-2.5 s
+    unpersisted vs 4.8-8.5 s persisted — same result as the uncapped query
+    (round 3): caching the exploded rows costs more than recomputing the
+    all-JVM explode, and AQE reuses the post-explode exchanges at runtime.
+    At 100 TB the staging-table equivalent applies: write capped shingles
+    once, scan thrice.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     boiler = d.select(

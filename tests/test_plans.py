@@ -54,6 +54,15 @@ CASES = [
     ("doc_langid", 0, 1, 0, 0),
     ("q1_pricing_summary", 0, 0, 0, 1),
     ("embedding_cosine_topk", 0, 0, 0, 1),
+    # round 4: capped Jaccard (pure JVM, 4-branch shingle re-expansion is
+    # deliberate — persist A/B'd slower, see dedup_jaccard_capped docstring)
+    ("dedup_jaccard_capped", 0, 0, 2, 1),
+    # round 4: trained BPE — checkpointed result (Scan ExistingRDD), so like
+    # the prefix-sum queries nothing upstream remains in the returned plan;
+    # the invariant that matters (exactly one Arrow pass) is enforced by the
+    # in-query gate running off the same checkpoint.
+    ("doc_bpe_trained", 0, 0, 0, 0),
+    ("dedup_incremental", 0, 0, 0, 0),
 ]
 
 
