@@ -815,6 +815,9 @@ def _with_shingle_set(df: DataFrame, out: str = "s") -> DataFrame:
 
 
 def _make_minhash_udf():
+    """MinHash signature UDF, total over empty shingle lists (NULL out) —
+    the kernel itself keeps its explicit empties-disallowed contract, so
+    the split happens here per Arrow batch."""
     from moira_spark.kernels import sketch
 
     av, bv = sketch.minhash_params(_MINHASH_K)
@@ -822,27 +825,30 @@ def _make_minhash_udf():
     @F.pandas_udf("array<long>")
     def minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for hs in batches:
-            yield pd.Series(sketch.minhash_batch(hs.tolist(), av, bv))
+            lists = hs.tolist()
+            nonempty = [h for h in lists if len(h)]
+            sigs = iter(sketch.minhash_batch(nonempty, av, bv))
+            yield pd.Series(
+                [next(sigs) if len(h) else None for h in lists],
+                dtype=object,
+            )
 
     return minhash
 
 
 def _with_signatures(df: DataFrame) -> DataFrame:
     """Adds (s, fingerprint, mh) per row: distinct shingle set, md5 of text,
-    and the k=64 MinHash signature (NULL when the doc has no shingles — the
-    kernel's explicit empties-disallowed contract)."""
+    and the k=64 MinHash signature (NULL when the doc has no shingles).
+    Single plan branch — one shingle/md5 pass, one Arrow hop."""
     minhash = _make_minhash_udf()
     h_arr = F.transform(
         F.col("s"), lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE))
     )
-    with_s = _with_shingle_set(df).withColumn(
-        "fingerprint", F.md5("text")
+    return (
+        _with_shingle_set(df)
+        .withColumn("fingerprint", F.md5("text"))
+        .withColumn("mh", minhash(h_arr))
     )
-    signed = with_s.filter(F.size("s") >= 1).withColumn("mh", minhash(h_arr))
-    unsigned = with_s.filter(F.size("s") < 1).withColumn(
-        "mh", F.lit(None).cast("array<long>")
-    )
-    return signed.unionAll(unsigned)
 
 
 def _commit_corpus_snapshot(spark: SparkSession, b1: DataFrame) -> "object":
@@ -855,6 +861,14 @@ def _commit_corpus_snapshot(spark: SparkSession, b1: DataFrame) -> "object":
 
     from moira_spark.sources.tableio import SnapshotTable
 
+    # The small-sf documents parquet is a single file -> one input partition,
+    # which would serialize the Arrow sketch pass and the staged write onto
+    # one task (measured: 6.8 of the query's 8 s at sf0.1).  Spread the
+    # batch across the configured parallelism first — at production scale
+    # the input table is already many files and this is a no-op decision.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if b1.rdd.getNumPartitions() < n_parts:
+        b1 = b1.repartition(n_parts)
     enriched = _with_signatures(b1).select(
         "doc_id", "text", "fingerprint", "mh"
     )
