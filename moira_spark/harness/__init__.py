@@ -139,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "shard_packing",
     "corpus_to_shards",
     # text / quality heuristics (SQL-checked) + learned classifier gate
-    "doc_length_rule",
     "doc_symbol_ratio",
     "doc_bpe_token_count",
     "doc_bpe_trained",
@@ -162,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_near_dedup",
     "dedup_incremental",
     "dedup_incremental_minhash",
+    "doc_span_dedup",
     # similarity tier (ann_recall's hard floor runs both LSH and IVF paths)
     "embedding_cosine_topk",
     "embedding_ann_recall",

@@ -742,6 +742,112 @@ def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unclustered.unionAll(reps)
 
 
+# --------------------------------------------- span-level (C4-style) dedup
+@register(
+    "doc_span_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || '. all rights reserved. visit our website'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    lists AS (
+      SELECT doc_id, STRING_SPLIT(text, '. ') AS l FROM corpus
+    ),
+    spans AS (
+      SELECT doc_id, u.i AS span_idx, u.s AS s
+      FROM lists,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l) + 1),
+                  i -> {'i': i, 's': l[i]})) AS t(u)
+    ),
+    firsts AS (
+      SELECT s, MIN(doc_id * 100000 + span_idx) AS first_key
+      FROM spans GROUP BY s
+    ),
+    kept AS (
+      SELECT sp.doc_id, sp.span_idx, sp.s
+      FROM spans sp JOIN firsts f
+        ON sp.s = f.s AND sp.doc_id * 100000 + sp.span_idx = f.first_key
+    )
+    SELECT c.doc_id,
+           LEN(STRING_SPLIT(c.text, '. ')) AS n_spans,
+           COALESCE(k.n_kept, 0) AS n_kept_spans,
+           COALESCE(k.txt, '') AS deduped_text
+    FROM corpus c
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             STRING_AGG(s, '. ' ORDER BY span_idx) AS txt
+      FROM kept GROUP BY doc_id
+    ) k ON c.doc_id = k.doc_id
+    """,
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup: split every document into sentence spans,
+    keep only the GLOBALLY FIRST occurrence of each distinct span (by
+    (doc_id, span_idx)), and reassemble documents without the repeats —
+    the pass that strips boilerplate sentences ("all rights reserved")
+    that exact/near doc-level dedup cannot touch because the surrounding
+    document is unique.  Planted: a two-span legal footer on every fourth
+    document; after the pass it survives only in the first one.
+
+    Scale shape: first-occurrence selection is a groupBy-min over
+    (doc_id, span_idx) keyed by the span — an ALGEBRAIC aggregate with
+    map-side partial combine, NOT a row_number window partitioned by span
+    (a boilerplate span shared by 25% of the corpus would funnel those
+    rows through one window partition; the min-agg reduces them map-side).
+    The verdict join back on the span key fans out only to true
+    occurrences, which AQE skew-split handles.  Reassembly is a per-doc
+    sort of a bounded span list.  Hash-checked against the identical
+    DuckDB composition (the synthetic key doc_id*100000+span_idx makes
+    the min total-ordered on both engines; span_idx < 100000 by
+    construction at any tested scale).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(". all rights reserved. visit our website"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = corpus.select(
+        "doc_id", F.posexplode(F.split("text", "\\. ")).alias("idx0", "s")
+    ).select("doc_id", (F.col("idx0") + 1).alias("span_idx"), "s")
+    key = F.col("doc_id") * 100000 + F.col("span_idx")
+    firsts = spans.groupBy("s").agg(F.min(key).alias("first_key"))
+    kept = spans.join(firsts, "s").filter(key == F.col("first_key"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "s"))),
+                lambda x: x["s"],
+            ),
+            ". ",
+        ).alias("deduped_text"),
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            F.size(F.split("text", "\\. ")).cast("bigint").alias("n_spans"),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_kept_spans", F.lit(0)).alias("n_kept_spans"),
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+        )
+    )
+
+
 # ------------------------------------- incremental (cross-snapshot) dedup
 # A production pipeline never dedups a static corpus: each day's crawl is
 # deduped against everything previously COMMITTED.  Batch 1 (doc_id % 3 != 0)
