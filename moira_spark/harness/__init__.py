@@ -138,8 +138,9 @@ _PRIORITY: tuple[str, ...] = (
     "training_mix_sample",
     "shard_packing",
     "corpus_to_shards",
+    # event-time as-of join (new relational operator, round 4)
+    "events_asof_join",
     # text / quality heuristics (SQL-checked) + learned classifier gate
-    "doc_symbol_ratio",
     "doc_bpe_token_count",
     "doc_bpe_trained",
     "doc_gopher_stats",

@@ -592,3 +592,71 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_err_p50 double, rank_err_p90 double, rank_err_p99 double"
         ),
     )
+
+
+# ------------------------------------------------------------- as-of join
+@register(
+    "events_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id AS error_id,
+           e.user_id,
+           COALESCE(c.event_id, -1) AS click_id,
+           COALESCE(EPOCH_US(e.ts) - EPOCH_US(c.ts), -1) AS gap_us
+    FROM errors e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time AS-OF join — attribute every 'error' event to the same
+    user's most recent 'click' at or before it (last-interaction
+    attribution), an operator Spark lacks natively and DuckDB verifies
+    with its built-in ASOF LEFT JOIN.
+
+    Spark side uses the merge-tag formulation, the shape that survives
+    10^12 events: tag clicks and errors, UNION them, one window pass per
+    user ordered by (ts, is_click DESC) carrying last-click state forward
+    (same-ts clicks sort before errors, matching ASOF's >= bound).  ONE
+    shuffle on user_id and a linear scan per user — never the
+    range-predicate join (a theta-join on ts >= ts explodes to
+    |errors| x |clicks| per user before the greatest-ts filter).
+    NULL-free output (-1 sentinels) keeps both engines' pandas dtypes
+    int64, out of float-promotion territory.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    tagged = ev.filter(F.col("event_type").isin("click", "error")).withColumn(
+        "is_click", (F.col("event_type") == "click").cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("is_click") == 1, F.struct("ts", "event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        tagged.withColumn("lc", last_click)
+        .filter(F.col("is_click") == 0)
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.coalesce(F.col("lc.event_id"), F.lit(-1)).alias("click_id"),
+            # the parquet ts is TIMESTAMP_NTZ, which unix_micros rejects;
+            # casting to TIMESTAMP is a pure reinterpretation because the
+            # session timezone is pinned to UTC (session.py), and the
+            # difference is tz-invariant regardless
+            F.coalesce(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("lc.ts").cast("timestamp")),
+                F.lit(-1),
+            ).alias("gap_us"),
+        )
+    )

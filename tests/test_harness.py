@@ -114,3 +114,69 @@ class TestConnectedComponents:
         except RuntimeError:
             pass
         spark.catalog.clearCache()
+
+
+def test_shingle_set_total_over_short_docs(spark):
+    """_with_shingle_set/_with_signatures must be total over docs with < 3
+    words (empty shingle array, NULL signature) — the testdata never
+    exercises this, so pin it on a hand-built frame."""
+    import pyspark.sql.functions as F
+
+    from moira_spark.harness.dedup import _with_shingle_set, _with_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "two words"),
+            (4, "exactly three words"),
+            (5, "  spaced   out   tokens here  "),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r["s"] for r in _with_shingle_set(df).collect()}
+    assert s[1] == [] and s[2] == [] and s[3] == []
+    assert s[4] == ["exactly three words"]
+    assert s[5] == ["spaced out tokens", "out tokens here"]
+
+    signed = {r["doc_id"]: r["mh"] for r in _with_signatures(df).collect()}
+    assert signed[1] is None and signed[2] is None and signed[3] is None
+    assert len(signed[4]) == 64 and len(signed[5]) == 64
+    # identical shingle sets -> identical signatures (determinism)
+    again = {r["doc_id"]: r["mh"] for r in _with_signatures(df).collect()}
+    assert again == signed
+
+
+def test_span_dedup_rebuild_roundtrip(spark):
+    """doc_span_dedup on a corpus with NO repeated spans must reassemble
+    every document byte-identically (split -> keep-all -> join is the
+    identity), and repeated spans must survive only in the first doc."""
+    import pyspark.sql.functions as F
+
+    from moira_spark.harness.dedup import doc_span_dedup
+
+    # build a tiny parquet corpus in the harness table layout
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="moira_span_test_")
+    rows = [
+        (0, "alpha beta. gamma delta. unique zero"),
+        (1, "epsilon zeta. alpha beta. unique one"),  # repeats doc0 span
+        (2, "totally distinct content. another span"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(work, "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in doc_span_dedup(spark, work).collect()}
+    # doc 0 planted footer (doc_id % 4 == 0) keeps first occurrence of all
+    assert out[0]["n_spans"] == 5  # 3 original + 2 footer spans
+    assert out[0]["n_kept_spans"] == 5
+    # doc 1: loses the repeated "alpha beta" span
+    assert out[1]["n_spans"] == 3 and out[1]["n_kept_spans"] == 2
+    assert out[1]["deduped_text"] == "epsilon zeta. unique one"
+    # doc 2: untouched, byte-identical rebuild
+    assert out[2]["deduped_text"] == rows[2][1]
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
