@@ -168,10 +168,11 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_ann_recall",
     "embedding_knn_label",
     "embedding_label_centroids",
-    # streaming tier
+    # streaming tier (dedupe_events rotated out: 2x externally green;
+    # incremental_dedup carries the cross-batch state property this round)
     "streaming_conv_verdicts",
     "streaming_windowed_counts",
-    "streaming_dedupe_events",
+    "streaming_incremental_dedup",
     # multimodal tier (decoders env-gated; pair rotates each round)
     "media_resize_features",
     "media_frame_samples",

@@ -219,6 +219,116 @@ def streaming_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=ev_schema)
 
 
+@register("streaming_incremental_dedup", None)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup under the driver harness: three
+    micro-batches of documents, each flagged against the signature
+    SnapshotTable accumulated from earlier batches' SURVIVORS, survivors
+    appended (streaming/stream_incremental_dedup.py).  The streaming twin
+    of dedup_incremental — state handoff through the same CAS snapshot
+    protocol, one signature pass per batch, history never re-shingled.
+
+    Cross-batch plants (what the hard floor checks):
+    - batch 1 carries exact copies (+5e6) of batch-0 docs -> dup_exact
+      via state committed ONE batch earlier;
+    - batch 2 carries exact copies (+7e6) of batch-0 docs -> dup_exact
+      via state committed TWO batches earlier (accumulation, not just the
+      previous batch);
+    - batch 2 carries near copies (+6e6, trailing token) of batch-1 docs
+      -> dup_near via the LSH-banded join against PERSISTED signatures.
+    Plus the global invariant that makes "dedup" mean something: survivor
+    fingerprints are globally unique across the whole stream.
+    """
+    import time as _time
+
+    from moira_spark.harness import load
+    from moira_spark.sources.tableio import SnapshotTable
+    from moira_spark.streaming.stream_incremental_dedup import (
+        stream_incremental_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="moira_stream_increm_")
+    in_dir, state_dir, out_dir, ck = (
+        f"{work}/in", f"{work}/state", f"{work}/out", f"{work}/ck",
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = d.filter(F.col("doc_id") % 3 == 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 1).unionAll(
+        b0.filter(F.col("doc_id") % 30 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+    )
+    b2 = (
+        d.filter(F.col("doc_id") % 3 == 2)
+        .unionAll(
+            d.filter(F.col("doc_id") % 30 == 1).select(
+                (F.col("doc_id") + 6000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra trailing token")).alias(
+                    "text"
+                ),
+            )
+        )
+        .unionAll(
+            b0.filter(F.col("doc_id") % 30 == 0).select(
+                (F.col("doc_id") + 7000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    for batch in (b0, b1, b2):
+        batch.repartition(1).write.mode("append").parquet(in_dir)
+        _time.sleep(0.2)  # distinct mtimes pin the file -> batch order
+
+    q = stream_incremental_dedup(spark, in_dir, state_dir, out_dir, ck)
+    if not q.awaitTermination(600):
+        raise TimeoutError("incremental dedup stream did not finish in 600s")
+    if int(q.lastProgress["batchId"]) < 2:
+        raise RuntimeError("stream ran in fewer than 3 micro-batches")
+
+    flags = SnapshotTable(out_dir).read(spark).localCheckpoint(eager=True)
+    state = SnapshotTable(state_dir).read(spark)
+    gate = flags.agg(
+        F.sum(
+            F.when(
+                (F.col("doc_id") >= 5000000)
+                & (F.col("doc_id") < 6000000)
+                & ~F.col("dup_exact"),
+                1,
+            ).otherwise(0)
+        ).alias("missed_b1_exact"),
+        F.sum(
+            F.when(
+                (F.col("doc_id") >= 6000000)
+                & (F.col("doc_id") < 7000000)
+                & ~F.col("dup_near"),
+                1,
+            ).otherwise(0)
+        ).alias("missed_b2_near"),
+        F.sum(
+            F.when(
+                (F.col("doc_id") >= 7000000) & ~F.col("dup_exact"), 1
+            ).otherwise(0)
+        ).alias("missed_b2_exact"),
+    ).collect()[0]
+    n_surv = state.count()
+    n_fp = state.select("fingerprint").distinct().count()
+    shutil.rmtree(work, ignore_errors=True)
+    if (
+        gate["missed_b1_exact"]
+        or gate["missed_b2_near"]
+        or gate["missed_b2_exact"]
+        or n_surv != n_fp
+    ):
+        raise AssertionError(
+            "streaming incremental dedup broke its floors: "
+            f"missed_b1_exact={gate['missed_b1_exact']} "
+            f"missed_b2_near={gate['missed_b2_near']} "
+            f"missed_b2_exact={gate['missed_b2_exact']} "
+            f"survivors={n_surv} distinct_fingerprints={n_fp}"
+        )
+    return flags.select("batch_id", "doc_id", "dup_exact", "dup_near", "survives")
+
+
 @register("streaming_filter_labels", None)
 def streaming_filter_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch snapshot-filtering path (streaming/stream_filter.py)

@@ -1,0 +1,197 @@
+"""Streaming incremental dedup: foreachBatch + snapshot-committed state.
+
+The production shape for deduplicating an INGEST: each micro-batch is
+flagged against the signature state accumulated from every PREVIOUS
+batch's survivors, then the batch's own survivors are appended to that
+state — so a document is kept exactly once across the whole stream, no
+matter which batch it arrives in.  State is a SnapshotTable of
+(doc_id, text, fingerprint, MinHash signature) rows: the same CAS-committed
+snapshot protocol the batch job uses, which gives the stream replay
+idempotence for free (a checkpoint-replayed micro-batch sees its run_id
+already committed and skips — the same guard as streaming/stream_filter).
+
+Flag semantics per batch (matches harness/dedup.py dedup_incremental):
+- dup_exact: fingerprint present in committed state, OR an earlier
+  (smaller doc_id) twin within this batch;
+- dup_near:  word-3-gram Jaccard >= 0.5 against a committed doc, with
+  candidates from the banded-MinHash equi-join against the signatures
+  PERSISTED in the state table (history is never re-shingled for candidate
+  generation; shingles are recomputed only for the candidate verify);
+- survives = neither -> appended to state.
+
+At 10^12 documents the state table is the full corpus-so-far; the per-batch
+cost is one signature pass over the BATCH plus equi-joins whose width is
+the batch's collision footprint — never a rescan of history.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def flag_batch(
+    spark: SparkSession, enriched: DataFrame, committed: DataFrame | None
+) -> DataFrame:
+    """(doc_id, text, s, fingerprint, mh) batch + committed state (same
+    schema or None) -> per-doc flags (doc_id, dup_exact, dup_near,
+    survives)."""
+    from moira_spark.harness.dedup import (
+        _LSH_BANDS,
+        _MINHASH_K,
+        _with_shingle_set,
+    )
+
+    firsts = enriched.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    base = enriched.select("doc_id", "s", "fingerprint").join(
+        F.broadcast(firsts), "fingerprint"
+    )
+    if committed is None:
+        return base.select(
+            "doc_id",
+            (F.col("doc_id") > F.col("first_id")).alias("dup_exact"),
+            F.lit(False).alias("dup_near"),
+            (F.col("doc_id") == F.col("first_id")).alias("survives"),
+        )
+
+    fp = committed.select("fingerprint").distinct().withColumn(
+        "in_committed", F.lit(True)
+    )
+
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+
+    def bands(df: DataFrame) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.element_at(
+                                F.col("mh"), bi * rows_per_band + r + 1
+                            )
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("sig"),
+                )
+                for bi in range(_LSH_BANDS)
+            ]
+        )
+        return (
+            df.filter(F.col("mh").isNotNull())
+            .select("doc_id", F.explode(arr).alias("b"))
+            .select(
+                "doc_id",
+                F.col("b.band").alias("band"),
+                F.col("b.sig").alias("sig"),
+            )
+        )
+
+    cand = (
+        bands(enriched)
+        .alias("l")
+        .join(
+            bands(committed).alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig")),
+        )
+        .select(
+            F.col("l.doc_id").alias("new_id"), F.col("r.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    old_sets = _with_shingle_set(committed.select("doc_id", "text")).select(
+        F.col("doc_id").alias("old_id"), F.col("s").alias("old_s")
+    )
+    new_sets = enriched.select(
+        F.col("doc_id").alias("new_id"), F.col("s").alias("new_s")
+    )
+    near = (
+        cand.join(new_sets, "new_id")
+        .join(old_sets, "old_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("new_s", "old_s")).cast("double")
+            / F.greatest(
+                F.size(F.array_union("new_s", "old_s")), F.lit(1)
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        base.join(F.broadcast(fp), "fingerprint", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("in_committed"), F.lit(False))
+                | (F.col("doc_id") > F.col("first_id"))
+            ).alias("dup_exact"),
+            F.coalesce(F.col("is_near"), F.lit(False)).alias("dup_near"),
+            (
+                F.col("in_committed").isNull()
+                & (F.col("doc_id") == F.col("first_id"))
+                & F.col("is_near").isNull()
+            ).alias("survives"),
+        )
+    )
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    state_dir: str,
+    out_dir: str,
+    ck_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Start the availableNow foreachBatch query; returns the query handle.
+
+    State and output are both SnapshotTables keyed by micro-batch run_id, so
+    a checkpoint-replayed batch (foreachBatch is at-least-once) is a no-op
+    on both tables — commit happens exactly once per batch id.
+    """
+    from moira_spark.harness.dedup import _with_signatures
+    from moira_spark.sources.tableio import SnapshotTable
+
+    schema = "doc_id long, text string"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        state = SnapshotTable(state_dir)
+        out = SnapshotTable(out_dir)
+        run_id = f"batch-{batch_id}"
+        if out.is_committed(run_id):
+            return  # replayed micro-batch: both commits already landed
+        enriched = _with_signatures(batch_df).select(
+            "doc_id", "text", "s", "fingerprint", "mh"
+        ).localCheckpoint(eager=True)  # one signature pass feeds flag+state
+        committed = state.read(spark)
+        flags = flag_batch(spark, enriched, committed).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        flags = flags.localCheckpoint(eager=True)  # pin before state advances
+        survivors = enriched.join(
+            flags.filter(F.col("survives")).select("doc_id"), "doc_id"
+        ).select("doc_id", "text", "fingerprint", "mh")
+        # order matters for replay: commit state FIRST, output LAST — the
+        # is_committed(out) guard then implies the state commit also landed
+        # (state.commit is idempotent if only it succeeded before a crash)
+        state.stage(survivors, run_id)
+        state.commit(spark, run_id)
+        out.stage(flags, run_id)
+        out.commit(spark, run_id)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(in_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

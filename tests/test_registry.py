@@ -85,6 +85,7 @@ HARD_FLOOR_QUERIES = [
     "dedup_incremental_minhash",
     "read_expected_errors_bootstrap",
     "doc_bpe_trained",
+    "streaming_incremental_dedup",
 ]
 
 
