@@ -142,6 +142,48 @@ def flag_batch(
     )
 
 
+def make_batch_handler(spark: SparkSession, state_dir: str, out_dir: str):
+    """The foreachBatch handler, exposed so tests can drive it directly
+    (including replaying a batch id, which foreachBatch's at-least-once
+    contract allows at any time)."""
+    from moira_spark.harness.dedup import _with_signatures
+    from moira_spark.sources.tableio import SnapshotTable
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        state = SnapshotTable(state_dir)
+        out = SnapshotTable(out_dir)
+        run_id = f"batch-{batch_id}"
+        if state.is_committed(run_id):
+            return  # replayed micro-batch: the whole sequence landed
+        enriched = _with_signatures(batch_df).select(
+            "doc_id", "text", "s", "fingerprint", "mh"
+        ).localCheckpoint(eager=True)  # one signature pass feeds flag+state
+        committed = state.read(spark)
+        flags = flag_batch(spark, enriched, committed).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        flags = flags.localCheckpoint(eager=True)  # pin before state advances
+        survivors = enriched.join(
+            flags.filter(F.col("survives")).select("doc_id"), "doc_id"
+        ).select("doc_id", "text", "fingerprint", "mh")
+        # Commit ORDER is load-bearing for torn-crash replay: the flags
+        # derive from the PRE-batch state, so the state commit must be the
+        # LAST step and the replay guard must key on it.  If the guard sat
+        # on the OUTPUT commit and a crash landed between the two commits,
+        # the replay would read a state that already contains this batch's
+        # survivors and flag them as duplicates of themselves (pinned by
+        # tests/test_streaming.py's torn-replay test).  With output-first:
+        # a crash after out.commit -> replay recomputes identical flags
+        # from the unchanged state, re-stages the same bytes (overwrite is
+        # deterministic), out.commit no-ops, state commits once.
+        out.stage(flags, run_id)
+        out.commit(spark, run_id)
+        state.stage(survivors, run_id)
+        state.commit(spark, run_id)
+
+    return handle
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     in_dir: str,
@@ -156,36 +198,8 @@ def stream_incremental_dedup(
     a checkpoint-replayed batch (foreachBatch is at-least-once) is a no-op
     on both tables — commit happens exactly once per batch id.
     """
-    from moira_spark.harness.dedup import _with_signatures
-    from moira_spark.sources.tableio import SnapshotTable
-
+    handle = make_batch_handler(spark, state_dir, out_dir)
     schema = "doc_id long, text string"
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        state = SnapshotTable(state_dir)
-        out = SnapshotTable(out_dir)
-        run_id = f"batch-{batch_id}"
-        if out.is_committed(run_id):
-            return  # replayed micro-batch: both commits already landed
-        enriched = _with_signatures(batch_df).select(
-            "doc_id", "text", "s", "fingerprint", "mh"
-        ).localCheckpoint(eager=True)  # one signature pass feeds flag+state
-        committed = state.read(spark)
-        flags = flag_batch(spark, enriched, committed).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        )
-        flags = flags.localCheckpoint(eager=True)  # pin before state advances
-        survivors = enriched.join(
-            flags.filter(F.col("survives")).select("doc_id"), "doc_id"
-        ).select("doc_id", "text", "fingerprint", "mh")
-        # order matters for replay: commit state FIRST, output LAST — the
-        # is_committed(out) guard then implies the state commit also landed
-        # (state.commit is idempotent if only it succeeded before a crash)
-        state.stage(survivors, run_id)
-        state.commit(spark, run_id)
-        out.stage(flags, run_id)
-        out.commit(spark, run_id)
-
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

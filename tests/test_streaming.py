@@ -137,3 +137,70 @@ def test_stream_dedupe_across_batches(spark, tmp_path):
     got = spark.read.parquet(out_dir).toPandas().sort_values("k")
     assert got.k.tolist() == [1, 2, 3]  # duplicate k=1 arrival suppressed
     assert int(q.lastProgress["batchId"]) >= 1  # genuinely multiple batches
+
+
+def test_incremental_dedup_handler_replay_idempotent(spark, tmp_path, monkeypatch):
+    """foreachBatch is at-least-once: replaying a batch id — including after
+    a TORN crash between the output commit and the state commit — must not
+    double-commit survivors, emit duplicate flag rows, or (the subtle
+    failure) flag the batch's own survivors as duplicates of themselves."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from moira_spark.sources.tableio import SnapshotTable
+    from moira_spark.streaming.stream_incremental_dedup import (
+        make_batch_handler,
+    )
+
+    state_dir, out_dir = str(tmp_path / "state"), str(tmp_path / "out")
+    handle = make_batch_handler(spark, state_dir, out_dir)
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    handle(b0, 0)
+    handle(b0, 0)  # clean replay: full no-op
+    state, out = SnapshotTable(state_dir), SnapshotTable(out_dir)
+    assert state.read(spark).count() == 2
+    assert out.read(spark).count() == 2
+    assert state.latest_snapshot().version == 1
+    assert out.latest_snapshot().version == 1
+
+    # torn crash: let the OUTPUT commit land, crash before the STATE commit
+    orig_commit = SnapshotTable.commit
+    crash = {"armed": True}
+
+    def crashing(self, spark_, run_id, committed_keys=None):
+        snap = orig_commit(self, spark_, run_id, committed_keys)
+        if crash["armed"] and self.table_dir == out.table_dir:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after output commit")
+        return snap
+
+    monkeypatch.setattr(SnapshotTable, "commit", crashing)
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "brand new content here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        handle(b1, 1)
+    assert out.is_committed("batch-1")
+    assert not state.is_committed("batch-1")
+
+    handle(b1, 1)  # replay after the torn crash
+    assert state.latest_snapshot().version == 2  # exactly one more snapshot
+    assert out.latest_snapshot().version == 2
+    flags = out.read(spark).filter(F.col("batch_id") == 1)
+    rows = {r["doc_id"]: r for r in flags.collect()}
+    assert set(rows) == {10, 11}
+    assert rows[10]["dup_exact"] and not rows[10]["survives"]
+    assert rows[11]["survives"]  # NOT a duplicate of its own torn commit
+    # survivors in state: docs 1, 2 from batch 0 + doc 11 from batch 1
+    assert sorted(
+        r["doc_id"] for r in state.read(spark).collect()
+    ) == [1, 2, 11]
+
+    handle(b1, 1)  # fully-landed replay: no-op
+    assert state.latest_snapshot().version == 2
+    assert out.latest_snapshot().version == 2
