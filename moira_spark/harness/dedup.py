@@ -970,9 +970,12 @@ def _commit_corpus_snapshot(spark: SparkSession, b1: DataFrame) -> "object":
     # The small-sf documents parquet is a single file -> one input partition,
     # which would serialize the Arrow sketch pass and the staged write onto
     # one task (measured: 6.8 of the query's 8 s at sf0.1).  Spread the
-    # batch across the configured parallelism first — at production scale
-    # the input table is already many files and this is a no-op decision.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # batch, capped at 16: a partition-count sweep at sf0.1/local[32] in a
+    # steal-free window measured 8p 3.0s / 16p 2.5s / 32p 2.9s / 64p 4.0s —
+    # past ~16 the per-task Arrow+parquet-file overhead beats the extra
+    # parallelism for a few-thousand-doc batch.  At production scale the
+    # input table is already many files and this branch is a no-op.
+    n_parts = min(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
     if b1.rdd.getNumPartitions() < n_parts:
         b1 = b1.repartition(n_parts)
     enriched = _with_signatures(b1).select(
