@@ -168,10 +168,11 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_ann_recall",
     "embedding_knn_label",
     "embedding_label_centroids",
-    # streaming tier (dedupe_events rotated out: 2x externally green;
-    # incremental_dedup carries the cross-batch state property this round)
+    # streaming tier (dedupe_events + windowed_counts rotated out: both 2x
+    # externally green; session_windows carries the SQL-checked streaming
+    # row and incremental_dedup the cross-batch state property this round)
     "streaming_conv_verdicts",
-    "streaming_windowed_counts",
+    "streaming_session_windows",
     "streaming_incremental_dedup",
     # multimodal tier (decoders env-gated; pair rotates each round)
     "media_resize_features",
