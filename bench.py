@@ -12,7 +12,10 @@ Measurement discipline:
 - the transcripts bench table is staged to parquet once (generation cost is
   not pipeline throughput; the real input path is a table scan anyway);
 - one warm-up query is run and discarded (JVM/codegen warm-up);
-- headline queries are best-of-2 and the pipeline is the best of runs
+- headline queries run 3x (round 4; rounds 1-3 were best-of-2, so the
+  per-query "best" floor is slightly lower-biased vs those rounds — judge
+  round-over-round deltas on the medians, which are recorded per query
+  precisely for this) and the pipeline is the best of runs
   1-4 of 5 (run 0 pays this plan shape's codegen and is excluded): this
   firecracker host shows transient steal / contention windows where
   identical warm runs differ by up to 10x (see BENCH/BASELINE.md

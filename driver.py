@@ -85,10 +85,14 @@ def main(argv=None) -> int:
     overrides = {
         k: getattr(args, k, None) for k in config._OVERRIDABLE
     }
-    if overrides.get("LANG_ALLOWLIST"):
-        overrides["LANG_ALLOWLIST"] = tuple(
+    if overrides.get("LANG_ALLOWLIST") is not None:
+        langs = tuple(
             s.strip() for s in overrides["LANG_ALLOWLIST"].split(",") if s.strip()
         )
+        if not langs:
+            # an empty allowlist would silently drop 100% of turns
+            raise SystemExit("--langs must name at least one language code")
+        overrides["LANG_ALLOWLIST"] = langs
     changed = config.apply_overrides(**overrides)
     if changed:
         print(json.dumps({"threshold_overrides": changed}), file=sys.stderr)

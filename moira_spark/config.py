@@ -101,10 +101,21 @@ _OVERRIDABLE = {
 }
 
 
+# value-range validation: a zero/negative threshold would silently disable
+# or invert a rule (e.g. salt buckets 0 -> pmod NULL collapses every conv
+# onto one bucket; max-chars 0 -> drop everything) — reject loudly instead.
+_MIN_ONE = {
+    "MIN_CHARS", "MAX_CHARS", "MIN_WORDS", "MAX_WORDS",
+    "PPL_MIN_CHARS", "CONV_AGG_SALT_BUCKETS",
+}
+
+
 def apply_overrides(**kwargs) -> dict:
     """Validate and apply CLI threshold overrides; returns what changed.
-    Unknown keys raise (a typo'd flag must not silently run with defaults);
-    None values are ignored (argparse's unset marker)."""
+    Unknown keys, out-of-range values, and a string where a sequence of
+    language codes is expected all raise (a typo'd flag must not silently
+    run with defaults or shred 'en' into ('e','n')); None values are
+    ignored (argparse's unset marker)."""
     changed = {}
     g = globals()
     for key, value in kwargs.items():
@@ -113,7 +124,27 @@ def apply_overrides(**kwargs) -> dict:
         if key not in _OVERRIDABLE:
             raise ValueError(f"not an overridable threshold: {key}")
         caster = _OVERRIDABLE[key]
-        value = tuple(value) if caster is tuple else caster(value)
+        if caster is tuple:
+            if isinstance(value, str):
+                raise ValueError(
+                    f"{key} takes a sequence of language codes, not a "
+                    "string (tuple('en') would shred it per-character)"
+                )
+            value = tuple(value)
+            if not value or not all(isinstance(v, str) and v for v in value):
+                raise ValueError(f"{key} must be a non-empty tuple of codes")
+        else:
+            value = caster(value)
+            if key in _MIN_ONE and value < 1:
+                raise ValueError(f"{key} must be >= 1, got {value}")
+            if key == "CONV_MAX_BAD_TURNS" and value < 0:
+                raise ValueError(f"{key} must be >= 0, got {value}")
+            if key in ("PPL_MAX",) and value <= 0:
+                raise ValueError(f"{key} must be > 0, got {value}")
+            if key == "MAX_SYMBOL_WORD_RATIO" and value < 0:
+                raise ValueError(f"{key} must be >= 0, got {value}")
+            if key == "LANG_MIN_CONF" and not (0.0 <= value <= 1.0):
+                raise ValueError(f"{key} must be in [0, 1], got {value}")
         if g[key] != value:
             g[key] = value
             changed[key] = value

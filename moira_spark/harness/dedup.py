@@ -273,9 +273,9 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("all rights reserved...") appended to every even doc_id, whose interior
     shingles are shared by ~half the corpus.  Uncapped, the candidate
     equi-join fans out quadratically on those keys (|corpus|^2/4 pairs from
-    four shingles); with ``max_shingle_df={_CAP_MAX_DF}`` they are dropped
+    four shingles); with ``max_shingle_df=_CAP_MAX_DF (20)`` they are dropped
     before the join and cost nothing.  The DuckDB oracle applies the
-    IDENTICAL df cutoff (HAVING COUNT(*) <= {_CAP_MAX_DF}), so the
+    IDENTICAL df cutoff (HAVING COUNT(*) <= 20 = _CAP_MAX_DF), so the
     approximation the cap introduces — Jaccard computed over capped shingle
     sets on both sides — is itself hash-checked, not just benchmarked.
     Round 3 shipped the cap off-by-default and only A/B'd its speed; this
@@ -957,6 +957,126 @@ def _with_signatures(df: DataFrame) -> DataFrame:
     )
 
 
+def lsh_band_rows(df: DataFrame) -> DataFrame:
+    """(.., mh) frame -> exploded (doc_id, band, sig) LSH band rows (16
+    bands x 4 signature rows hashed per band); NULL-signature docs skipped."""
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at(F.col("mh"), bi * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("sig"),
+            )
+            for bi in range(_LSH_BANDS)
+        ]
+    )
+    return (
+        df.filter(F.col("mh").isNotNull())
+        .select("doc_id", F.explode(bands).alias("b"))
+        .select(
+            "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+        )
+    )
+
+
+def incremental_flags(
+    enriched: DataFrame, committed: DataFrame | None
+) -> DataFrame:
+    """SHARED flag assembly for incremental dedup — the single definition
+    both the batch query (dedup_incremental_minhash) and the streaming
+    handler (streaming/stream_incremental_dedup.py) use, so the banding
+    scheme, the jaccard >= 0.5 verify, and the survives predicate can
+    never diverge between the two twins.
+
+    ``enriched``: the new batch with (doc_id, s, fingerprint, mh);
+    ``committed``: prior state with (doc_id, text, fingerprint, mh), or
+    None for the first batch.  Returns (doc_id, dup_exact, dup_near,
+    survives).
+
+    No broadcast hints on the state-derived frames: the committed side is
+    the corpus-so-far and at 10^12 docs none of it fits a broadcast — the
+    fingerprint anti-join and the band join must be shuffle joins on their
+    keys (AQE still broadcasts them when they happen to be small, as in
+    the harness fixtures).  Candidate generation touches only the banded
+    SIGNATURE projection of state plus the text of actual candidates; a
+    production deployment additionally persists the banded projection as
+    its own table so the per-batch cost is one band-partitioned join, not
+    a re-bandng of history (the recompute here is per-row JVM hashing of
+    the already-persisted signatures — no re-shingling)."""
+    firsts = enriched.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    base = enriched.select("doc_id", "fingerprint").join(firsts, "fingerprint")
+    if committed is None:
+        return base.select(
+            "doc_id",
+            (F.col("doc_id") > F.col("first_id")).alias("dup_exact"),
+            F.lit(False).alias("dup_near"),
+            (F.col("doc_id") == F.col("first_id")).alias("survives"),
+        )
+    fp = committed.select("fingerprint").distinct().withColumn(
+        "in_committed", F.lit(True)
+    )
+    cand = (
+        lsh_band_rows(enriched)
+        .alias("l")
+        .join(
+            lsh_band_rows(committed).alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig")),
+        )
+        .select(
+            F.col("l.doc_id").alias("new_id"), F.col("r.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only: committed shingles recomputed from
+    # the snapshot's stored text (candidates are a tiny fraction of history)
+    old_sets = _with_shingle_set(committed.select("doc_id", "text")).select(
+        F.col("doc_id").alias("old_id"), F.col("s").alias("old_s")
+    )
+    new_sets = enriched.select(
+        F.col("doc_id").alias("new_id"), F.col("s").alias("new_s")
+    )
+    near = (
+        cand.join(new_sets, "new_id")
+        .join(old_sets, "old_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("new_s", "old_s")).cast("double")
+            / F.greatest(
+                F.size(F.array_union("new_s", "old_s")), F.lit(1)
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        base.join(fp, "fingerprint", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("in_committed"), F.lit(False))
+                | (F.col("doc_id") > F.col("first_id"))
+            ).alias("dup_exact"),
+            F.coalesce(F.col("is_near"), F.lit(False)).alias("dup_near"),
+            (
+                F.col("in_committed").isNull()
+                & (F.col("doc_id") == F.col("first_id"))
+                & F.col("is_near").isNull()
+            ).alias("survives"),
+        )
+    )
+
+
 def _commit_corpus_snapshot(spark: SparkSession, b1: DataFrame) -> "object":
     """Commit batch 1 (text + md5 fingerprint + MinHash signature) to a
     SnapshotTable — the persisted state an incremental pipeline carries
@@ -1090,26 +1210,25 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("i").cast("double") / (
         F.col("s2.sz") + F.col("s1.sz") - F.col("i")
     ).cast("double")
+    # No broadcast hints: sz1/fp1 are COMMITTED-corpus-sized and at 10^12
+    # docs must shuffle-join on their keys (AQE still broadcasts all of
+    # these when they are small, as in the harness fixtures).
     near = (
-        inter.join(
-            F.broadcast(sz2.alias("s2")), F.col("new_id") == F.col("s2.doc_id")
-        )
-        .join(
-            F.broadcast(sz1.alias("s1")), F.col("old_id") == F.col("s1.doc_id")
-        )
+        inter.join(sz2.alias("s2"), F.col("new_id") == F.col("s2.doc_id"))
+        .join(sz1.alias("s1"), F.col("old_id") == F.col("s1.doc_id"))
         .filter(jac >= 0.5)
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
         .withColumn("is_near", F.lit(True))
     )
     flagged = (
-        b2h.join(F.broadcast(firsts), "h")
+        b2h.join(firsts, "h")
         .join(
-            F.broadcast(fp1),
+            fp1,
             F.col("h") == F.col("fingerprint"),
             "left",
         )
-        .join(F.broadcast(near), "doc_id", "left")
+        .join(near, "doc_id", "left")
         .select(
             "doc_id",
             (
@@ -1143,10 +1262,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-verifying floor (hard-fails, so the driver row is meaningful
     without an oracle): every planted exact copy of a committed doc MUST be
     flagged dup_exact (recall 1.0 — identical text gives an identical
-    fingerprint), and every planted near copy MUST be flagged dup_near
-    (identical prefixes give near-identical signatures; band collision is
-    deterministic under the fixed seeds, and the exact-Jaccard verify
-    bounds precision at 1.0).
+    fingerprint), and every planted near copy MUST be flagged dup_near.
+    Floor precondition: a near copy of a W-word source has Jaccard
+    (W-2)/(W+1), >= 0.5 only for W >= 5 — the documents fixtures are >= 10
+    words throughout, and band collision at that similarity is
+    deterministic under the fixed seeds, so the floor is exact here; a
+    corpus with <= 4-word docs would need the floor filtered on source
+    length (not the operator's correctness, just the assertion's reach).
+
+    Flag assembly is the SHARED ``incremental_flags`` helper — the same
+    definition the streaming twin executes per micro-batch.
     """
     b1, b2 = _incremental_batches(spark, sf_dir)
     table = _commit_corpus_snapshot(spark, b1)
@@ -1156,93 +1281,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "s", "fingerprint", "mh"
     ).persist()  # feeds bands + verify + flags: one Arrow pass
 
-    rows_per_band = _MINHASH_K // _LSH_BANDS
-
-    def _bands(df: DataFrame) -> DataFrame:
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(
-                        *[
-                            F.element_at(
-                                F.col("mh"), bi * rows_per_band + r + 1
-                            )
-                            for r in range(rows_per_band)
-                        ]
-                    ).alias("sig"),
-                )
-                for bi in range(_LSH_BANDS)
-            ]
-        )
-        return (
-            df.filter(F.col("mh").isNotNull())
-            .select("doc_id", F.explode(bands).alias("b"))
-            .select(
-                "doc_id",
-                F.col("b.band").alias("band"),
-                F.col("b.sig").alias("sig"),
-            )
-        )
-
-    new_bands = _bands(b2s).alias("l")
-    old_bands = _bands(committed).alias("r")
-    cand = (
-        new_bands.join(
-            old_bands,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig")),
-        )
-        .select(
-            F.col("l.doc_id").alias("new_id"), F.col("r.doc_id").alias("old_id")
-        )
-        .distinct()
-    )
-    # exact verify on candidates only: committed shingles recomputed from
-    # the snapshot's stored text (candidates are a tiny fraction of history)
-    old_sets = _with_shingle_set(committed.select("doc_id", "text")).select(
-        F.col("doc_id").alias("old_id"), F.col("s").alias("old_s")
-    )
-    new_sets = b2s.select(F.col("doc_id").alias("new_id"), F.col("s").alias("new_s"))
-    near = (
-        cand.join(new_sets, "new_id")
-        .join(old_sets, "old_id")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("new_s", "old_s")).cast("double")
-            / F.greatest(
-                F.size(F.array_union("new_s", "old_s")), F.lit(1)
-            ).cast("double"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-        .withColumn("is_near", F.lit(True))
-    )
-    fp1 = committed.select("fingerprint").distinct().withColumn(
-        "in_committed", F.lit(True)
-    )
-    firsts = b2s.groupBy("fingerprint").agg(F.min("doc_id").alias("first_id"))
-    flagged = (
-        b2s.select("doc_id", "fingerprint")
-        .join(F.broadcast(firsts), "fingerprint")
-        .join(F.broadcast(fp1), "fingerprint", "left")
-        .join(F.broadcast(near), "doc_id", "left")
-        .select(
-            "doc_id",
-            (
-                F.coalesce(F.col("in_committed"), F.lit(False))
-                | (F.col("doc_id") > F.col("first_id"))
-            ).alias("dup_exact"),
-            F.coalesce(F.col("is_near"), F.lit(False)).alias("dup_near"),
-            (
-                F.col("in_committed").isNull()
-                & (F.col("doc_id") == F.col("first_id"))
-                & F.col("is_near").isNull()
-            ).alias("survives"),
-        )
-    )
-    out = flagged.localCheckpoint(eager=True)
+    out = incremental_flags(b2s, committed).localCheckpoint(eager=True)
 
     # hard floor: planted recall must be perfect, or the query refuses to
     # return rows (driver-visible failure without an oracle)

@@ -207,7 +207,13 @@ def doc_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = bc.value
         for pdf in batches:
-            texts = pdf["text"].tolist()
+            # sanitize the end-of-word marker out of the input first: a
+            # scraped corpus can contain the \x01 control char, and decode()
+            # maps every marker to a space — without this strip one junk
+            # byte would fail the lossless gate for the whole corpus
+            texts = [
+                t.replace(bpe.EOW, "") for t in pdf["text"].tolist()
+            ]
             encoded = bpe.encode_batch(texts, m)
             norm = [" ".join(w for w in t.split(" ") if w) for t in texts]
             yield pd.DataFrame(

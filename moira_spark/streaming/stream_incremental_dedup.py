@@ -35,111 +35,13 @@ def flag_batch(
 ) -> DataFrame:
     """(doc_id, text, s, fingerprint, mh) batch + committed state (same
     schema or None) -> per-doc flags (doc_id, dup_exact, dup_near,
-    survives)."""
-    from moira_spark.harness.dedup import (
-        _LSH_BANDS,
-        _MINHASH_K,
-        _with_shingle_set,
-    )
+    survives).  Thin delegate to harness.dedup.incremental_flags — ONE
+    definition for the batch and streaming twins, so the banding scheme,
+    the jaccard >= 0.5 verify, and the survives predicate cannot
+    diverge."""
+    from moira_spark.harness.dedup import incremental_flags
 
-    firsts = enriched.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("first_id")
-    )
-    base = enriched.select("doc_id", "s", "fingerprint").join(
-        F.broadcast(firsts), "fingerprint"
-    )
-    if committed is None:
-        return base.select(
-            "doc_id",
-            (F.col("doc_id") > F.col("first_id")).alias("dup_exact"),
-            F.lit(False).alias("dup_near"),
-            (F.col("doc_id") == F.col("first_id")).alias("survives"),
-        )
-
-    fp = committed.select("fingerprint").distinct().withColumn(
-        "in_committed", F.lit(True)
-    )
-
-    rows_per_band = _MINHASH_K // _LSH_BANDS
-
-    def bands(df: DataFrame) -> DataFrame:
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(
-                        *[
-                            F.element_at(
-                                F.col("mh"), bi * rows_per_band + r + 1
-                            )
-                            for r in range(rows_per_band)
-                        ]
-                    ).alias("sig"),
-                )
-                for bi in range(_LSH_BANDS)
-            ]
-        )
-        return (
-            df.filter(F.col("mh").isNotNull())
-            .select("doc_id", F.explode(arr).alias("b"))
-            .select(
-                "doc_id",
-                F.col("b.band").alias("band"),
-                F.col("b.sig").alias("sig"),
-            )
-        )
-
-    cand = (
-        bands(enriched)
-        .alias("l")
-        .join(
-            bands(committed).alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig")),
-        )
-        .select(
-            F.col("l.doc_id").alias("new_id"), F.col("r.doc_id").alias("old_id")
-        )
-        .distinct()
-    )
-    old_sets = _with_shingle_set(committed.select("doc_id", "text")).select(
-        F.col("doc_id").alias("old_id"), F.col("s").alias("old_s")
-    )
-    new_sets = enriched.select(
-        F.col("doc_id").alias("new_id"), F.col("s").alias("new_s")
-    )
-    near = (
-        cand.join(new_sets, "new_id")
-        .join(old_sets, "old_id")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("new_s", "old_s")).cast("double")
-            / F.greatest(
-                F.size(F.array_union("new_s", "old_s")), F.lit(1)
-            ).cast("double"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-        .withColumn("is_near", F.lit(True))
-    )
-    return (
-        base.join(F.broadcast(fp), "fingerprint", "left")
-        .join(F.broadcast(near), "doc_id", "left")
-        .select(
-            "doc_id",
-            (
-                F.coalesce(F.col("in_committed"), F.lit(False))
-                | (F.col("doc_id") > F.col("first_id"))
-            ).alias("dup_exact"),
-            F.coalesce(F.col("is_near"), F.lit(False)).alias("dup_near"),
-            (
-                F.col("in_committed").isNull()
-                & (F.col("doc_id") == F.col("first_id"))
-                & F.col("is_near").isNull()
-            ).alias("survives"),
-        )
-    )
+    return incremental_flags(enriched, committed)
 
 
 def make_batch_handler(spark: SparkSession, state_dir: str, out_dir: str):
@@ -174,10 +76,13 @@ def make_batch_handler(spark: SparkSession, state_dir: str, out_dir: str):
         # survivors and flag them as duplicates of themselves (pinned by
         # tests/test_streaming.py's torn-replay test).  With output-first:
         # a crash after out.commit -> replay recomputes identical flags
-        # from the unchanged state, re-stages the same bytes (overwrite is
-        # deterministic), out.commit no-ops, state commits once.
-        out.stage(flags, run_id)
-        out.commit(spark, run_id)
+        # from the unchanged state, skips the output (already committed —
+        # never overwrite a data dir a committed snapshot references, even
+        # with identical bytes: a crash mid-rewrite would leave the
+        # committed table truncated), and commits state once.
+        if not out.is_committed(run_id):
+            out.stage(flags, run_id)
+            out.commit(spark, run_id)
         state.stage(survivors, run_id)
         state.commit(spark, run_id)
 

@@ -233,6 +233,17 @@ def test_config_overrides_change_verdicts(spark):
         with pytest.raises(ValueError):
             config.apply_overrides(NOT_A_KNOB=1)
         assert config.apply_overrides(PPL_MAX=None) == {}  # unset flag: no-op
+        # range/type validation: silently-degrading values must raise
+        with pytest.raises(ValueError):
+            config.apply_overrides(LANG_ALLOWLIST="en")  # str would shred
+        with pytest.raises(ValueError):
+            config.apply_overrides(LANG_ALLOWLIST=())  # drops everything
+        with pytest.raises(ValueError):
+            config.apply_overrides(CONV_AGG_SALT_BUCKETS=0)  # pmod-by-zero
+        with pytest.raises(ValueError):
+            config.apply_overrides(PPL_MAX=0)
+        with pytest.raises(ValueError):
+            config.apply_overrides(LANG_MIN_CONF=1.5)
 
         src = tg.gen_spark(spark, 2000, seed=7)
         base = run_pipeline(spark, src)
