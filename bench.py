@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard_3gram",
     "dedup_jaccard_capped",
+    "dedup_containment",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",
@@ -174,23 +175,44 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # DRIVER CONTRACT (round-5 hard lesson): the driver captures only the
+    # LAST 2,000 characters of stdout and parses the final line as JSON.
+    # Round 4's line carried per-query medians AND raw runs (~2.3 kB), the
+    # head was truncated, and BENCH_r04 came back "parsed": null — a full
+    # round of speedups invisible to the driver.  The final line is now the
+    # COMPACT summary only (tests/test_registry.py pins it < 1,900 bytes
+    # with the full headline set); medians + raw runs go to BENCH/ files.
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_median": query_median,
-        "query_runs": query_runs,
         "sf": _sf_label(),
         "cpus": CPUS,
         "pipeline_turns": n_turns,
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
         "pipeline_median_sec": pipeline_median,
         "turns_per_sec_median": round(n_turns / pipeline_median, 1),
-        "pipeline_runs_sec": pipeline_runs,
         "host_steal_frac": steal_frac,
+        "detail": "BENCH/bench_runs_latest.json",
     }
-    print(json.dumps(result))
+    detail = {
+        **result,
+        "queries_median": query_median,
+        "query_runs": query_runs,
+        "pipeline_runs_sec": pipeline_runs,
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "bench_runs_latest.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # accumulating history (like scaling_results.json): round-over-round
+    # medians stay comparable even after _latest is overwritten
+    with open(os.path.join(bench_dir, "bench_runs_history.jsonl"), "a") as f:
+        f.write(json.dumps(detail) + "\n")
+    line = json.dumps(result)
+    assert len(line) < 1900, f"final bench line {len(line)}B >= driver window"
+    print(line)
 
 
 if __name__ == "__main__":

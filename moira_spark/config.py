@@ -85,7 +85,11 @@ CONV_AGG_SALT_BUCKETS = 32
 # mutate the module constants BEFORE any pipeline/oracle code reads them —
 # and because the pandas oracle and the Spark pipeline import THIS module,
 # an override can never make the two sides disagree (the F1/byte-exact
-# gates hold under any setting).
+# gates hold under any setting).  The harness DuckDB oracles hold the same
+# property since round 5: config-dependent oracle SQL is registered as a
+# zero-arg callable rendered at oracle_sql() call time (harness/__init__),
+# never an f-string baked at import (ADVICE r4; pinned by
+# tests/test_registry.py::test_oracle_sql_tracks_config_overrides).
 _OVERRIDABLE = {
     "MIN_CHARS": int,
     "MAX_CHARS": int,

@@ -21,10 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
-REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+# oracle SQL may be registered as a zero-arg callable, rendered at
+# oracle_sql() call time: an oracle whose thresholds come from config.py
+# must read them AFTER any config.apply_overrides() CLI mutation, exactly
+# when the Spark side does — an f-string baked at import time would let an
+# override silently diverge the checked pair (ADVICE r4).
+REGISTRY: dict[str, tuple[SparkQuery, "str | Callable[[], str] | None"]] = {}
 
 
-def register(name: str, sql: str | None):
+def register(name: str, sql: "str | Callable[[], str] | None"):
     def deco(fn: SparkQuery) -> SparkQuery:
         REGISTRY[name] = (fn, sql)
         return fn
@@ -80,7 +85,7 @@ from moira_spark.harness import (  # noqa: E402,F401
 # past index 49 only if it is in EXTERNALLY_PROVEN or covered-by-sibling.
 # ---------------------------------------------------------------------------
 # Queries with >= 2 green external driver rounds (hash_match: true in at
-# least two of CORRECTNESS_r01/r02/r03) — eligible for tail rotation.
+# least two of CORRECTNESS_r01..r04) — eligible for tail rotation.
 EXTERNALLY_PROVEN: frozenset[str] = frozenset(
     {
         # relational tier: green r1 + r2
@@ -100,6 +105,8 @@ EXTERNALLY_PROVEN: frozenset[str] = frozenset(
         "dedup_cluster_representatives", "embedding_cosine_topk",
         "embedding_knn_label", "embedding_label_centroids",
         "streaming_windowed_counts", "streaming_dedupe_events",
+        # corpus assembly: green r3 + r4
+        "source_quality_filter", "training_mix_sample", "corpus_to_shards",
     }
 )
 
@@ -110,8 +117,10 @@ COVERED_BY_SIBLING: dict[str, str] = {
     "embedding_ann_lsh": "embedding_ann_recall",
     "embedding_ann_ivf": "embedding_ann_recall",
     "streaming_filter_labels": "streaming_conv_verdicts",
-    "media_image_features": "media_resize_features",
-    "media_audio_features": "media_frame_samples",
+    # media pair rotates each round: round 5 has image/audio in-window,
+    # resize/frames covered (round 4 was the reverse)
+    "media_resize_features": "media_image_features",
+    "media_frame_samples": "media_audio_features",
 }
 
 _PRIORITY: tuple[str, ...] = (
@@ -133,12 +142,17 @@ _PRIORITY: tuple[str, ...] = (
     "doc_winnow_fingerprint",
     "job_resume_identity",
     "table_maintenance_lifecycle",
-    # scale-sensitive corpus assembly
-    "source_quality_filter",
-    "training_mix_sample",
+    # scale-sensitive corpus assembly (shard_packing's first green was r4;
+    # source_quality_filter / training_mix_sample / corpus_to_shards rotated
+    # out in round 5 as 2x externally proven)
     "shard_packing",
-    "corpus_to_shards",
-    # event-time as-of join (new relational operator, round 4)
+    # returning veterans (round-5 rotation: no green query goes more than
+    # ~3 rounds without a fresh external row; all three last green r2/r3)
+    "doc_length_rule",
+    "doc_symbol_ratio",
+    "first_event_per_user",
+    # event-time as-of join (new relational operator round 4; r5 makes the
+    # same-ts tie-break deterministic, so its second green is a fresh check)
     "events_asof_join",
     # text / quality heuristics (SQL-checked) + learned classifier gate
     "doc_bpe_token_count",
@@ -150,8 +164,10 @@ _PRIORITY: tuple[str, ...] = (
     # sketch tier (HLL++ / GK quantiles, self-verifying floors)
     "events_approx_distinct",
     "events_approx_quantiles",
-    # dedup tier (incl. round-3/4 capstones: closure, capped, incremental)
-    "dedup_exact",
+    # dedup tier (incl. round-3/4 capstones: closure, capped, incremental;
+    # round 5 adds containment doc-in-doc dedup — dedup_exact rotated out,
+    # 4x externally green)
+    "dedup_containment",
     "dedup_jaccard_3gram",
     "dedup_jaccard_capped",
     "dedup_minhash_lsh",
@@ -174,9 +190,10 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_conv_verdicts",
     "streaming_session_windows",
     "streaming_incremental_dedup",
-    # multimodal tier (decoders env-gated; pair rotates each round)
-    "media_resize_features",
-    "media_frame_samples",
+    # multimodal tier (decoders env-gated; pair rotates each round —
+    # round 5: image/audio in, resize/frames covered-by-sibling)
+    "media_image_features",
+    "media_audio_features",
 )
 
 
@@ -191,4 +208,8 @@ def queries() -> dict[str, SparkQuery]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _ordered().items() if sql is not None}
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in _ordered().items()
+        if sql is not None
+    }

@@ -603,21 +603,38 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     errors AS (
       SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    ),
+    best AS (
+      SELECT e.event_id AS error_id, MAX(c.ts) AS cts
+      FROM errors e JOIN clicks c
+        ON e.user_id = c.user_id AND c.ts <= e.ts
+      GROUP BY e.event_id
+    ),
+    pick AS (
+      SELECT b.error_id, b.cts, MAX(c.event_id) AS click_id
+      FROM best b
+      JOIN errors e ON e.event_id = b.error_id
+      JOIN clicks c ON c.user_id = e.user_id AND c.ts = b.cts
+      GROUP BY b.error_id, b.cts
     )
     SELECT e.event_id AS error_id,
            e.user_id,
-           COALESCE(c.event_id, -1) AS click_id,
-           COALESCE(EPOCH_US(e.ts) - EPOCH_US(c.ts), -1) AS gap_us
+           COALESCE(p.click_id, -1) AS click_id,
+           COALESCE(EPOCH_US(e.ts) - EPOCH_US(p.cts), -1) AS gap_us
     FROM errors e
-    ASOF LEFT JOIN clicks c
-      ON e.user_id = c.user_id AND e.ts >= c.ts
+    LEFT JOIN pick p ON e.event_id = p.error_id
     """,
 )
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time AS-OF join — attribute every 'error' event to the same
     user's most recent 'click' at or before it (last-interaction
-    attribution), an operator Spark lacks natively and DuckDB verifies
-    with its built-in ASOF LEFT JOIN.
+    attribution), an operator Spark lacks natively; the DuckDB oracle
+    verifies it with an independent two-step formulation (max click ts per
+    error via the range join, then max event_id among that-ts clicks).
+    Rounds 1-4 used DuckDB's native ASOF LEFT JOIN, but ASOF's pick among
+    same-(user_id, ts) clicks is arbitrary, as is F.last over a window
+    ordered only by (ts, is_click) — both sides are now total-ordered on
+    (ts, is_click, event_id) so attribution is deterministic (ADVICE r4).
 
     Spark side uses the merge-tag formulation, the shape that survives
     10^12 events: tag clicks and errors, UNION them, one window pass per
@@ -635,7 +652,9 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .orderBy(
+            F.col("ts").asc(), F.col("is_click").desc(), F.col("event_id").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     last_click = F.last(

@@ -489,11 +489,19 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regression floor: round 1 shipped an LSH whose recall@5 was 0.0; a
     # collapsed ANN path must be a RED driver row, not a quiet number.
     # Raised 0.3 -> 0.6 in round 3 once multiprobe LSH (0.76) and IVF-ADC
-    # with exact re-rank (0.86) gave the gate real teeth.
-    if (macro.recall_at_k < 0.6).any():
+    # with exact re-rank (0.86) gave the gate real teeth; 0.6 -> 0.8 in
+    # round 5 at the driver's correctness scales (verdict: measured
+    # 0.82-0.88 at sf0.001/sf0.01 left real regression headroom invisible
+    # below the old floor).  Beyond ~1k vectors the synthetic
+    # uniform-on-the-sphere corpus legitimately degrades fixed-rerank
+    # recall (0.76/0.78 measured at sf0.1, BENCH/BASELINE.md cross-scale
+    # table), so the larger-scale floor stays 0.6 — a measured property of
+    # the fixture, not of the operators.
+    floor = 0.8 if n_corpus <= 1000 else 0.6
+    if (macro.recall_at_k < floor).any():
         raise RuntimeError(
-            "ANN macro recall fell below the 0.6 regression floor\n"
-            + macro.to_string()
+            f"ANN macro recall fell below the {floor} regression floor "
+            f"(corpus={n_corpus})\n" + macro.to_string()
         )
     return spark.createDataFrame(
         pdf,

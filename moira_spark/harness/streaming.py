@@ -317,14 +317,16 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of dedup_incremental — state handoff through the same CAS snapshot
     protocol, one signature pass per batch, history never re-shingled.
 
-    Cross-batch plants (what the hard floor checks):
-    - batch 1 carries exact copies (+5e6) of batch-0 docs -> dup_exact
-      via state committed ONE batch earlier;
-    - batch 2 carries exact copies (+7e6) of batch-0 docs -> dup_exact
-      via state committed TWO batches earlier (accumulation, not just the
+    Cross-batch plants (what the hard floor checks — "flagged some dup",
+    see the gate comment below for why the specific flag can shift between
+    dup_exact and dup_near since the round-5 intra-batch near pass):
+    - batch 1 carries exact copies (+5e6) of batch-0 docs -> caught via
+      state committed ONE batch earlier;
+    - batch 2 carries exact copies (+7e6) of batch-0 docs -> caught via
+      state committed TWO batches earlier (accumulation, not just the
       previous batch);
     - batch 2 carries near copies (+6e6, trailing token) of batch-1 docs
-      -> dup_near via the LSH-banded join against PERSISTED signatures.
+      -> caught via the LSH-banded join against the PERSISTED bands table.
     Plus the global invariant that makes "dedup" mean something: survivor
     fingerprints are globally unique across the whole stream.
     """
@@ -376,12 +378,20 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flags = SnapshotTable(out_dir).read(spark).localCheckpoint(eager=True)
     state = SnapshotTable(state_dir).read(spark)
+    # Floor predicate is "flagged SOME duplicate", not the specific flag:
+    # since the intra-batch near pass (round 5), a batch-0 source doc with a
+    # natural near-twin is itself dropped and never enters state — its later
+    # byte-exact copy is then caught by the NEAR pass against the surviving
+    # twin (same shingle set as its source, so the same >= 0.5 Jaccard that
+    # dropped the source applies), not by the fingerprint match.  Either
+    # flag means the copy was deduplicated; neither means the floor broke.
+    dup_any = F.col("dup_exact") | F.col("dup_near")
     gate = flags.agg(
         F.sum(
             F.when(
                 (F.col("doc_id") >= 5000000)
                 & (F.col("doc_id") < 6000000)
-                & ~F.col("dup_exact"),
+                & ~dup_any,
                 1,
             ).otherwise(0)
         ).alias("missed_b1_exact"),
@@ -389,13 +399,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("doc_id") >= 6000000)
                 & (F.col("doc_id") < 7000000)
-                & ~F.col("dup_near"),
+                & ~dup_any,
                 1,
             ).otherwise(0)
         ).alias("missed_b2_near"),
         F.sum(
             F.when(
-                (F.col("doc_id") >= 7000000) & ~F.col("dup_exact"), 1
+                (F.col("doc_id") >= 7000000) & ~dup_any, 1
             ).otherwise(0)
         ).alias("missed_b2_exact"),
     ).collect()[0]

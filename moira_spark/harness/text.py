@@ -29,7 +29,9 @@ def _words_col():
 # ------------------------------------------------------------ length rule
 @register(
     "doc_length_rule",
-    f"""
+    # lazy (rendered at oracle_sql() time): thresholds must reflect any CLI
+    # apply_overrides() exactly as the call-time Spark side does (ADVICE r4)
+    lambda: f"""
     SELECT doc_id,
            LENGTH(text) AS n_chars,
            LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '')) AS n_words,
@@ -746,7 +748,9 @@ _SHARD_PLANT_SQL = """
 
 @register(
     "corpus_to_shards",
-    f"""
+    # lazy (rendered at oracle_sql() time): thresholds must reflect any CLI
+    # apply_overrides() exactly as the call-time Spark side does (ADVICE r4)
+    lambda: f"""
     WITH corpus AS ({_SHARD_PLANT_SQL}),
     scored AS (
       SELECT doc_id, text,

@@ -13,11 +13,14 @@ already committed and skips — the same guard as streaming/stream_filter).
 Flag semantics per batch (matches harness/dedup.py dedup_incremental):
 - dup_exact: fingerprint present in committed state, OR an earlier
   (smaller doc_id) twin within this batch;
-- dup_near:  word-3-gram Jaccard >= 0.5 against a committed doc, with
-  candidates from the banded-MinHash equi-join against the signatures
-  PERSISTED in the state table (history is never re-shingled for candidate
-  generation; shingles are recomputed only for the candidate verify);
-- survives = neither -> appended to state.
+- dup_near:  word-3-gram Jaccard >= 0.5 against a committed doc OR against
+  a smaller-id doc in the same batch (round 5), with history candidates
+  read from the state's OWN persisted bands table — a sibling SnapshotTable
+  of (doc_id, band, sig) rows committed alongside each batch's survivors —
+  so per-batch candidate generation is one band-partitioned equi-join:
+  history is never re-shingled OR re-banded; shingles are recomputed only
+  for the semi-join-restricted candidate verify;
+- survives = neither -> appended to state (and its band rows to bands).
 
 At 10^12 documents the state table is the full corpus-so-far; the per-batch
 cost is one signature pass over the BATCH plus equi-joins whose width is
@@ -31,28 +34,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def flag_batch(
-    spark: SparkSession, enriched: DataFrame, committed: DataFrame | None
+    spark: SparkSession,
+    enriched: DataFrame,
+    committed: DataFrame | None,
+    committed_bands: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, text, s, fingerprint, mh) batch + committed state (same
-    schema or None) -> per-doc flags (doc_id, dup_exact, dup_near,
-    survives).  Thin delegate to harness.dedup.incremental_flags — ONE
-    definition for the batch and streaming twins, so the banding scheme,
-    the jaccard >= 0.5 verify, and the survives predicate cannot
-    diverge."""
+    schema or None) + optional persisted (doc_id, band, sig) band rows ->
+    per-doc flags (doc_id, dup_exact, dup_near, survives).  Thin delegate
+    to harness.dedup.incremental_flags — ONE definition for the batch and
+    streaming twins, so the banding scheme, the jaccard >= 0.5 verify, and
+    the survives predicate cannot diverge."""
     from moira_spark.harness.dedup import incremental_flags
 
-    return incremental_flags(enriched, committed)
+    return incremental_flags(enriched, committed, committed_bands)
 
 
 def make_batch_handler(spark: SparkSession, state_dir: str, out_dir: str):
     """The foreachBatch handler, exposed so tests can drive it directly
     (including replaying a batch id, which foreachBatch's at-least-once
     contract allows at any time)."""
-    from moira_spark.harness.dedup import _with_signatures
+    from moira_spark.harness.dedup import _with_signatures, lsh_band_rows
+    from moira_spark.operators.components import _free_checkpoint
     from moira_spark.sources.tableio import SnapshotTable
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         state = SnapshotTable(state_dir)
+        bands = SnapshotTable(f"{state_dir}_bands")
         out = SnapshotTable(out_dir)
         run_id = f"batch-{batch_id}"
         if state.is_committed(run_id):
@@ -61,9 +69,9 @@ def make_batch_handler(spark: SparkSession, state_dir: str, out_dir: str):
             "doc_id", "text", "s", "fingerprint", "mh"
         ).localCheckpoint(eager=True)  # one signature pass feeds flag+state
         committed = state.read(spark)
-        flags = flag_batch(spark, enriched, committed).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        )
+        committed_bands = bands.read(spark) if committed is not None else None
+        flags = flag_batch(spark, enriched, committed, committed_bands)
+        flags = flags.withColumn("batch_id", F.lit(batch_id).cast("long"))
         flags = flags.localCheckpoint(eager=True)  # pin before state advances
         survivors = enriched.join(
             flags.filter(F.col("survives")).select("doc_id"), "doc_id"
@@ -80,11 +88,31 @@ def make_batch_handler(spark: SparkSession, state_dir: str, out_dir: str):
         # never overwrite a data dir a committed snapshot references, even
         # with identical bytes: a crash mid-rewrite would leave the
         # committed table truncated), and commits state once.
+        #
+        # The bands table sits BETWEEN output and state in that order: a
+        # crash after bands.commit but before state.commit leaves band rows
+        # one batch ahead of state, which is harmless — the replay's flags
+        # read state (pre-batch) for the verify, and incremental_flags
+        # anchors the exact verify on state, so orphan band rows find no
+        # verify partner and change nothing (then both commits land).
         if not out.is_committed(run_id):
             out.stage(flags, run_id)
             out.commit(spark, run_id)
+        if not bands.is_committed(run_id):
+            # survivors' band rows only — the bands table tracks exactly the
+            # docs the state table holds, so the next batch's candidate join
+            # reads persisted (doc_id, band, sig) instead of re-banding
+            # history (per-batch cost: one band-partitioned equi-join)
+            bands.stage(lsh_band_rows(survivors), run_id)
+            bands.commit(spark, run_id)
         state.stage(survivors, run_id)
         state.commit(spark, run_id)
+        # release the per-batch localCheckpoints: their blocks are pinned
+        # outside the CacheManager and would otherwise accumulate for the
+        # stream's lifetime — executor storage stays bounded per batch
+        # (ADVICE r4; the leak _free_checkpoint exists to fix)
+        _free_checkpoint(enriched)
+        _free_checkpoint(flags)
 
     return handle
 

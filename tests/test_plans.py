@@ -101,6 +101,48 @@ def test_scan_column_pruning(spark):
     assert widest <= 8, f"q1 scan reads {widest} columns: {reads}"
 
 
+def test_incremental_verify_shingles_only_semijoined_history(spark, monkeypatch):
+    """Round-5 invariant (verdict item 2): the ONLY _with_shingle_set call
+    inside incremental_flags must receive committed rows already restricted
+    by a LeftSemi join on the candidate old_ids — never the raw state scan.
+    Regressing this re-introduces a per-batch O(|history|) shingle
+    projection at 10^12 committed docs."""
+    import pyspark.sql.functions as F
+
+    from moira_spark.harness import dedup
+
+    recorded: list[str] = []
+    real = dedup._with_shingle_set
+
+    def spy(df, out="s"):
+        recorded.append(df._jdf.queryExecution().analyzed().toString())
+        return real(df, out)
+
+    monkeypatch.setattr(dedup, "_with_shingle_set", spy)
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo foxtrot {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    committed = dedup._with_signatures(docs).select(
+        "doc_id", "text", "fingerprint", "mh"
+    )
+    batch = dedup._with_signatures(
+        docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    ).select("doc_id", "s", "fingerprint", "mh")
+    recorded.clear()  # _with_signatures also shingles; only flags-time counts
+    flags = dedup.incremental_flags(batch, committed)
+    rows = {r["doc_id"]: r for r in flags.collect()}
+    # behavior sanity: every batch doc is an exact copy of a committed doc
+    assert all(r["dup_exact"] and not r["survives"] for r in rows.values())
+    assert len(recorded) == 1, (
+        f"incremental_flags made {len(recorded)} shingle passes (want 1)"
+    )
+    assert "Join LeftSemi" in recorded[0], (
+        "the verify-side shingle projection reads the RAW committed scan — "
+        "semi-join restriction lost:\n" + recorded[0]
+    )
+
+
 def test_pipeline_uses_one_python_runtime_per_stage(spark):
     # The flagship keep/drop pipeline computes every per-turn score in ONE
     # vectorized Arrow stage (two plan appearances = the persisted branch

@@ -15,7 +15,10 @@ DRIVER_WINDOW = 50
 
 # Queries the round-2 verdict called out by name as needing external rows:
 # the flagship, the F1 acceptance gate, the audit sink, the model-quality
-# gates, and the full moira read tier.
+# gates, and the full moira read tier.  (source_quality_filter /
+# training_mix_sample / corpus_to_shards left this list in round 5: each
+# carries 2 green external rounds (r3+r4) and rotated out under the
+# EXTERNALLY_PROVEN policy to seat returning veterans.)
 MUST_BE_IN_WINDOW = [
     "transcripts_pipeline",
     "pipeline_f1_vs_reference",
@@ -30,10 +33,7 @@ MUST_BE_IN_WINDOW = [
     "read_expected_errors",
     "read_expected_errors_bootstrap",
     "job_resume_identity",
-    "source_quality_filter",
-    "training_mix_sample",
     "shard_packing",
-    "corpus_to_shards",
 ]
 
 
@@ -129,3 +129,56 @@ def test_window_is_exactly_full():
     # 50 seats, 50 occupants: an accidental _PRIORITY deletion would let
     # registration-order tail queries drift into the window unreviewed.
     assert len(harness._PRIORITY) == DRIVER_WINDOW
+
+
+def test_oracle_sql_tracks_config_overrides():
+    """Config-dependent oracle SQL must be rendered at oracle_sql() CALL
+    time: after a CLI apply_overrides(), the DuckDB side has to read the
+    same thresholds the call-time Spark side does, or the checked pair
+    silently diverges (ADVICE r4)."""
+    from moira_spark import config
+
+    old = config.MIN_CHARS
+    assert f"BETWEEN {old} AND" in harness.oracle_sql()["doc_length_rule"]
+    try:
+        config.apply_overrides(MIN_CHARS=77)
+        assert "BETWEEN 77 AND" in harness.oracle_sql()["doc_length_rule"]
+        assert "BETWEEN 77 AND" in harness.oracle_sql()["corpus_to_shards"]
+    finally:
+        config.apply_overrides(MIN_CHARS=old)
+    assert f"BETWEEN {old} AND" in harness.oracle_sql()["doc_length_rule"]
+
+
+def test_bench_final_line_fits_driver_tail_capture():
+    """The driver keeps only the LAST 2,000 characters of bench.py's stdout
+    and parses the final line as JSON.  Round 4 broke this silently: the
+    line grew past 2,000 bytes (per-query runs arrays), the head was
+    truncated, and BENCH_r04.json recorded "parsed": null — a full round of
+    speedups invisible to the driver.  Pin the worst-case compact line
+    under 1,900 bytes so headline growth trips a TEST, not the driver."""
+    import json
+
+    import bench
+
+    worst = {
+        "metric": "headline_queries_total_wall",
+        "value": 99999.999,
+        "unit": "sec",
+        # every headline query + the pipeline entry at max realistic width
+        "queries": {
+            name: 99999.999 for name in bench.HEADLINE + ["transcripts_pipeline"]
+        },
+        "sf": "0.001",  # longest sf label
+        "cpus": 32,
+        "pipeline_turns": 200000,
+        "turns_per_sec": 999999.9,
+        "pipeline_median_sec": 99999.999,
+        "turns_per_sec_median": 999999.9,
+        "host_steal_frac": 0.9999,
+        "detail": "BENCH/bench_runs_latest.json",
+    }
+    line = json.dumps(worst)
+    assert len(line) < 1900, (
+        f"compact bench line would be {len(line)} bytes — trim the headline "
+        "set or move more fields into BENCH/bench_runs_latest.json"
+    )
