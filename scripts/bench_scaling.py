@@ -369,7 +369,12 @@ session 10,081 -> 30,578 t/s = 0.76 (2->8; the FASTEST 2-cpu window ever
 measured against a merely-average 8-cpu window — against the 8-cpu
 all-window best the ratio is 0.87) and 30,578 -> 76,746 t/s = **0.63**
 (8->32, the best wide-regime efficiency yet; the 32-cpu window was
-steal-free).  The 2->8 criterion sits at 0.87-0.98 on clean windows,
+steal-free); round-5 session 11,182 -> 45,181 t/s = **1.01** (2->8,
+BOTH new all-window bests, measured back-to-back in one session — the
+cleanest narrow-regime evidence yet) while the same session's 32-cpu
+window ran 2x its historical best at near-zero steal (the shared-bus
+slow mode; the r4 steal-free window's 0.63 stands as the wide-regime
+figure).  The 2->8 criterion sits at 0.87-1.01 on clean windows,
 clearing the north rule's 0.8 floor; the 8->32 shortfall is the
 shared-bus VM, not the engine (see controls below — a zero-Python
 pure-JVM aggregation scales 0.30 on the same host).

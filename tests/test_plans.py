@@ -63,6 +63,9 @@ CASES = [
     # in-query gate running off the same checkpoint.
     ("doc_bpe_trained", 0, 0, 0, 0),
     ("dedup_incremental", 0, 0, 0, 0),
+    # round 5: containment dedup — pure JVM shingle equi-join with broadcast
+    # size joins; the %47 plant filter is a modulo, not parquet-pushable
+    ("dedup_containment", 0, 0, 2, 0),
     # round 4 late: as-of join (one user_id shuffle + window, pure JVM,
     # filter pushed to scan) and span dedup (groupBy-min + join, pure JVM)
     ("events_asof_join", 0, 0, 0, 1),
