@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_jaccard_3gram",
     "dedup_jaccard_capped",
     "dedup_containment",
+    "doc_decontaminate",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",

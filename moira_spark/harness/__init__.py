@@ -165,10 +165,11 @@ _PRIORITY: tuple[str, ...] = (
     "events_approx_distinct",
     "events_approx_quantiles",
     # dedup tier (incl. round-3/4 capstones: closure, capped, incremental;
-    # round 5 adds containment doc-in-doc dedup — dedup_exact rotated out,
-    # 4x externally green)
+    # round 5 adds containment doc-in-doc dedup and eval-set
+    # decontamination — dedup_exact and dedup_jaccard_3gram rotated out,
+    # both 4x externally green)
     "dedup_containment",
-    "dedup_jaccard_3gram",
+    "doc_decontaminate",
     "dedup_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

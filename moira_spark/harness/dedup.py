@@ -158,21 +158,26 @@ def _jaccard_ctes_sql(corpus_sql: str, max_df: int | None = None) -> str:
 _JACCARD_PAIR_CTES = _jaccard_ctes_sql(_PLANT_NEAR_SQL)
 
 
-def _shingle_rows(corpus: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram rows — the Spark twin of the
-    ``sh`` CTE above.  All-JVM: split/filter/transform/explode, no Python."""
+def _ngram_rows(corpus: DataFrame, n: int, out: str = "shingle") -> DataFrame:
+    """(doc_id, <out>) distinct word-n-gram rows.  All-JVM:
+    split/filter/transform/explode, no Python.  Docs shorter than n words
+    contribute no rows (total — the sequence bound keeps every element_at
+    index in range under ANSI mode)."""
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    toks = corpus.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
-    shingle = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 2),
+    toks = corpus.select("doc_id", w.alias("w")).filter(F.size("w") >= n)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (n - 1)),
         lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("w"), i),
-            F.element_at(F.col("w"), i + 1),
-            F.element_at(F.col("w"), i + 2),
+            " ", *[F.element_at(F.col("w"), i + k) for k in range(n)]
         ),
     )
-    return toks.select("doc_id", F.explode(shingle).alias("shingle")).distinct()
+    return toks.select("doc_id", F.explode(gram).alias(out)).distinct()
+
+
+def _shingle_rows(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram rows — the Spark twin of the
+    ``sh`` CTE above."""
+    return _ngram_rows(corpus, 3)
 
 
 def _jaccard_pairs_from(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -438,6 +443,93 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("n_containers", F.lit(0)).alias("n_containers"),
         F.col("n_containers").isNotNull().alias("is_contained"),
+    )
+
+
+# --------------------------------------------- eval-set decontamination
+# A training pipeline must drop (or at least flag) documents that leak the
+# eval/benchmark set: the standard check is word-n-gram overlap (GPT-3
+# used 13-grams, Llama/GPT-4 report 8-10; 8 here).  The harness "eval set"
+# is a deterministic slice of the corpus itself (doc_id % 53 = 0), so every
+# eval member is a planted self-overlap positive and any OTHER doc sharing
+# a verbatim 8-gram is a genuine leak both engines must agree on.
+_DECON_N = 8
+
+
+@register(
+    "doc_decontaminate",
+    f"""
+    WITH evalset AS (
+      SELECT text FROM documents WHERE doc_id % 53 = 0
+    ),
+    tokc AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    gc AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - {_DECON_N - 2}),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                           w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                           w[i+6] || ' ' || w[i+7])) AS gram
+        FROM tokc WHERE LEN(w) >= {_DECON_N}
+      )
+    ),
+    toke AS (
+      SELECT LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM evalset
+    ),
+    ge AS (
+      SELECT DISTINCT gram FROM (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - {_DECON_N - 2}),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                           w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                           w[i+6] || ' ' || w[i+7])) AS gram
+        FROM toke WHERE LEN(w) >= {_DECON_N}
+      )
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hit_ngrams
+      FROM gc JOIN ge USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+           (h.n_hit_ngrams IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag every training document sharing at
+    least one verbatim word-8-gram with the eval set (the train/test-leak
+    check GPT-3-lineage pipelines run before training; 8 is the
+    Llama/GPT-4-reported width).  Emits (doc_id, n_hit_ngrams,
+    contaminated) per doc — the count is the distinct contaminated 8-grams
+    of the DOC, so downstream policy can threshold (flag vs drop vs
+    span-redact) without recomputing.
+
+    Scale shape — the asymmetry is the point: the corpus side is 10^12
+    docs but the eval set is benchmarks (MBs), so the eval grams are
+    DISTINCT-ed and explicitly broadcast — the corpus-side 8-gram explode
+    streams through a broadcast hash join with ZERO shuffle of corpus
+    grams; the only shuffle is the per-doc hit count (partial map-side
+    agg).  Never a shingle-vs-shingle shuffle join: decontamination at
+    scale is a broadcast filter, not a self-join.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 53 == 0)
+    gc = _ngram_rows(d, _DECON_N, out="gram")
+    ge = _ngram_rows(ev, _DECON_N, out="gram").select("gram").distinct()
+    hits = (
+        gc.join(F.broadcast(ge), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return d.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+        F.col("n_hit_ngrams").isNotNull().alias("contaminated"),
     )
 
 

@@ -66,6 +66,10 @@ CASES = [
     # round 5: containment dedup — pure JVM shingle equi-join with broadcast
     # size joins; the %47 plant filter is a modulo, not parquet-pushable
     ("dedup_containment", 0, 0, 2, 0),
+    # round 5: decontamination — corpus 8-grams stream through a BROADCAST
+    # join of the (small, distinct-ed) eval grams; a shuffle join here is
+    # the scale regression this row exists to catch
+    ("doc_decontaminate", 0, 0, 1, 0),
     # round 4 late: as-of join (one user_id shuffle + window, pure JVM,
     # filter pushed to scan) and span dedup (groupBy-min + join, pure JVM)
     ("events_asof_join", 0, 0, 0, 1),
