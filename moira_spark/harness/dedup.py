@@ -1648,13 +1648,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint), every planted near copy of a committed doc MUST be
     flagged dup_near, and every planted SAME-BATCH near copy (+8e6 ids,
     round 5) MUST be flagged dup_near via the intra-batch pass.  Floor
-    precondition: appending one token to a W-word source gives Jaccard
-    (W-2)/(W-1) over distinct 3-gram sets, >= 0.5 for W >= 3 — the
-    documents fixtures are >= 10 words throughout (J >= 8/9), and at that
-    similarity a 16-band x 4-row collision is reproducible under the fixed
-    seeds (miss probability (1 - J^4)^16 ~ 3e-9 per doc — not a guarantee;
-    if a fixture refresh ever trips this floor, measure band collision
-    before suspecting the operator).
+    precondition: the plant appends THREE tokens (' extra trailing token'),
+    so a W-word source gives Jaccard (W-2)/(W+1) over distinct 3-gram sets
+    (W-2 shared grams of W+1 in the copy), >= 0.5 for W >= 5 — the
+    documents fixtures are >= 10 words throughout (J >= 8/13 ~ 0.62), and
+    at that similarity a 16-band x 4-row collision has per-doc miss
+    probability (1 - J^4)^16 — up to ~8% for the shortest docs, far lower
+    for typical lengths — so the floor is REPRODUCIBLE under the fixed
+    seeds (it passes deterministically on this data), not guaranteed for
+    arbitrary corpora; if a fixture refresh ever trips it, measure band
+    collision before suspecting the operator.
 
     Flag assembly is the SHARED ``incremental_flags`` helper — the same
     definition the streaming twin executes per micro-batch.

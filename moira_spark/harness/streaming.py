@@ -378,34 +378,50 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flags = SnapshotTable(out_dir).read(spark).localCheckpoint(eager=True)
     state = SnapshotTable(state_dir).read(spark)
-    # Floor predicate is "flagged SOME duplicate", not the specific flag:
-    # since the intra-batch near pass (round 5), a batch-0 source doc with a
-    # natural near-twin is itself dropped and never enters state — its later
-    # byte-exact copy is then caught by the NEAR pass against the surviving
-    # twin (same shingle set as its source, so the same >= 0.5 Jaccard that
-    # dropped the source applies), not by the fingerprint match.  Either
-    # flag means the copy was deduplicated; neither means the floor broke.
-    dup_any = F.col("dup_exact") | F.col("dup_near")
-    gate = flags.agg(
+    # Floor predicate is SOURCE-AWARE (round-5 self-review): since the
+    # intra-batch near pass, a batch-0 source doc with a natural near-twin
+    # is itself dropped and never enters state — its later byte-exact copy
+    # is then caught by the NEAR pass against the surviving twin, not by
+    # the fingerprint match.  But relaxing every gate to "some dup" would
+    # let a dead fingerprint path hide behind the near path (byte-exact
+    # copies have Jaccard 1.0), so the gate checks per plant: if the
+    # plant's SOURCE doc is in the final state, the SPECIFIC mechanism is
+    # required (fingerprint match for exact copies, banded-near for near
+    # copies — both deterministic-under-seeds there); only when the source
+    # was itself deduplicated away does either flag count.
+    state_ids = state.select(F.col("doc_id").alias("sid"))
+    src_id = (
+        F.when(F.col("doc_id") < 6000000, F.col("doc_id") - 5000000)
+        .when(F.col("doc_id") < 7000000, F.col("doc_id") - 6000000)
+        .otherwise(F.col("doc_id") - 7000000)
+    )
+    plants = (
+        flags.filter(F.col("doc_id") >= 5000000)
+        .withColumn("src_id", src_id)
+        .join(
+            F.broadcast(state_ids.withColumn("in_state", F.lit(True))),
+            F.col("src_id") == F.col("sid"),
+            "left",
+        )
+    )
+    near_class = (F.col("doc_id") >= 6000000) & (F.col("doc_id") < 7000000)
+    required = F.when(
+        F.col("in_state").isNull(), F.col("dup_exact") | F.col("dup_near")
+    ).otherwise(
+        F.when(near_class, F.col("dup_near")).otherwise(F.col("dup_exact"))
+    )
+    gate = plants.agg(
         F.sum(
             F.when(
-                (F.col("doc_id") >= 5000000)
-                & (F.col("doc_id") < 6000000)
-                & ~dup_any,
-                1,
+                (F.col("doc_id") < 6000000) & ~required, 1
             ).otherwise(0)
         ).alias("missed_b1_exact"),
+        F.sum(F.when(near_class & ~required, 1).otherwise(0)).alias(
+            "missed_b2_near"
+        ),
         F.sum(
             F.when(
-                (F.col("doc_id") >= 6000000)
-                & (F.col("doc_id") < 7000000)
-                & ~dup_any,
-                1,
-            ).otherwise(0)
-        ).alias("missed_b2_near"),
-        F.sum(
-            F.when(
-                (F.col("doc_id") >= 7000000) & ~dup_any, 1
+                (F.col("doc_id") >= 7000000) & ~required, 1
             ).otherwise(0)
         ).alias("missed_b2_exact"),
     ).collect()[0]

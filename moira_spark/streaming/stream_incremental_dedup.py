@@ -69,7 +69,39 @@ def make_batch_handler(spark: SparkSession, state_dir: str, out_dir: str):
             "doc_id", "text", "s", "fingerprint", "mh"
         ).localCheckpoint(eager=True)  # one signature pass feeds flag+state
         committed = state.read(spark)
-        committed_bands = bands.read(spark) if committed is not None else None
+        # The bands table is only trusted when it COVERS every committed
+        # state run (its committed_keys record which state run_ids it holds
+        # band rows for).  A stream resumed from pre-bands state would
+        # otherwise read a bands table holding only post-upgrade batches and
+        # silently stop near-matching older history (round-5 self-review).
+        # Uncovered -> backfill the missing docs' band rows ONCE (anti-join
+        # on doc_id, so re-banding cost is the uncovered slice, never docs
+        # already banded) and mark the whole state covered; idempotent under
+        # replay via the backfill run_id guard.
+        committed_bands = None
+        if committed is not None:
+            ssnap = state.latest_snapshot()
+            state_runs = set(ssnap.run_ids) | set(ssnap.retired_run_ids)
+            bsnap = bands.latest_snapshot()
+            covered = bsnap is not None and state_runs <= set(
+                bsnap.committed_keys
+            )
+            if not covered:
+                backfill_id = f"backfill-{run_id}"
+                if not bands.is_committed(backfill_id):
+                    existing = bands.read(spark)
+                    missing = (
+                        committed
+                        if existing is None
+                        else committed.join(
+                            existing.select("doc_id").distinct(),
+                            "doc_id",
+                            "left_anti",
+                        )
+                    )
+                    bands.stage(lsh_band_rows(missing), backfill_id)
+                bands.commit(spark, backfill_id, committed_keys=sorted(state_runs))
+            committed_bands = bands.read(spark)
         flags = flag_batch(spark, enriched, committed, committed_bands)
         flags = flags.withColumn("batch_id", F.lit(batch_id).cast("long"))
         flags = flags.localCheckpoint(eager=True)  # pin before state advances
@@ -102,9 +134,11 @@ def make_batch_handler(spark: SparkSession, state_dir: str, out_dir: str):
             # survivors' band rows only — the bands table tracks exactly the
             # docs the state table holds, so the next batch's candidate join
             # reads persisted (doc_id, band, sig) instead of re-banding
-            # history (per-batch cost: one band-partitioned equi-join)
+            # history (per-batch cost: one band-partitioned equi-join).
+            # committed_keys records which STATE run this covers, feeding
+            # the coverage check above.
             bands.stage(lsh_band_rows(survivors), run_id)
-            bands.commit(spark, run_id)
+        bands.commit(spark, run_id, committed_keys=[run_id])
         state.stage(survivors, run_id)
         state.commit(spark, run_id)
         # release the per-batch localCheckpoints: their blocks are pinned

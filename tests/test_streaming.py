@@ -204,3 +204,87 @@ def test_incremental_dedup_handler_replay_idempotent(spark, tmp_path, monkeypatc
     handle(b1, 1)  # fully-landed replay: no-op
     assert state.latest_snapshot().version == 2
     assert out.latest_snapshot().version == 2
+
+
+def test_incremental_dedup_bands_backfill_on_pre_bands_state(spark, tmp_path):
+    """A stream resumed from state committed BEFORE the bands table existed
+    must still near-match OLDER history (round-5 self-review): the handler
+    detects that the bands table does not cover every state run, backfills
+    band rows for the uncovered docs once (anti-join on doc_id), marks the
+    state runs covered, and only then trusts the persisted bands."""
+    import pyspark.sql.functions as F
+
+    from moira_spark.harness.dedup import _with_signatures
+    from moira_spark.sources.tableio import SnapshotTable
+    from moira_spark.streaming.stream_incremental_dedup import (
+        make_batch_handler,
+    )
+
+    state_dir, out_dir = str(tmp_path / "state"), str(tmp_path / "out")
+    # simulate pre-bands history: batch-0 survivors committed directly to
+    # the state table with NO bands sibling (what a pre-round-5 stream left)
+    b0 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    state = SnapshotTable(state_dir)
+    enriched0 = _with_signatures(b0).select(
+        "doc_id", "text", "fingerprint", "mh"
+    )
+    state.stage(enriched0, "batch-0")
+    state.commit(spark, "batch-0")
+
+    handle = make_batch_handler(spark, state_dir, out_dir)
+    b1 = spark.createDataFrame(
+        [
+            (
+                10,
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+                " extra trailing token",
+            ),
+            (11, "completely different fresh content with many novel words"),
+        ],
+        "doc_id long, text string",
+    )
+    handle(b1, 1)
+    flags = {
+        r["doc_id"]: r for r in SnapshotTable(out_dir).read(spark).collect()
+    }
+    # the near-copy of PRE-BANDS history must be caught, not silently kept
+    assert flags[10]["dup_near"] and not flags[10]["survives"]
+    assert flags[11]["survives"]
+    bands = SnapshotTable(f"{state_dir}_bands")
+    bsnap = bands.latest_snapshot()
+    assert {"batch-0", "batch-1"} <= set(bsnap.committed_keys)
+    ids = {
+        r["doc_id"]
+        for r in bands.read(spark).select("doc_id").distinct().collect()
+    }
+    assert {1, 2, 11} <= ids  # backfilled history + new survivor
+    # a later batch sees full coverage: near-match again, no re-backfill
+    b2 = spark.createDataFrame(
+        [
+            (
+                20,
+                "one two three four five six seven eight nine ten"
+                " extra trailing token",
+            )
+        ],
+        "doc_id long, text string",
+    )
+    handle(b2, 2)
+    flags2 = {
+        r["doc_id"]: r
+        for r in SnapshotTable(out_dir)
+        .read(spark)
+        .filter(F.col("batch_id") == 2)
+        .collect()
+    }
+    assert flags2[20]["dup_near"] and not flags2[20]["survives"]
+    assert not any(
+        r.startswith("backfill-batch-2")
+        for r in bands.latest_snapshot().run_ids
+    )
