@@ -165,14 +165,15 @@ _PRIORITY: tuple[str, ...] = (
     "events_approx_distinct",
     "events_approx_quantiles",
     # dedup tier (incl. round-3/4 capstones: closure, capped, incremental;
-    # round 5 adds containment doc-in-doc dedup and eval-set
-    # decontamination — dedup_exact and dedup_jaccard_3gram rotated out,
-    # both 4x externally green)
+    # round 5 adds containment doc-in-doc dedup, eval-set decontamination,
+    # and per-source percentile gating — dedup_exact / dedup_jaccard_3gram
+    # (both 4x externally green) and dedup_embedding_cosine (3x green;
+    # its LSH twin stays in-window) rotated out)
     "dedup_containment",
     "doc_decontaminate",
+    "source_percentile_gate",
     "dedup_jaccard_capped",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_cluster_representatives",
     "dedup_cluster_bigstar",

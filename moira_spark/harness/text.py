@@ -628,6 +628,74 @@ def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- per-source percentile gating
+@register(
+    "source_percentile_gate",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w != '')) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, score,
+             PERCENT_RANK() OVER (
+               PARTITION BY source ORDER BY score, doc_id
+             ) AS pr
+      FROM scored
+    )
+    SELECT doc_id, source, score,
+           CAST(ROUND(pr, 6) AS DOUBLE) AS pr,
+           (pr >= 0.75) AS kept
+    FROM ranked
+    """,
+)
+def source_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile gating, FineWeb/DCLM style: within EACH
+    source, keep the top quarter of documents by a quality score (word
+    count here — the score is a pluggable column; the operator under check
+    is the per-stratum percentile cut).  Complements source_quality_filter
+    (which keeps or drops whole sources): this is the per-document cut
+    applied inside surviving sources, with an absolute threshold replaced
+    by a distribution-relative one so a uniformly-verbose source cannot
+    crowd out a terse one.
+
+    Deterministic across engines: percent_rank over (score ASC, doc_id
+    ASC) — the doc_id tiebreak makes the rank total, and
+    (rank-1)/(n-1) divides identically in both engines' doubles.
+
+    Scale shape: ONE shuffle keyed by source, then a linear per-partition
+    rank — but a per-source window sort is the known hot-partition risk
+    when source cardinality is small and sources are petabyte-skewed (the
+    exact trap PLANS.md documents for global-order windows).  This is the
+    oracle-exact variant; the web-scale pairing is the same two-phase
+    cutoff the capped-Jaccard tier uses for its approximation switch:
+    aggregate per-source score histograms (map-side combine), derive the
+    q-th cutoff from the histogram, broadcast the tiny (source, cutoff)
+    table back over the doc stream — same result up to cutoff-tie
+    handling, zero sort.  The histogram path changes semantics only at
+    ties, so the window formulation stays the checked reference.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    score = F.size(_words_col()).cast("bigint")
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", score.alias("score"))
+        .withColumn("pr_raw", F.percent_rank().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            F.round("pr_raw", 6).alias("pr"),
+            (F.col("pr_raw") >= 0.75).alias("kept"),
+        )
+    )
+
+
 # --------------------------------------------- training-mix stratified sample
 @register(
     "training_mix_sample",

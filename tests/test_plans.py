@@ -70,6 +70,9 @@ CASES = [
     # join of the (small, distinct-ed) eval grams; a shuffle join here is
     # the scale regression this row exists to catch
     ("doc_decontaminate", 0, 0, 1, 0),
+    # round 5: per-source percentile gate — window partitioned BY SOURCE;
+    # zero SinglePartition guards against a global-order reformulation
+    ("source_percentile_gate", 0, 0, 0, 0),
     # round 4 late: as-of join (one user_id shuffle + window, pure JVM,
     # filter pushed to scan) and span dedup (groupBy-min + join, pure JVM)
     ("events_asof_join", 0, 0, 0, 1),
