@@ -321,6 +321,63 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- containment (doc-in-doc)
+def containment_flags(corpus: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Reusable containment-dedup operator: (doc_id, text) corpus ->
+    (doc_id, n_containers, is_contained), one row per input doc.
+
+    Keep-the-superset rule, totally ordered: doc A is contained iff some B
+    with |S_A n S_B| / |S_A| >= threshold (word-3-gram shingle sets) has a
+    strictly larger shingle set, or an equal-size set and a smaller doc_id
+    (so exact twins resolve min-id-wins, same convention as dedup_exact).
+    Docs with fewer than 3 words have empty shingle sets and are never
+    contained nor containers.  Edge cases pinned by
+    tests/test_corpus_ops.py.
+
+    Scale shape: identical candidate generation to the Jaccard tier —
+    shingle equi-join, cost scaling with shared-shingle pairs, never n^2 —
+    and cap_hot_shingles composes unchanged when the corpus is web-scale
+    (the cap drops boilerplate shingles, which only LOWERS measured
+    containment of wrapper-heavy docs; an approximation switch exactly as
+    in dedup_jaccard_capped)."""
+    sh = _shingle_rows(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    containment = F.col("i").cast("double") / F.col("sa.sz").cast("double")
+    contained = (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            (containment >= threshold)
+            & (
+                (F.col("sb.sz") > F.col("sa.sz"))
+                | (
+                    (F.col("sb.sz") == F.col("sa.sz"))
+                    & (F.col("doc_b") < F.col("doc_a"))
+                )
+            )
+        )
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_containers"))
+    )
+    return corpus.select("doc_id").join(contained, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_containers", F.lit(0)).alias("n_containers"),
+        F.col("n_containers").isNotNull().alias("is_contained"),
+    )
+
+
 # Boilerplate-wrap plant: a header+footer wrapped copy of every 47th doc.
 # The wrapped copy's Jaccard vs its source is well BELOW 0.5 (the wrapper
 # shingles dilute the union), so near-dedup misses the pair by design —
@@ -379,19 +436,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     full of and symmetric Jaccard misses (the wrapper dilutes the union
     below the 0.5 bar; containment normalizes by the CONTAINED side only).
 
-    Keep-the-superset rule, totally ordered: doc A is dropped iff some B
-    with |S_A ∩ S_B| / |S_A| >= 0.9 has a strictly larger shingle set, or
-    an equal-size set and a smaller doc_id (so exact twins resolve
-    min-id-wins, same convention as dedup_exact).  Emits one row per doc —
-    (doc_id, n_containers, is_contained) — value-checked against the DuckDB
-    oracle, wrapped plants included.
-
-    Scale shape: identical candidate generation to the Jaccard tier —
-    shingle equi-join, cost scaling with shared-shingle pairs, never n^2 —
-    and cap_hot_shingles composes unchanged when the corpus is web-scale
-    (the cap drops boilerplate shingles, which only LOWERS measured
-    containment of wrapper-heavy docs; the capped variant is an
-    approximation switch exactly as in dedup_jaccard_capped).
+    Thin fixture wrapper over ``containment_flags`` (the reusable
+    operator; keep-the-superset semantics + scale notes there, edge cases
+    pinned by tests/test_corpus_ops.py).  Emits (doc_id, n_containers,
+    is_contained) per doc — value-checked against the DuckDB oracle,
+    wrapped plants included.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionAll(
@@ -407,43 +456,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    sh = _shingle_rows(corpus)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    containment = F.col("i").cast("double") / F.col("sa.sz").cast("double")
-    contained = (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(
-            (containment >= 0.9)
-            & (
-                (F.col("sb.sz") > F.col("sa.sz"))
-                | (
-                    (F.col("sb.sz") == F.col("sa.sz"))
-                    & (F.col("doc_b") < F.col("doc_a"))
-                )
-            )
-        )
-        .groupBy(F.col("doc_a").alias("doc_id"))
-        .agg(F.count(F.lit(1)).alias("n_containers"))
-    )
-    return corpus.select("doc_id").join(contained, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_containers", F.lit(0)).alias("n_containers"),
-        F.col("n_containers").isNotNull().alias("is_contained"),
-    )
+    return containment_flags(corpus)
 
 
 # --------------------------------------------- eval-set decontamination
@@ -454,6 +467,42 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eval member is a planted self-overlap positive and any OTHER doc sharing
 # a verbatim 8-gram is a genuine leak both engines must agree on.
 _DECON_N = 8
+
+
+def decontaminate_flags(
+    corpus: DataFrame, eval_df: DataFrame, n: int = _DECON_N
+) -> DataFrame:
+    """Reusable decontamination operator: (doc_id, text) corpus + eval set
+    (any frame with a text column) -> (doc_id, n_hit_ngrams, contaminated),
+    one row per corpus doc.  ``n_hit_ngrams`` counts the doc's DISTINCT
+    word-n-grams that appear anywhere in the eval set, so downstream
+    policy can threshold (flag vs drop vs span-redact) without
+    recomputing.  Docs or eval items shorter than n words contribute no
+    grams.  Edge cases pinned by tests/test_corpus_ops.py.
+
+    Scale shape — the asymmetry is the point: the corpus side is 10^12
+    docs but the eval set is benchmarks (MBs), so the eval grams are
+    DISTINCT-ed and explicitly broadcast — the corpus-side n-gram explode
+    streams through a broadcast hash join with ZERO shuffle of corpus
+    grams; the only shuffle is the per-doc hit count (partial map-side
+    agg).  Never a gram-vs-gram shuffle join: decontamination at scale is
+    a broadcast filter, not a self-join."""
+    if "doc_id" not in eval_df.columns:
+        eval_df = eval_df.select(
+            F.monotonically_increasing_id().alias("doc_id"), "text"
+        )
+    gc = _ngram_rows(corpus, n, out="gram")
+    ge = _ngram_rows(eval_df, n, out="gram").select("gram").distinct()
+    hits = (
+        gc.join(F.broadcast(ge), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+        F.col("n_hit_ngrams").isNotNull().alias("contaminated"),
+    )
 
 
 @register(
@@ -504,33 +553,14 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag every training document sharing at
     least one verbatim word-8-gram with the eval set (the train/test-leak
     check GPT-3-lineage pipelines run before training; 8 is the
-    Llama/GPT-4-reported width).  Emits (doc_id, n_hit_ngrams,
-    contaminated) per doc — the count is the distinct contaminated 8-grams
-    of the DOC, so downstream policy can threshold (flag vs drop vs
-    span-redact) without recomputing.
-
-    Scale shape — the asymmetry is the point: the corpus side is 10^12
-    docs but the eval set is benchmarks (MBs), so the eval grams are
-    DISTINCT-ed and explicitly broadcast — the corpus-side 8-gram explode
-    streams through a broadcast hash join with ZERO shuffle of corpus
-    grams; the only shuffle is the per-doc hit count (partial map-side
-    agg).  Never a shingle-vs-shingle shuffle join: decontamination at
-    scale is a broadcast filter, not a self-join.
+    Llama/GPT-4-reported width).  Thin fixture wrapper over
+    ``decontaminate_flags`` (the reusable operator; broadcast-side scale
+    notes there, edge cases pinned by tests/test_corpus_ops.py) with the
+    harness eval set = the doc_id % 53 = 0 slice of the corpus itself.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     ev = d.filter(F.col("doc_id") % 53 == 0)
-    gc = _ngram_rows(d, _DECON_N, out="gram")
-    ge = _ngram_rows(ev, _DECON_N, out="gram").select("gram").distinct()
-    hits = (
-        gc.join(F.broadcast(ge), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
-    )
-    return d.select("doc_id").join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
-        F.col("n_hit_ngrams").isNotNull().alias("contaminated"),
-    )
+    return decontaminate_flags(d, ev)
 
 
 # ------------------------------------------------------------ MinHash + LSH

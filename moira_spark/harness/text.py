@@ -629,6 +629,43 @@ def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------- per-source percentile gating
+def percentile_gate(
+    scored: DataFrame, min_pr: float = 0.75, by: str = "source"
+) -> DataFrame:
+    """Reusable per-stratum percentile cut: (doc_id, <by>, score) ->
+    (doc_id, <by>, score, pr, kept) with kept = percent_rank >= min_pr
+    within the stratum, totally ordered by (score ASC, doc_id ASC).
+
+    Edge semantics (pinned by tests/test_corpus_ops.py): a single-doc
+    stratum has percent_rank 0.0 — i.e. a singleton source keeps NOTHING
+    under min_pr > 0.  Both engines define (rank-1)/(n-1) the same way, so
+    this is consistent, but callers gating tiny strata should pre-filter
+    them (a one-doc source has no distribution to rank against).
+
+    Scale shape: ONE shuffle keyed by the stratum, then a linear
+    per-partition rank — but a per-stratum window sort is the known
+    hot-partition risk when stratum cardinality is small and strata are
+    petabyte-skewed (the exact trap PLANS.md documents for global-order
+    windows).  This is the oracle-exact variant; the web-scale pairing is
+    the same two-phase cutoff the capped-Jaccard tier uses for its
+    approximation switch: aggregate per-stratum score histograms (map-side
+    combine), derive the q-th cutoff from the histogram, broadcast the
+    tiny (stratum, cutoff) table back over the doc stream — same result up
+    to cutoff-tie handling, zero sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("pr_raw", F.percent_rank().over(w)).select(
+        "doc_id",
+        by,
+        "score",
+        F.round("pr_raw", 6).alias("pr"),
+        (F.col("pr_raw") >= min_pr).alias("kept"),
+    )
+
+
 @register(
     "source_percentile_gate",
     """
@@ -658,42 +695,16 @@ def source_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which keeps or drops whole sources): this is the per-document cut
     applied inside surviving sources, with an absolute threshold replaced
     by a distribution-relative one so a uniformly-verbose source cannot
-    crowd out a terse one.
+    crowd out a terse one.  Thin fixture wrapper over ``percentile_gate``
+    (the reusable operator; edge cases + scale notes there).
 
     Deterministic across engines: percent_rank over (score ASC, doc_id
-    ASC) — the doc_id tiebreak makes the rank total, and
-    (rank-1)/(n-1) divides identically in both engines' doubles.
-
-    Scale shape: ONE shuffle keyed by source, then a linear per-partition
-    rank — but a per-source window sort is the known hot-partition risk
-    when source cardinality is small and sources are petabyte-skewed (the
-    exact trap PLANS.md documents for global-order windows).  This is the
-    oracle-exact variant; the web-scale pairing is the same two-phase
-    cutoff the capped-Jaccard tier uses for its approximation switch:
-    aggregate per-source score histograms (map-side combine), derive the
-    q-th cutoff from the histogram, broadcast the tiny (source, cutoff)
-    table back over the doc stream — same result up to cutoff-tie
-    handling, zero sort.  The histogram path changes semantics only at
-    ties, so the window formulation stays the checked reference.
+    ASC) — the doc_id tiebreak makes the rank total, and (rank-1)/(n-1)
+    divides identically in both engines' doubles.
     """
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     score = F.size(_words_col()).cast("bigint")
-    w = Window.partitionBy("source").orderBy(
-        F.col("score").asc(), F.col("doc_id").asc()
-    )
-    return (
-        d.select("doc_id", "source", score.alias("score"))
-        .withColumn("pr_raw", F.percent_rank().over(w))
-        .select(
-            "doc_id",
-            "source",
-            "score",
-            F.round("pr_raw", 6).alias("pr"),
-            (F.col("pr_raw") >= 0.75).alias("kept"),
-        )
-    )
+    return percentile_gate(d.select("doc_id", "source", score.alias("score")))
 
 
 # --------------------------------------------- training-mix stratified sample
