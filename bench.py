@@ -61,6 +61,9 @@ HEADLINE = [
     "dedup_jaccard_capped",
     "dedup_containment",
     "doc_decontaminate",
+    "dedup_semantic",
+    "doc_repetition_stats",
+    "corpus_quality_budget",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",

@@ -133,9 +133,9 @@ _PRIORITY: tuple[str, ...] = (
     "doc_langid_separable",
     "doc_perplexity",
     "doc_perplexity_separation",
-    # moira read-operator tier (SURVEY.md §2.1)
-    "read_revcomp",
-    "read_collapse",
+    # moira read-operator tier (SURVEY.md §2.1; read_revcomp/read_collapse
+    # rotated out in round 5 second session — both 3x externally green
+    # r2+r3+r4 — to seat the session's new operators)
     "read_pair_assembly",
     "read_expected_errors",
     "read_expected_errors_bootstrap",
@@ -155,8 +155,10 @@ _PRIORITY: tuple[str, ...] = (
     # same-ts tie-break deterministic, so its second green is a fresh check)
     "events_asof_join",
     # text / quality heuristics (SQL-checked) + learned classifier gate
-    "doc_bpe_token_count",
+    # (doc_bpe_token_count rotated out: 3x green r2+r3+r4; the trained-BPE
+    # floor query stays for its second green round)
     "doc_bpe_trained",
+    "doc_repetition_stats",
     "doc_gopher_stats",
     "doc_scrub_pii",
     "doc_c4_line_filter",
@@ -172,6 +174,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "doc_decontaminate",
     "source_percentile_gate",
+    "corpus_quality_budget",
+    "dedup_semantic",
     "dedup_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",

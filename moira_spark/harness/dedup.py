@@ -854,6 +854,194 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ semantic (SemDeDup)
+_EMB_DIM = 64
+
+
+def semantic_dedup_flags(
+    corpus: DataFrame, threshold: float = _EMB_DUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup core over a (vec_id, label, v: array<double>) frame:
+    nearest-centroid cluster assignment (centroids = exact fixed-point
+    per-label means) followed by an intra-cluster cosine prune at
+    ``threshold``.  Returns (vec_id, cluster, is_dup); min-id survives a
+    close pair, ties on assignment cosine break to the smaller label.
+    See dedup_semantic for the full determinism and scale notes."""
+    from moira_spark.harness.similarity import _dot
+
+    # Exact fixed-point centroids: per-dim bigint sums are order-independent,
+    # so the mean is bit-identical to DuckDB's regardless of partitioning.
+    dims = (
+        corpus.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            F.sum(F.round(F.col("x") * 100000).cast("bigint")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent = (
+        dims.select(
+            "label",
+            "i",
+            F.round(
+                F.col("s").cast("double") / F.col("n") / 100000, 6
+            ).alias("val"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "val"))),
+                lambda s: s["val"],
+            ).alias("c")
+        )
+        .withColumnRenamed("label", "c_label")
+    )
+
+    cos_c = F.round(
+        _dot(F.col("v"), F.col("c"))
+        / (
+            F.sqrt(_dot(F.col("v"), F.col("v")))
+            * F.sqrt(_dot(F.col("c"), F.col("c")))
+        ),
+        6,
+    )
+    # argmax via max(struct(cos, -label)): max cosine, then min label on
+    # ties — one partial-aggregating groupBy, no window fan-out.
+    assign = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_label", cos_c.alias("cos_cent"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_cent"), (-F.col("c_label")).alias("neg_label")
+                )
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.neg_label")).alias("cluster"))
+    )
+    clustered = assign.join(corpus, "vec_id").select("vec_id", "cluster", "v")
+
+    a = clustered.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster").alias("a_cl"),
+        F.col("v").alias("va"),
+    )
+    b = clustered.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cl"),
+        F.col("v").alias("vb"),
+    )
+    pair_cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+        ),
+        6,
+    )
+    dups = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a_cl") == F.col("b_cl")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .withColumn("cos_sim", pair_cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("d", F.lit(True))
+    )
+    return clustered.join(dups, "vec_id", "left").select(
+        "vec_id", "cluster", F.coalesce("d", F.lit(False)).alias("is_dup")
+    )
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 40 = 0
+    ),
+    dims AS (
+      SELECT label, i,
+             SUM(CAST(ROUND(v[i] * 100000) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM corpus, (SELECT UNNEST(RANGE(1, {_EMB_DIM + 1})) AS i) t
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label AS c_label,
+             LIST(ROUND(CAST(s AS DOUBLE) / n / 100000, 6) ORDER BY i) AS c
+      FROM dims GROUP BY label
+    ),
+    assign AS (
+      SELECT vec_id, c_label AS cluster FROM (
+        SELECT corpus.vec_id, cent.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY ROUND(LIST_DOT_PRODUCT(corpus.v, cent.c)
+                          / (SQRT(LIST_DOT_PRODUCT(corpus.v, corpus.v))
+                             * SQRT(LIST_DOT_PRODUCT(cent.c, cent.c))),
+                          6) DESC,
+                          cent.c_label ASC) AS rn
+        FROM corpus CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    clustered AS (
+      SELECT a.vec_id, a.cluster, c2.v
+      FROM assign a JOIN corpus c2 ON a.vec_id = c2.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM clustered a JOIN clustered b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+            / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+               * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6)
+            >= {_EMB_DUP_THRESHOLD}
+    )
+    SELECT cl.vec_id, cl.cluster, (d.vec_id IS NOT NULL) AS is_dup
+    FROM clustered cl LEFT JOIN dups d ON cl.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding space, then prune near-duplicate
+    pairs WITHIN each cluster only — the trick that turns the O(n^2)
+    cosine self-join into per-cluster work bounded by cluster size.
+    Clusters here are nearest-centroid assignments against per-label mean
+    embeddings (fixed-point sums -> exact centroids on both engines; the
+    paper's k-means centroids drop in unchanged); a vector is a dup when
+    an earlier same-cluster vector sits at cosine >= threshold
+    (single-pass pairwise, min-id survives — transitive closure stays the
+    dedup_cluster tier's job).  Planted exact copies (vec_id % 40, +1e6)
+    land in their source's cluster by construction and are flagged.
+
+    Scale shape: centroids are a tiny broadcast (k rows) crossed against
+    the vector stream map-side — zero shuffle for assignment beyond the
+    groupBy(vec_id) argmax, which partial-aggregates; the verify self-join
+    is an equi-join on cluster id, so comparisons never leave a cluster
+    (at 100 TB, cap cluster occupancy like the shingle df cap and split
+    hot clusters by a secondary LSH band).  Determinism: centroid dims,
+    assignment cosines, and pair cosines are all rounded to 6dp with
+    min-label / min-id tiebreaks, so both engines make identical keep
+    decisions.
+    """
+    from moira_spark.harness.similarity import _dbl
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    dup = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label", "embedding"
+    )
+    corpus = e.unionAll(dup).select(
+        "vec_id", "label", _dbl("embedding").alias("v")
+    )
+    return semantic_dedup_flags(corpus)
+
+
 # -------------------------------------------- near-dup cluster closure
 _CLUSTER_SQL = f"""
     WITH RECURSIVE {_JACCARD_PAIR_CTES},

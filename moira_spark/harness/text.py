@@ -301,6 +301,169 @@ def doc_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- Gopher repetition signals
+# Planted boilerplate: a fixed phrase repeated 10x on every 13th doc, so the
+# fixture deterministically contains the repetition profile the filter is
+# built to catch (vocabulary-repetition naturals sit well below the bar).
+_REP_PLANT = " lorem ipsum dolor sit amet"
+
+
+def repetition_stats(docs: DataFrame, flag_at: float = 0.2) -> DataFrame:
+    """Per-doc Gopher repetition signals over a (doc_id, text) frame:
+    top-bigram character coverage, duplicate-word character fraction, and
+    the ``repetitious`` flag at ``flag_at`` top-bigram coverage.  Pure-JVM
+    explode -> partial-aggregating groupBy passes; fractions are exact
+    integer-count ratios rounded to 6dp (see doc_repetition_stats)."""
+    base = (
+        docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.col("text"), " "), lambda x: x != F.lit("")
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_words"),
+            F.aggregate(
+                "w",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.length(x).cast("bigint"),
+            ).alias("total_chars"),
+            "w",
+        )
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(w, 1, greatest(size(w) - 1, 0))"),
+                F.expr("slice(w, 2, greatest(size(w) - 1, 0))"),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("bg"),
+    )
+    top_bigram = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("doc_id", (F.col("cnt") * (F.length("bg") - 1)).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.max("cov").alias("top_chars"))
+    )
+    dup_words = (
+        base.select("doc_id", F.explode("w").alias("wd"))
+        .groupBy("doc_id", "wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", (F.col("cnt") * F.length("wd")).alias("dchars"))
+        .groupBy("doc_id")
+        .agg(F.sum("dchars").alias("dup_chars"))
+    )
+    denom = F.greatest(F.col("total_chars"), F.lit(1)).cast("double")
+    top_frac = F.round(
+        F.coalesce(F.col("top_chars"), F.lit(0)).cast("double") / denom, 6
+    )
+    dup_frac = F.round(
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double") / denom, 6
+    )
+    return (
+        base.drop("w")
+        .join(top_bigram, "doc_id", "left")
+        .join(dup_words, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "total_chars",
+            top_frac.alias("top_bigram_frac"),
+            dup_frac.alias("dup_word_frac"),
+            (top_frac >= flag_at).alias("repetitious"),
+        )
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN text || REPEAT('{_REP_PLANT}', 10)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM corpus
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(LEN(w) AS BIGINT) AS n_words,
+             CAST(LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x))) AS BIGINT)
+                 AS total_chars,
+             w
+      FROM words
+    ),
+    bigram_rows AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM base
+    ),
+    top_bigram AS (
+      SELECT doc_id, MAX(cov) AS top_chars FROM (
+        SELECT doc_id, COUNT(*) * (LENGTH(bg) - 1) AS cov
+        FROM bigram_rows GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    ),
+    dup_words AS (
+      SELECT doc_id, SUM(cnt * wlen) AS dup_chars FROM (
+        SELECT doc_id, wd, COUNT(*) AS cnt, LENGTH(wd) AS wlen
+        FROM (SELECT doc_id, UNNEST(w) AS wd FROM base)
+        GROUP BY doc_id, wd
+      ) WHERE cnt > 1 GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words, b.total_chars,
+           ROUND(COALESCE(t.top_chars, 0) * 1.0
+                 / GREATEST(b.total_chars, 1), 6) AS top_bigram_frac,
+           ROUND(COALESCE(d.dup_chars, 0) * 1.0
+                 / GREATEST(b.total_chars, 1), 6) AS dup_word_frac,
+           ROUND(COALESCE(t.top_chars, 0) * 1.0
+                 / GREATEST(b.total_chars, 1), 6) >= 0.2 AS repetitious
+    FROM base b
+    LEFT JOIN top_bigram t ON b.doc_id = t.doc_id
+    LEFT JOIN dup_words d ON b.doc_id = d.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1), the
+    word-level subset that applies to single-line documents: the fraction
+    of characters covered by the most frequent word 2-gram, and the
+    fraction of characters in words that occur more than once.  Docs whose
+    top-bigram coverage crosses the Gopher 0.20 bar are flagged
+    ``repetitious`` (boilerplate/template pages, looped generation).
+
+    Scale shape: two explode -> algebraic groupBy passes (map-side partial
+    aggregation on (doc_id, gram)), everything codegen — no Python, no
+    window.  The explode fan-out is linear in corpus token count and the
+    (doc_id, gram) keys are near-unique, so partial aggregation collapses
+    them before the shuffle.  Fractions are integer-count ratios computed
+    identically on both engines (exact bigint counts -> one double
+    division -> round 6), and the flag thresholds the ROUNDED value so the
+    boundary can never drift between engines.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.expr(f"repeat('{_REP_PLANT}', 10)")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_stats(planted)
+
+
 # ------------------------------------------------- scrub subset (SQL-able)
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 
@@ -815,6 +978,101 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ),
     )
+
+
+# ---------------------------------------- token-budget quality selection
+def token_budget_select(
+    scored: DataFrame,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Keep the highest-quality docs until ``budget_num/budget_den`` of the
+    total token count is spent.  ``scored`` needs (doc_id, n_tokens,
+    q_score); selection order is (q_score desc, doc_id asc) and the budget
+    test is exact integer arithmetic (cum * den <= total * num).  Running
+    sum is the hierarchical prefix sum — no single-partition window."""
+    from moira_spark.operators.prefix import running_sum
+
+    ranked = running_sum(
+        scored.withColumn("neg_q", -F.col("q_score")),
+        "n_tokens",
+        order_cols=["neg_q", "doc_id"],
+        out_col="cum_tokens",
+    )
+    total = scored.agg(F.sum("n_tokens").alias("__total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cum_tokens") * F.lit(budget_den)
+            <= F.col("__total") * F.lit(budget_num)
+        )
+        .select("doc_id", "q_score", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "corpus_quality_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != ''))
+                  AS BIGINT) AS n_tokens,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                  x -> x IN ('{_STOP_SQL}')))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR(n_stop * 1000000.0 / GREATEST(n_tokens, 1))
+                  AS BIGINT) AS q_score
+      FROM toks
+    ),
+    runsum AS (
+      SELECT doc_id, q_score, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+                    ORDER BY q_score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, q_score, n_tokens, cum_tokens
+    FROM runsum
+    WHERE cum_tokens * 2 <= (SELECT SUM(n_tokens) FROM toks)
+    """,
+)
+def corpus_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quality selection: fill 50% of the corpus's token
+    budget with the highest-quality documents (quality = fixed-point
+    stop-word density, the cheap heuristic stand-in for a classifier
+    score), taking docs in (score desc, doc_id) order until the running
+    token count exceeds the budget — the "best N tokens" cut a
+    FineWeb/DCLM-style pipeline makes after scoring and before packing.
+
+    Scale shape: the global score-ordered running sum is the hierarchical
+    two-phase prefix sum (operators/prefix.py) — range partition on
+    (neg_score, doc_id), tiny per-partition totals, exclusive offsets
+    broadcast back — NOT ``Window.orderBy`` with its fatal
+    ``Exchange SinglePartition``; tests/test_plans.py pins the absence.
+    The budget itself is one scalar aggregate cross-joined back (broadcast
+    of a single row).  Scores are integerized (floor of n_stop * 1e6 /
+    n_tokens: exact bigint inputs, one double division, floor — identical
+    on both engines) so ordering never rides on float summation order, and
+    the budget test multiplies instead of halving (cum * 2 <= total) to
+    stay in exact integer arithmetic.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = _words_col()
+    n_tokens = F.size(w).cast("bigint")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(n_stop * 1000000.0 / F.greatest(n_tokens, F.lit(1)))
+        .cast("bigint")
+        .alias("q_score"),
+    )
+    return token_budget_select(scored)
 
 
 # ---------------------------------------------- corpus -> training shards

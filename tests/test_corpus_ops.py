@@ -177,3 +177,148 @@ class TestPercentileGate:
         # pre-filter tiny strata (see percentile_gate docstring)
         rows = self._gate(spark, [(1, "only", 999)])
         assert rows[1]["pr"] == 0.0 and not rows[1]["kept"]
+
+
+class TestRepetitionStats:
+    def _stats(self, spark, rows, **kw):
+        from moira_spark.harness.text import repetition_stats
+
+        out = repetition_stats(_docs(spark, rows), **kw).collect()
+        return {r.doc_id: r.asDict() for r in out}
+
+    def test_repeated_phrase_flagged(self, spark):
+        rows = self._stats(
+            spark,
+            [
+                (1, " ".join(["click here"] * 10)),  # one bigram, 10x
+                # all-unique words, long enough that no single bigram can
+                # reach 0.2 of the chars (short docs trivially cross it)
+                (2, "alpha beta gamma delta epsilon zeta theta iota "
+                    "kappa lambda sigma omega mu nu xi omicron"),
+            ],
+        )
+        # doc 1: every bigram is a repeat of "here click"/"click here";
+        # "click here" covers 10 occurrences * 9 chars = 90 of 90 chars
+        assert rows[1]["repetitious"] and rows[1]["top_bigram_frac"] == 1.0
+        assert rows[1]["dup_word_frac"] == 1.0
+        assert not rows[2]["repetitious"]
+        assert rows[2]["dup_word_frac"] == 0.0
+
+    def test_single_word_doc_has_no_bigrams(self, spark):
+        rows = self._stats(spark, [(1, "solo")])
+        assert rows[1]["n_words"] == 1
+        assert rows[1]["top_bigram_frac"] == 0.0
+        assert rows[1]["dup_word_frac"] == 0.0
+        assert not rows[1]["repetitious"]
+
+    def test_empty_text_defined(self, spark):
+        # zero words: the GREATEST(total_chars, 1) clamp keeps the
+        # fractions defined (0.0), not NULL/NaN
+        rows = self._stats(spark, [(1, "")])
+        assert rows[1]["n_words"] == 0 and rows[1]["total_chars"] == 0
+        assert rows[1]["top_bigram_frac"] == 0.0
+        assert not rows[1]["repetitious"]
+
+    def test_flag_threshold_is_on_rounded_value(self, spark):
+        # 'aa bb aa bb aa' -> top bigram 'aa bb' (2x, 4 chars) over 10
+        # chars = 0.8 -> flagged at default 0.2, clean at flag_at > 0.8
+        rows = self._stats(spark, [(1, "aa bb aa bb aa")], flag_at=0.81)
+        assert rows[1]["top_bigram_frac"] == 0.8
+        assert not rows[1]["repetitious"]
+
+
+class TestTokenBudget:
+    def _select(self, spark, rows, **kw):
+        from moira_spark.harness.text import token_budget_select
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, n_tokens long, q_score long"
+        )
+        out = token_budget_select(df, **kw).collect()
+        return {r.doc_id: r.asDict() for r in out}
+
+    def test_budget_boundary_is_inclusive(self, spark):
+        # equal scores -> doc_id order; four 10-token docs, half budget =
+        # 20 tokens: doc 2 lands EXACTLY on the budget and is kept
+        rows = self._select(
+            spark, [(1, 10, 5), (2, 10, 5), (3, 10, 5), (4, 10, 5)]
+        )
+        assert sorted(rows) == [1, 2]
+        assert rows[2]["cum_tokens"] == 20
+
+    def test_high_score_wins_regardless_of_id(self, spark):
+        rows = self._select(
+            spark, [(1, 10, 1), (2, 10, 9), (3, 10, 5), (4, 10, 9)]
+        )
+        # order: 2, 4 (score 9), then 3 (5), then 1; budget 20 -> {2, 4}
+        assert sorted(rows) == [2, 4]
+
+    def test_custom_budget_fraction(self, spark):
+        rows = self._select(
+            spark,
+            [(1, 10, 5), (2, 10, 4), (3, 10, 3), (4, 10, 2)],
+            budget_num=3,
+            budget_den=4,
+        )
+        assert sorted(rows) == [1, 2, 3]
+
+
+class TestSemanticDedup:
+    def _flags(self, spark, rows, **kw):
+        from moira_spark.harness.dedup import semantic_dedup_flags
+
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, v array<double>"
+        )
+        out = semantic_dedup_flags(df, **kw).collect()
+        return {r.vec_id: r.asDict() for r in out}
+
+    def test_exact_copy_in_same_cluster_flagged(self, spark):
+        rows = self._flags(
+            spark,
+            [
+                (1, 0, [1.0, 0.0]),
+                (2, 1, [0.0, 1.0]),
+                (3, 0, [1.0, 0.0]),  # copy of 1 -> same cluster, later id
+            ],
+        )
+        assert rows[1]["cluster"] == rows[3]["cluster"]
+        assert not rows[1]["is_dup"] and rows[3]["is_dup"]
+        assert not rows[2]["is_dup"]
+
+    def test_near_pair_across_clusters_survives(self, spark):
+        # two similar vectors pulled into DIFFERENT clusters are never
+        # compared — the SemDeDup trade-off this operator documents
+        rows = self._flags(
+            spark,
+            [
+                (1, 0, [1.0, 0.04]),
+                (2, 1, [0.0, 1.0]),
+                (3, 1, [0.04, 1.0]),
+                (4, 0, [1.0, 0.0]),
+                (5, 1, [0.96, 0.18]),  # cos vs 4 ~= 0.983 but cluster 1?
+            ],
+        )
+        # vec 5 leans to cluster 0's centroid or 1's depending on the
+        # fixture; the invariant under test: flags only ever arise within
+        # one cluster
+        flagged = [v for v, r in rows.items() if r["is_dup"]]
+        for v in flagged:
+            earlier = [
+                u
+                for u in rows
+                if u < v and rows[u]["cluster"] == rows[v]["cluster"]
+            ]
+            assert earlier, f"vec {v} flagged without same-cluster earlier"
+
+    def test_assignment_tie_breaks_to_smaller_label(self, spark):
+        # a vector equidistant from two identical centroids goes to the
+        # smaller label
+        rows = self._flags(
+            spark,
+            [
+                (1, 3, [1.0, 0.0]),
+                (2, 7, [1.0, 0.0]),
+            ],
+        )
+        assert rows[1]["cluster"] == 3 and rows[2]["cluster"] == 3

@@ -77,6 +77,20 @@ CASES = [
     # filter pushed to scan) and span dedup (groupBy-min + join, pure JVM)
     ("events_asof_join", 0, 0, 0, 1),
     ("doc_span_dedup", 0, 0, 0, 1),
+    # round 5 second session: Gopher repetition signals — two explode ->
+    # partial-aggregating groupBy passes, pure JVM, stats frames broadcast
+    # back onto the doc spine
+    ("doc_repetition_stats", 0, 0, 2, 0),
+    # round 5 second session: token-budget selection — prefix-sum ranked
+    # (checkpoint root, no parquet scan in plan); the ONE SinglePartition
+    # is the one-row budget scalar (SUM over per-partition partials), not
+    # a data-bearing exchange; budget joined back as a broadcast
+    ("corpus_quality_budget", 1, 0, 1, 0),
+    # round 5 second session: SemDeDup — centroids + pair side broadcast,
+    # zero Python; the single SortMergeJoin is the vec_id join of the
+    # assignment back to the vector stream (both sides corpus-sized: the
+    # correct plan at scale, neither side broadcastable)
+    ("dedup_semantic", 0, 0, 2, 0),
 ]
 
 

@@ -18,7 +18,9 @@ DRIVER_WINDOW = 50
 # gates, and the full moira read tier.  (source_quality_filter /
 # training_mix_sample / corpus_to_shards left this list in round 5: each
 # carries 2 green external rounds (r3+r4) and rotated out under the
-# EXTERNALLY_PROVEN policy to seat returning veterans.)
+# EXTERNALLY_PROVEN policy to seat returning veterans; read_revcomp /
+# read_collapse followed in the round-5 second session — 3x green r2-r4 —
+# to seat doc_repetition_stats / corpus_quality_budget / dedup_semantic.)
 MUST_BE_IN_WINDOW = [
     "transcripts_pipeline",
     "pipeline_f1_vs_reference",
@@ -27,8 +29,6 @@ MUST_BE_IN_WINDOW = [
     "doc_langid_separable",
     "doc_perplexity",
     "doc_perplexity_separation",
-    "read_revcomp",
-    "read_collapse",
     "read_pair_assembly",
     "read_expected_errors",
     "read_expected_errors_bootstrap",
