@@ -897,18 +897,21 @@ def semantic_dedup_flags(
         .withColumnRenamed("label", "c_label")
     )
 
+    # Norms are computed ONCE per vector / centroid and carried as columns:
+    # sqrt(dot(x, x)) is the identical double either way, but evaluating it
+    # inside the pair join would run the 64-element fold three times per
+    # candidate pair (measured 3x the bench cost at sf0.1).
+    normed = corpus.withColumn(
+        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    cent_n = cent.withColumn("nc", F.sqrt(_dot(F.col("c"), F.col("c"))))
     cos_c = F.round(
-        _dot(F.col("v"), F.col("c"))
-        / (
-            F.sqrt(_dot(F.col("v"), F.col("v")))
-            * F.sqrt(_dot(F.col("c"), F.col("c")))
-        ),
-        6,
+        _dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("nc")), 6
     )
     # argmax via max(struct(cos, -label)): max cosine, then min label on
     # ties — one partial-aggregating groupBy, no window fan-out.
     assign = (
-        corpus.crossJoin(F.broadcast(cent))
+        normed.crossJoin(F.broadcast(cent_n))
         .select("vec_id", "c_label", cos_c.alias("cos_cent"))
         .groupBy("vec_id")
         .agg(
@@ -920,25 +923,24 @@ def semantic_dedup_flags(
         )
         .select("vec_id", (-F.col("m.neg_label")).alias("cluster"))
     )
-    clustered = assign.join(corpus, "vec_id").select("vec_id", "cluster", "v")
+    clustered = assign.join(normed, "vec_id").select(
+        "vec_id", "cluster", "v", "nv"
+    )
 
     a = clustered.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cl"),
         F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = clustered.select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cl"),
         F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     pair_cos = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (
-            F.sqrt(_dot(F.col("va"), F.col("va")))
-            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-        ),
-        6,
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     dups = (
         a.join(
