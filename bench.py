@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_semantic",
     "doc_repetition_stats",
     "corpus_quality_budget",
+    "training_mix_temperature",
+    "embedding_kmeans",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",

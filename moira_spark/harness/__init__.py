@@ -157,10 +157,11 @@ _PRIORITY: tuple[str, ...] = (
     # text / quality heuristics (SQL-checked) + learned classifier gate
     # (doc_bpe_token_count rotated out: 3x green r2+r3+r4; the trained-BPE
     # floor query stays for its second green round)
+    # (doc_gopher_stats and doc_scrub_pii rotated out late round 5: both
+    # 3x green r2-r4, each with an in-window sibling — repetition_stats
+    # extends the Gopher tier, transcripts_pipeline runs the FULL scrubber)
     "doc_bpe_trained",
     "doc_repetition_stats",
-    "doc_gopher_stats",
-    "doc_scrub_pii",
     "doc_c4_line_filter",
     "doc_quality_model",
     # sketch tier (HLL++ / GK quantiles, self-verifying floors)
@@ -176,6 +177,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_percentile_gate",
     "corpus_quality_budget",
     "dedup_semantic",
+    "training_mix_temperature",
     "dedup_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
@@ -190,6 +192,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_ann_recall",
     "embedding_knn_label",
     "embedding_label_centroids",
+    "embedding_kmeans",
     # streaming tier (dedupe_events + windowed_counts rotated out: both 2x
     # externally green; session_windows carries the SQL-checked streaming
     # row and incremental_dedup the cross-batch state property this round)

@@ -620,3 +620,152 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_dim0"),
         )
     )
+
+
+# ----------------------------------------------------- k-means (Lloyd)
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def kmeans_fit(
+    vectors: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic Lloyd k-means over a (vec_id, v: array<double>) frame.
+
+    Init is the k lowest-vec_id vectors (seeded, reproducible); each
+    iteration assigns every vector to its nearest centroid by squared L2
+    (argmin via min(struct(dist, c_id)) — one partial-aggregating groupBy,
+    ties to the smaller centroid id) and recomputes centroids with the
+    fixed-point trick (per-dim bigint sums -> order-independent means, so
+    runs are bit-identical regardless of partitioning).  Returns one row
+    per (iteration, cluster) plus a cluster = -1 total row per iteration:
+    (iteration, cluster, n_members, inertia).
+
+    Scale shape: per iteration, ONE broadcast of k centroids crossed
+    against the vector stream (distances map-side), one groupBy(vec_id)
+    argmin, one groupBy(cluster, dim) fixed-point update — k and dim never
+    touch a shuffle key, so cost is linear in corpus size per iteration.
+    Carried state is the k-row centroid frame, localCheckpoint-ed per
+    round (the components.py lesson: lineage must not grow per iteration).
+    Lloyd guarantees non-increasing inertia; the caller-facing query below
+    HARD-FAILS if that monotonicity breaks (a wrong assignment or a
+    centroid-update bug shows up as an inertia regression, not a silent
+    drift).  Empty clusters drop (standard Lloyd; deterministic here).
+    """
+    from moira_spark.operators.components import _free_checkpoint
+
+    spark = vectors.sparkSession
+    v2 = vectors.withColumn("nv2", _dot(F.col("v"), F.col("v")))
+    cent = (
+        v2.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").cast("int").alias("c_id"),
+            F.col("v").alias("c"),
+            F.col("nv2").alias("nc2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows: list[tuple] = []
+    totals: list[float] = []
+    for it in range(1, iters + 1):
+        dist = F.round(
+            F.col("nv2") - 2 * _dot(F.col("v"), F.col("c")) + F.col("nc2"), 6
+        )
+        assigned = (
+            v2.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                F.struct(dist.alias("d"), F.col("c_id")).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.c_id").alias("cluster"),
+                F.col("m.d").alias("d2"),
+            )
+        )
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("d2"), 6).alias("inertia"),
+            )
+            .collect()
+        )  # <= k+0 tiny rows: bounded driver materialization by design
+        tot_n = sum(r["n"] for r in stats)
+        tot_i = round(sum(r["inertia"] for r in stats), 6)
+        for r in sorted(stats, key=lambda r: r["cluster"]):
+            rows.append((it, int(r["cluster"]), int(r["n"]), float(r["inertia"])))
+        rows.append((it, -1, int(tot_n), float(tot_i)))
+        totals.append(tot_i)
+
+        if it < iters:
+            joined = assigned.join(v2.select("vec_id", "v"), "vec_id")
+            dims = (
+                joined.select("cluster", F.posexplode("v").alias("i", "x"))
+                .groupBy("cluster", "i")
+                .agg(
+                    F.sum(F.round(F.col("x") * 100000).cast("bigint")).alias(
+                        "s"
+                    ),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+            new_cent = (
+                dims.select(
+                    "cluster",
+                    "i",
+                    (F.col("s").cast("double") / F.col("n") / 100000).alias(
+                        "val"
+                    ),
+                )
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "val"))),
+                        lambda s: s["val"],
+                    ).alias("c")
+                )
+                .select(F.col("cluster").alias("c_id"), "c")
+                .withColumn("nc2", _dot(F.col("c"), F.col("c")))
+                .localCheckpoint(eager=True)
+            )
+            _free_checkpoint(cent)
+            cent = new_cent
+    _free_checkpoint(cent)
+
+    out = spark.createDataFrame(
+        rows, "iteration int, cluster int, n_members bigint, inertia double"
+    )
+    # Lloyd monotonicity gate, evaluated eagerly on the tiny totals.
+    _assert_monotone_inertia(totals)
+    return out
+
+
+def _assert_monotone_inertia(totals: "list[float]", tol: float = 1e-6) -> None:
+    """Hard floor for kmeans_fit: Lloyd inertia must never increase
+    (beyond float-sum tolerance) — an assignment or centroid-update bug
+    surfaces as a raise, not silent drift."""
+    for a, b in zip(totals, totals[1:]):
+        if b > a + tol:
+            raise AssertionError(
+                f"k-means inertia increased across iterations: {totals}"
+            )
+
+
+@register("embedding_kmeans", None)  # iterative algorithm: rows + hard floor
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (k=8, 3
+    iterations) — the clustering pass that feeds SemDeDup-style semantic
+    dedup (dedup_semantic's per-label centroids drop out for these) and
+    IVF coarse quantizers.  Not SQL-expressible (iterative); the driver
+    records rows-only, and the query self-verifies: it RAISES if total
+    inertia ever increases across iterations (Lloyd guarantees monotone
+    descent — an assignment or centroid-update bug cannot hide), and
+    every iteration's member counts must sum to the corpus size, pinned
+    in tests/test_similarity_ops.py along with bit-exact cross-run
+    reproducibility of the full output frame."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vectors = e.select("vec_id", _dbl("embedding").alias("v"))
+    return kmeans_fit(vectors)

@@ -980,6 +980,85 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- temperature-scaled training mix
+@register(
+    "training_mix_temperature",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(CAST(FLOOR(SQRT(n_lang) * 1000000) AS BIGINT)) AS sw,
+             CAST(CEIL(SUM(n_lang) * 0.4) AS BIGINT) AS m
+      FROM counts
+    ),
+    targets AS (
+      SELECT lang, n_lang,
+             CAST(CEIL(m * CAST(FLOOR(SQRT(n_lang) * 1000000) AS BIGINT)
+                       * 1.0 / sw) AS BIGINT) AS target_docs
+      FROM counts, tot
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+                 AS rank_in_lang
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.rank_in_lang, t.n_lang, t.target_docs
+    FROM ranked r JOIN targets t ON r.lang = t.lang
+    WHERE r.rank_in_lang <= t.target_docs
+    """,
+)
+def training_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling (XLM-R / mBERT style,
+    Conneau et al. 2020): per-language sampling weight proportional to
+    n_lang^alpha with alpha = 0.5, so low-resource languages are
+    up-weighted relative to their corpus share instead of drowned by the
+    head language.  Budget m = 40% of the corpus; per-language target =
+    ceil(m * w_lang / sum(w)); selection is deterministic rank-in-language
+    (reproducible across runs and cluster sizes — the dataset-card
+    promise, same discipline as training_mix_sample's fixed fractions).
+
+    Determinism across engines: weights are integerized BEFORE the sum —
+    floor(sqrt(n) * 1e6) as bigint — so sum(w) is exact integer arithmetic
+    on both sides and never rides on float summation order; the single
+    double division m*w/sw has exact bigint inputs, hence identical IEEE
+    results.  Scale shape: rank_in_lang is the hierarchical prefix rank
+    (operators/prefix.py) — no hot-language window partition; counts and
+    targets are a tiny per-language aggregate broadcast back.
+    """
+    from moira_spark.operators.prefix import running_rank
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lang")
+    )
+    w = F.floor(F.sqrt(F.col("n_lang")) * 1000000).cast("bigint")
+    tot = counts.agg(
+        F.sum(w).alias("sw"),
+        F.ceil(F.sum("n_lang") * 0.4).cast("bigint").alias("m"),
+    )
+    targets = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_lang",
+            F.ceil(F.col("m") * w * 1.0 / F.col("sw"))
+            .cast("bigint")
+            .alias("target_docs"),
+        )
+    )
+    ranked = running_rank(
+        d, order_cols=["doc_id"], group_cols=["lang"], out_col="rank_in_lang"
+    )
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rank_in_lang") <= F.col("target_docs"))
+        .select("doc_id", "lang", "rank_in_lang", "n_lang", "target_docs")
+    )
+
+
 # ---------------------------------------- token-budget quality selection
 def token_budget_select(
     scored: DataFrame,

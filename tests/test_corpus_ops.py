@@ -322,3 +322,86 @@ class TestSemanticDedup:
             ],
         )
         assert rows[1]["cluster"] == 3 and rows[2]["cluster"] == 3
+
+
+class TestTemperatureMix:
+    def test_low_resource_upweighted(self, spark):
+        # temperature alpha=0.5 must give the tail language a LARGER share
+        # of the sample than its corpus share: 90/10 corpus -> weights
+        # 9.49/3.16 -> tail sample share ~25%
+        rows = [(i, "en") for i in range(90)] + [
+            (1000 + i, "yo") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        counts = df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lang")
+        )
+        w = F.floor(F.sqrt(F.col("n_lang")) * 1000000).cast("bigint")
+        tot = counts.agg(
+            F.sum(w).alias("sw"),
+            F.ceil(F.sum("n_lang") * 0.4).cast("bigint").alias("m"),
+        )
+        targets = {
+            r["lang"]: r["t"]
+            for r in counts.crossJoin(F.broadcast(tot))
+            .select(
+                "lang",
+                F.ceil(F.col("m") * w * 1.0 / F.col("sw"))
+                .cast("bigint")
+                .alias("t"),
+            )
+            .collect()
+        }
+        # corpus shares: en 90%, yo 10%; sample m=40
+        assert targets["yo"] / 40 > 0.10 * 2  # at least 2x up-weighted
+        assert targets["en"] < 40 * 0.9
+        # per-stratum ceil overshoot is bounded by the stratum count
+        assert sum(targets.values()) <= 40 + 2
+
+
+class TestKmeans:
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def test_two_obvious_clusters(self, spark):
+        from moira_spark.harness.similarity import kmeans_fit
+
+        rows = [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.1, 0.0]),
+            (3, [10.0, 10.1]),
+            (4, [0.0, 0.1]),
+            (5, [9.9, 10.0]),
+        ]
+        out = kmeans_fit(self._vecs(spark, rows), k=2, iters=3).collect()
+        rows_by = {(r.iteration, r.cluster): r for r in out}
+        final_total = rows_by[(3, -1)]
+        assert final_total.n_members == 6
+        # converged: the two tight blobs -> near-zero inertia
+        assert final_total.inertia < 0.2
+        # monotone descent across iterations (the in-query hard floor)
+        totals = [rows_by[(i, -1)].inertia for i in (1, 2, 3)]
+        assert totals[0] >= totals[1] >= totals[2] - 1e-6
+
+    def test_inertia_increase_raises(self):
+        # the hard floor itself: an increasing total sequence must raise,
+        # a non-increasing one (within float tolerance) must not
+        import pytest
+
+        from moira_spark.harness.similarity import _assert_monotone_inertia
+
+        _assert_monotone_inertia([10.0, 4.0, 4.0 + 5e-7])
+        with pytest.raises(AssertionError, match="inertia increased"):
+            _assert_monotone_inertia([10.0, 4.0, 4.1])
+
+    def test_member_counts_conserved_each_iteration(self, spark):
+        from moira_spark.harness.similarity import kmeans_fit
+
+        rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+        out = kmeans_fit(self._vecs(spark, rows), k=3, iters=2).collect()
+        for it in (1, 2):
+            per = [r for r in out if r.iteration == it and r.cluster >= 0]
+            tot = [r for r in out if r.iteration == it and r.cluster == -1]
+            assert sum(r.n_members for r in per) == 40
+            assert tot[0].n_members == 40

@@ -91,6 +91,10 @@ CASES = [
     # assignment back to the vector stream (both sides corpus-sized: the
     # correct plan at scale, neither side broadcastable)
     ("dedup_semantic", 0, 0, 2, 0),
+    # round 5 second session: temperature mix — prefix-rank checkpoint
+    # root; per-language targets broadcast back; the ONE SinglePartition
+    # is the tiny per-language totals aggregate (<= n_langs rows)
+    ("training_mix_temperature", 1, 0, 2, 0),
 ]
 
 
