@@ -160,9 +160,10 @@ _PRIORITY: tuple[str, ...] = (
     # (doc_gopher_stats and doc_scrub_pii rotated out late round 5: both
     # 3x green r2-r4, each with an in-window sibling — repetition_stats
     # extends the Gopher tier, transcripts_pipeline runs the FULL scrubber)
+    # (doc_c4_line_filter rotated out with them: 3x green r2-r4, seat taken
+    # by the k-means SemDeDup composition)
     "doc_bpe_trained",
     "doc_repetition_stats",
-    "doc_c4_line_filter",
     "doc_quality_model",
     # sketch tier (HLL++ / GK quantiles, self-verifying floors)
     "events_approx_distinct",
@@ -177,6 +178,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_percentile_gate",
     "corpus_quality_budget",
     "dedup_semantic",
+    "dedup_semantic_kmeans",
     "training_mix_temperature",
     "dedup_jaccard_capped",
     "dedup_minhash_lsh",

@@ -926,6 +926,19 @@ def semantic_dedup_flags(
     clustered = assign.join(normed, "vec_id").select(
         "vec_id", "cluster", "v", "nv"
     )
+    return intra_cluster_prune(clustered, threshold)
+
+
+def intra_cluster_prune(
+    clustered: DataFrame, threshold: float = _EMB_DUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup prune stage over a (vec_id, cluster, v, nv) frame: flag a
+    vector dup when an earlier same-cluster vector sits at cosine >=
+    ``threshold`` (single-pass pairwise, min-id survives).  Norms arrive
+    precomputed (one 64-element fold per VECTOR, not three per PAIR); the
+    pair join is an equi-join on cluster id, so comparisons never leave a
+    cluster.  Shared by the label-centroid and k-means SemDeDup paths."""
+    from moira_spark.harness.similarity import _dot
 
     a = clustered.select(
         F.col("vec_id").alias("a_id"),
@@ -1042,6 +1055,50 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", _dbl("embedding").alias("v")
     )
     return semantic_dedup_flags(corpus)
+
+
+@register("dedup_semantic_kmeans", None)  # iterative clusters: rows + floor
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper-faithful SemDeDup composition (Abbas et al. 2023): cluster
+    with k-means (kmeans_fit, k=8, 3 Lloyd iterations — not the label-mean
+    shortcut dedup_semantic uses for its SQL oracle), then prune
+    near-duplicates within each cluster via the SHARED intra_cluster_prune
+    stage.  Iterative clustering is not SQL-expressible, so the driver
+    records rows-only; the query self-verifies instead: every planted
+    byte-exact copy (vec_id % 40, +1e6) has identical distances to every
+    centroid, therefore lands in its source's cluster and MUST be flagged
+    — the query RAISES if any plant survives (plant recall 1.0 by
+    construction, checked, not assumed).  Scale: kmeans_fit is linear per
+    iteration (broadcast centroids); the prune never compares across
+    clusters."""
+    from moira_spark.harness.similarity import _dbl, _dot, kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionAll(dup).select("vec_id", _dbl("embedding").alias("v"))
+
+    assigns: dict = {}
+    kmeans_fit(corpus, assignments_out=assigns)
+    clustered = assigns["df"].join(corpus, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
+    )
+    out = intra_cluster_prune(clustered)
+
+    # Hard floor: planted exact copies cannot escape their source's
+    # cluster, so each must carry the dup flag.
+    missed = out.filter(
+        (F.col("vec_id") >= 1000000) & (~F.col("is_dup"))
+    ).count()
+    if missed:
+        raise AssertionError(
+            f"semantic k-means dedup missed {missed} planted exact copies"
+        )
+    return out
 
 
 # -------------------------------------------- near-dup cluster closure

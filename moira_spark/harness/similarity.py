@@ -628,9 +628,16 @@ _KMEANS_ITERS = 3
 
 
 def kmeans_fit(
-    vectors: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+    vectors: DataFrame,
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    assignments_out: "dict | None" = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over a (vec_id, v: array<double>) frame.
+
+    When ``assignments_out`` is given (the stats_out pattern the ANN
+    queries use), the FINAL iteration's (vec_id, cluster) frame is stored
+    under ``assignments_out["df"]`` for downstream passes (SemDeDup).
 
     Init is the k lowest-vec_id vectors (seeded, reproducible); each
     iteration assigns every vector to its nearest centroid by squared L2
@@ -733,6 +740,14 @@ def kmeans_fit(
             )
             _free_checkpoint(cent)
             cent = new_cent
+    if assignments_out is not None:
+        # Final-iteration assignments, eagerly materialized BEFORE the
+        # centroid blocks are released below: localCheckpoint truncates
+        # lineage, so once cent's blocks are freed the assignment plan
+        # (which reads cent) could never be recomputed.
+        assignments_out["df"] = assigned.select(
+            "vec_id", "cluster"
+        ).localCheckpoint(eager=True)
     _free_checkpoint(cent)
 
     out = spark.createDataFrame(

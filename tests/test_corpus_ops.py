@@ -405,3 +405,23 @@ class TestKmeans:
             tot = [r for r in out if r.iteration == it and r.cluster == -1]
             assert sum(r.n_members for r in per) == 40
             assert tot[0].n_members == 40
+
+    def test_assignments_out_contract(self, spark):
+        # assignments_out must expose the FINAL iteration's (vec_id,
+        # cluster) frame, usable after fit returns (materialized before
+        # the centroid blocks are freed)
+        from moira_spark.harness.similarity import kmeans_fit
+
+        rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+        out: dict = {}
+        stats = kmeans_fit(self._vecs(spark, rows), k=3, iters=2,
+                           assignments_out=out)
+        a = out["df"].collect()
+        assert len(a) == 40
+        assert {r.vec_id for r in a} == set(range(40))
+        # per-cluster member counts agree with the final stats rows
+        from collections import Counter
+        counts = Counter(r.cluster for r in a)
+        final = {r.cluster: r.n_members for r in stats.collect()
+                 if r.iteration == 2 and r.cluster >= 0}
+        assert dict(counts) == final
