@@ -66,6 +66,7 @@ HEADLINE = [
     "corpus_quality_budget",
     "training_mix_temperature",
     "embedding_kmeans",
+    "doc_unigram_entropy",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",

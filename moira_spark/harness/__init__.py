@@ -164,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     # by the k-means SemDeDup composition)
     "doc_bpe_trained",
     "doc_repetition_stats",
+    "doc_unigram_entropy",
     "doc_quality_model",
     # sketch tier (HLL++ / GK quantiles, self-verifying floors)
     "events_approx_distinct",
@@ -183,7 +184,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
-    "dedup_cluster_representatives",
+    # (dedup_cluster_representatives rotated out late round 5: 3x green
+    # r2-r4, and the in-window bigstar twin is checked against the SAME
+    # DuckDB recursive-CTE closure oracle)
     "dedup_cluster_bigstar",
     "corpus_near_dedup",
     "dedup_incremental",

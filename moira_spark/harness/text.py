@@ -464,6 +464,96 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(planted)
 
 
+# --------------------------------------------- unigram entropy signal
+@register(
+    "doc_unigram_entropy",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '')) AS wd
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, wd, COUNT(*) AS c,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS n
+      FROM words GROUP BY doc_id, wd
+    ),
+    terms AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(n) AS BIGINT) AS n_words,
+             SUM(CAST(ROUND(-(c * 1.0 / n) * LN(c * 1.0 / n) * 1000000)
+                      AS BIGINT)) AS h_fp
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct,
+           ROUND(n_distinct * 1.0 / GREATEST(n_words, 1), 6) AS type_token_ratio,
+           -- 6dp IS the fixed-point grid: rounding coarser (e.g. 4dp)
+           -- creates exact decimal .5 ties where Spark's shortest-repr
+           -- rounding and DuckDB's binary rounding diverge (observed at
+           -- sf0.01 row 210: 3.21235 -> 3.2124 vs 3.2123)
+           ROUND(h_fp / 1000000.0, 6) AS entropy,
+           ROUND(h_fp / 1000000.0, 6) < 3.05 AS low_entropy
+    FROM terms
+    """,
+)
+def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (word) entropy + type-token ratio per document — the
+    vocabulary-diversity quality signal (low entropy = templated /
+    looped / keyword-stuffed text; the complement of the surface
+    repetition fractions in doc_repetition_stats).
+
+    Cross-engine float discipline: the per-word entropy terms
+    -(c/n)*ln(c/n) are individually deterministic (exact integer ratio,
+    one division, one libm log) but their SUM is not — float addition
+    order differs between engines — so each term is fixed-pointed to 1e-6
+    nats (bigint) FIRST and the sum is exact integer arithmetic.  The
+    1-ULP libm log disagreement between the JVM and DuckDB moves a term
+    by ~1e-10 of a fixed-point unit — ten thousand times smaller than
+    the rounding boundary — so the hash cannot flip.  Scale shape: one
+    explode -> groupBy(doc_id, word) with map-side partial aggregation,
+    then an algebraic per-doc rollup; the only window is per-doc word
+    totals, re-expressed on the Spark side as a plain groupBy join-free
+    rollup (two-level aggregate), zero Python.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    freq = (
+        d.select("doc_id", F.explode(_words_col()).alias("wd"))
+        .groupBy("doc_id", "wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    term = F.round(-p * F.log(p) * 1000000).cast("bigint")
+    terms = (
+        freq.join(tot, "doc_id")
+        .select("doc_id", "n", "n_distinct", term.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_words"),
+            F.max("n_distinct").alias("n_distinct"),
+            F.sum("t").alias("h_fp"),
+        )
+    )
+    # 6dp = the fixed-point grid itself (see the oracle comment: coarser
+    # rounding lands exactly on decimal .5 ties and the engines split)
+    entropy = F.round(F.col("h_fp") / 1000000.0, 6)
+    return terms.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "n_distinct",
+        F.round(
+            F.col("n_distinct") * 1.0
+            / F.greatest(F.col("n_words"), F.lit(1)),
+            6,
+        ).alias("type_token_ratio"),
+        entropy.alias("entropy"),
+        (entropy < 3.05).alias("low_entropy"),
+    )
+
+
 # ------------------------------------------------- scrub subset (SQL-able)
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 

@@ -425,3 +425,47 @@ class TestKmeans:
         final = {r.cluster: r.n_members for r in stats.collect()
                  if r.iteration == 2 and r.cluster >= 0}
         assert dict(counts) == final
+
+
+class TestUnigramEntropy:
+    def _run(self, spark, tmp_path, docs):
+        import moira_spark.harness as h
+
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        out = h.queries()["doc_unigram_entropy"](spark, str(tmp_path))
+        return {r.doc_id: r for r in out.collect()}
+
+    def test_known_entropies(self, spark, tmp_path):
+        import math
+
+        out = self._run(
+            spark,
+            tmp_path,
+            [
+                (1, "a a b b"),  # H = ln 2, TTR 0.5
+                (2, "w x y z"),  # uniform 4 -> H = ln 4
+                (3, "spam"),     # single word -> H = 0
+            ],
+        )
+        assert abs(out[1].entropy - math.log(2)) < 1e-5
+        assert out[1].type_token_ratio == 0.5
+        assert abs(out[2].entropy - math.log(4)) < 1e-5
+        assert out[3].entropy == 0.0 and out[3].low_entropy
+
+    def test_looped_doc_scores_below_diverse_doc(self, spark, tmp_path):
+        # the 3.05-nat bar is calibrated to the harness fixture's ~30-word
+        # vocabulary (max H = ln(vocab) ~ 3.4); here pin the absolute flag
+        # on both sides of it AND the relative ordering
+        out = self._run(
+            spark,
+            tmp_path,
+            [
+                (1, " ".join(["buy now"] * 20)),              # H = ln 2
+                (2, " ".join(f"w{i}" for i in range(40))),    # H = ln 40
+            ],
+        )
+        assert out[1].entropy < out[2].entropy
+        assert out[1].low_entropy
+        assert not out[2].low_entropy  # ln 40 = 3.689 > 3.05

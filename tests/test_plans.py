@@ -95,6 +95,10 @@ CASES = [
     # root; per-language targets broadcast back; the ONE SinglePartition
     # is the tiny per-language totals aggregate (<= n_langs rows)
     ("training_mix_temperature", 1, 0, 2, 0),
+    # round 5 second session: unigram entropy — explode -> two algebraic
+    # groupBy levels, per-doc totals broadcast back onto the term stream,
+    # pure JVM, no global exchange
+    ("doc_unigram_entropy", 0, 0, 1, 0),
 ]
 
 
