@@ -661,6 +661,8 @@ def kmeans_fit(
     """
     from moira_spark.operators.components import _free_checkpoint
 
+    if iters < 1:
+        raise ValueError(f"kmeans_fit needs iters >= 1, got {iters}")
     spark = vectors.sparkSession
     v2 = vectors.withColumn("nv2", _dot(F.col("v"), F.col("v")))
     cent = (

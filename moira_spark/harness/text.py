@@ -1085,8 +1085,11 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     targets AS (
       SELECT lang, n_lang,
-             CAST(CEIL(m * CAST(FLOOR(SQRT(n_lang) * 1000000) AS BIGINT)
-                       * 1.0 / sw) AS BIGINT) AS target_docs
+             -- promote to double BEFORE the m*w product: bigint*bigint
+             -- here overflows int64 at web scale (Spark ANSI would raise,
+             -- DuckDB would silently widen to HUGEINT — divergent)
+             CAST(CEIL(m * 1.0 * CAST(FLOOR(SQRT(n_lang) * 1000000) AS BIGINT)
+                       / sw) AS BIGINT) AS target_docs
       FROM counts, tot
     ),
     ranked AS (
@@ -1134,7 +1137,10 @@ def training_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "n_lang",
-            F.ceil(F.col("m") * w * 1.0 / F.col("sw"))
+            # m * 1.0 FIRST: the bigint product m*w overflows int64 at web
+            # scale and ANSI mode turns that into a runtime error; the
+            # double path rounds consistently with the oracle instead
+            F.ceil(F.col("m") * 1.0 * w / F.col("sw"))
             .cast("bigint")
             .alias("target_docs"),
         )

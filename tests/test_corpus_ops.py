@@ -469,3 +469,14 @@ class TestUnigramEntropy:
         assert out[1].entropy < out[2].entropy
         assert out[1].low_entropy
         assert not out[2].low_entropy  # ln 40 = 3.689 > 3.05
+
+    def test_zero_iterations_rejected(self, spark):
+        import pytest
+
+        from moira_spark.harness.similarity import kmeans_fit
+
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, v array<double>"
+        )
+        with pytest.raises(ValueError, match="iters >= 1"):
+            kmeans_fit(vecs, k=1, iters=0)
