@@ -53,6 +53,7 @@ HEADLINE = [
     "q5_region_revenue",
     "top_customers_having",
     "sessionize_events",
+    "events_funnel",
     "top3_events_per_user",
     "doc_token_stats",
     "doc_perplexity",

@@ -153,7 +153,9 @@ _PRIORITY: tuple[str, ...] = (
     "first_event_per_user",
     # event-time as-of join (new relational operator round 4; r5 makes the
     # same-ts tie-break deterministic, so its second green is a fresh check)
+    # + ordered conversion funnel (new round 5, second session)
     "events_asof_join",
+    "events_funnel",
     # text / quality heuristics (SQL-checked) + learned classifier gate
     # (doc_bpe_token_count rotated out: 3x green r2+r3+r4; the trained-BPE
     # floor query stays for its second green round)
@@ -193,10 +195,12 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "doc_span_dedup",
     # similarity tier (ann_recall's hard floor runs both LSH and IVF paths)
+    # (embedding_label_centroids rotated out late round 5: 3x green r2-r4,
+    # and the centroid machinery now has TWO in-window exercisers —
+    # dedup_semantic's fixed-point means and embedding_kmeans)
     "embedding_cosine_topk",
     "embedding_ann_recall",
     "embedding_knn_label",
-    "embedding_label_centroids",
     "embedding_kmeans",
     # streaming tier (dedupe_events + windowed_counts rotated out: both 2x
     # externally green; session_windows carries the SQL-checked streaming

@@ -679,3 +679,84 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_us"),
         )
     )
+
+
+# ------------------------------------------------ funnel analysis
+@register(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                AS INT) AS depth
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) per user:
+    stage k's timestamp is the EARLIEST event of that type strictly after
+    stage k-1 — the sequential-pattern query behind every product-analytics
+    funnel (and, in a data pipeline, behind "did doc X pass stage A before
+    stage B" provenance checks).  Output: per-user stage times (unix
+    micros; the TIMESTAMP_NTZ -> session-UTC cast convention of
+    sessionize_events) and funnel depth 1-3.
+
+    Scale shape: three conditional MIN aggregations and their join-backs,
+    ALL keyed on user_id — one logical shuffle key end to end, so AQE can
+    reuse the exchange and no stage introduces a new partitioning; no
+    window over the full event stream, no cross-stage fan-out.  Strictly-
+    greater comparisons make the stage chain deterministic (equal-ts
+    events cannot satisfy two stages at once on either engine).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    depth = (
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    ).cast("int")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", depth.alias("depth"))
+    )

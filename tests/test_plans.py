@@ -99,6 +99,9 @@ CASES = [
     # groupBy levels, per-doc totals broadcast back onto the term stream,
     # pure JVM, no global exchange
     ("doc_unigram_entropy", 0, 0, 1, 0),
+    # round 5 second session: funnel — per-stage event_type filters MUST
+    # reach the parquet scans (6 pushed), all joins keyed on user_id
+    ("events_funnel", 0, 0, 2, 6),
 ]
 
 
