@@ -1087,7 +1087,9 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
     )
-    out = intra_cluster_prune(clustered)
+    # checkpoint the (small) flag frame so the floor's count() below and
+    # the caller's collect don't each re-execute the pair join
+    out = intra_cluster_prune(clustered).localCheckpoint(eager=True)
 
     # Hard floor: planted exact copies cannot escape their source's
     # cluster, so each must carry the dup flag.

@@ -358,6 +358,49 @@ def repetition_stats(docs: DataFrame, flag_at: float = 0.2) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("dchars").alias("dup_chars"))
     )
+    # dup-5-gram COVERAGE (Gopher's dup-ngram char fraction): positions
+    # covered by any duplicated 5-gram are counted ONCE (interval union),
+    # unlike the occurrence-weighted dup-word sum above.  sequence() is
+    # guarded through slice(): sequence(1, 0) would yield a DESCENDING
+    # [1, 0], not an empty array.
+    grams5 = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform("
+                "  slice(sequence(1, greatest(size(w) - 4, 1)),"
+                "        1, greatest(size(w) - 4, 0)),"
+                "  p -> named_struct('p', p,"
+                "                    'g', concat_ws(' ', slice(w, p, 5))))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
+    dup5 = (
+        grams5.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "g")
+    )
+    cov = (
+        grams5.join(dup5, ["doc_id", "g"])
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(p, p + 4)")).alias("idx"),
+        )
+        .distinct()
+    )
+    wlen = base.select(
+        "doc_id", F.posexplode("w").alias("i", "wd")
+    ).select(
+        "doc_id",
+        (F.col("i") + 1).alias("idx"),
+        F.length("wd").alias("wl"),
+    )
+    dup5_chars = (
+        cov.join(wlen, ["doc_id", "idx"])
+        .groupBy("doc_id")
+        .agg(F.sum("wl").alias("d5_chars"))
+    )
     denom = F.greatest(F.col("total_chars"), F.lit(1)).cast("double")
     top_frac = F.round(
         F.coalesce(F.col("top_chars"), F.lit(0)).cast("double") / denom, 6
@@ -365,16 +408,21 @@ def repetition_stats(docs: DataFrame, flag_at: float = 0.2) -> DataFrame:
     dup_frac = F.round(
         F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double") / denom, 6
     )
+    d5_frac = F.round(
+        F.coalesce(F.col("d5_chars"), F.lit(0)).cast("double") / denom, 6
+    )
     return (
         base.drop("w")
         .join(top_bigram, "doc_id", "left")
         .join(dup_words, "doc_id", "left")
+        .join(dup5_chars, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
             "total_chars",
             top_frac.alias("top_bigram_frac"),
             dup_frac.alias("dup_word_frac"),
+            d5_frac.alias("dup_5gram_frac"),
             (top_frac >= flag_at).alias("repetitious"),
         )
     )
@@ -421,17 +469,47 @@ def repetition_stats(docs: DataFrame, flag_at: float = 0.2) -> DataFrame:
         FROM (SELECT doc_id, UNNEST(w) AS wd FROM base)
         GROUP BY doc_id, wd
       ) WHERE cnt > 1 GROUP BY doc_id
+    ),
+    grams5 AS (
+      SELECT doc_id,
+             UNNEST(RANGE(1, GREATEST(LEN(w) - 3, 1))) AS p,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 3, 1)),
+                                   q -> ARRAY_TO_STRING(w[q:q+4], ' '))) AS g
+      FROM base
+    ),
+    dup5 AS (
+      SELECT doc_id, g FROM grams5 GROUP BY doc_id, g HAVING COUNT(*) > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, idx FROM (
+        SELECT gr.doc_id, UNNEST(RANGE(gr.p, gr.p + 5)) AS idx
+        FROM grams5 gr JOIN dup5 d ON gr.doc_id = d.doc_id AND gr.g = d.g
+      )
+    ),
+    wlen AS (
+      SELECT doc_id,
+             UNNEST(RANGE(1, LEN(w) + 1)) AS idx,
+             UNNEST(LIST_TRANSFORM(w, x -> LENGTH(x))) AS wl
+      FROM base
+    ),
+    dup5_chars AS (
+      SELECT c.doc_id, SUM(l.wl) AS d5_chars
+      FROM cov c JOIN wlen l ON c.doc_id = l.doc_id AND c.idx = l.idx
+      GROUP BY c.doc_id
     )
     SELECT b.doc_id, b.n_words, b.total_chars,
            ROUND(COALESCE(t.top_chars, 0) * 1.0
                  / GREATEST(b.total_chars, 1), 6) AS top_bigram_frac,
            ROUND(COALESCE(d.dup_chars, 0) * 1.0
                  / GREATEST(b.total_chars, 1), 6) AS dup_word_frac,
+           ROUND(COALESCE(g5.d5_chars, 0) * 1.0
+                 / GREATEST(b.total_chars, 1), 6) AS dup_5gram_frac,
            ROUND(COALESCE(t.top_chars, 0) * 1.0
                  / GREATEST(b.total_chars, 1), 6) >= 0.2 AS repetitious
     FROM base b
     LEFT JOIN top_bigram t ON b.doc_id = t.doc_id
     LEFT JOIN dup_words d ON b.doc_id = d.doc_id
+    LEFT JOIN dup5_chars g5 ON b.doc_id = g5.doc_id
     """,
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -226,6 +226,23 @@ class TestRepetitionStats:
         assert rows[1]["top_bigram_frac"] == 0.8
         assert not rows[1]["repetitious"]
 
+    def test_dup5gram_coverage_is_interval_union(self, spark):
+        # six identical words -> two overlapping duplicated 5-grams; the
+        # COVERAGE semantic counts each position once (frac = 1.0), where
+        # occurrence-weighted counting would give 10/6 > 1
+        rows = self._stats(spark, [(1, "z z z z z z")])
+        assert rows[1]["dup_5gram_frac"] == 1.0
+
+    def test_dup5gram_short_doc_zero(self, spark):
+        rows = self._stats(spark, [(1, "only four words here")])
+        assert rows[1]["dup_5gram_frac"] == 0.0
+
+    def test_dup5gram_gap_position_excluded(self, spark):
+        # 'a b c d e X a b c d e': the 5-gram 'a b c d e' duplicates at
+        # positions 1 and 7; position 6 (X) is never covered -> 10/11
+        rows = self._stats(spark, [(1, "a b c d e X a b c d e")])
+        assert rows[1]["dup_5gram_frac"] == round(10 / 11, 6)
+
 
 class TestTokenBudget:
     def _select(self, spark, rows, **kw):
