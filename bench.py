@@ -71,6 +71,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",
+    "doc_dsir_weight",
+    "events_retention_cohorts",
+    "events_proximity_join",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "embedding_ann_ivf",

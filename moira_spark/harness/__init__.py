@@ -102,8 +102,10 @@ EXTERNALLY_PROVEN: frozenset[str] = frozenset(
         "doc_fingerprint", "doc_gopher_stats", "doc_scrub_emails",
         "doc_scrub_pii", "doc_lang_allowlist", "doc_c4_line_filter",
         "dedup_exact", "dedup_jaccard_3gram", "dedup_embedding_cosine",
-        "dedup_cluster_representatives", "embedding_cosine_topk",
-        "embedding_knn_label", "embedding_label_centroids",
+        "dedup_cluster_representatives", "embedding_label_centroids",
+        # similarity tier: green r1 + r2 + r3 + r4 (rotated out round 5,
+        # third session, to seat the cohort/proximity/DSIR first-timers)
+        "embedding_cosine_topk", "embedding_knn_label",
         "streaming_windowed_counts", "streaming_dedupe_events",
         # corpus assembly: green r3 + r4
         "source_quality_filter", "training_mix_sample", "corpus_to_shards",
@@ -147,15 +149,19 @@ _PRIORITY: tuple[str, ...] = (
     # out in round 5 as 2x externally proven)
     "shard_packing",
     # returning veterans (round-5 rotation: no green query goes more than
-    # ~3 rounds without a fresh external row; all three last green r2/r3)
+    # ~3 rounds without a fresh external row; doc_symbol_ratio — 3x green
+    # r1-r3, already EXTERNALLY_PROVEN — gave its seat back in the third
+    # session to keep every round-5 first-timer inside the window)
     "doc_length_rule",
-    "doc_symbol_ratio",
     "first_event_per_user",
     # event-time as-of join (new relational operator round 4; r5 makes the
     # same-ts tie-break deterministic, so its second green is a fresh check)
-    # + ordered conversion funnel (new round 5, second session)
+    # + ordered conversion funnel, day-granular cohort retention, and the
+    # bucketed temporal proximity join (all new round 5)
     "events_asof_join",
     "events_funnel",
+    "events_retention_cohorts",
+    "events_proximity_join",
     # text / quality heuristics (SQL-checked) + learned classifier gate
     # (doc_bpe_token_count rotated out: 3x green r2+r3+r4; the trained-BPE
     # floor query stays for its second green round)
@@ -180,6 +186,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_decontaminate",
     "source_percentile_gate",
     "corpus_quality_budget",
+    "doc_dsir_weight",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "training_mix_temperature",
@@ -197,10 +204,10 @@ _PRIORITY: tuple[str, ...] = (
     # similarity tier (ann_recall's hard floor runs both LSH and IVF paths)
     # (embedding_label_centroids rotated out late round 5: 3x green r2-r4,
     # and the centroid machinery now has TWO in-window exercisers —
-    # dedup_semantic's fixed-point means and embedding_kmeans)
-    "embedding_cosine_topk",
+    # dedup_semantic's fixed-point means and embedding_kmeans;
+    # embedding_cosine_topk + embedding_knn_label rotated out in the third
+    # session: 4x green r1-r4, the longest-proven rows in the registry)
     "embedding_ann_recall",
-    "embedding_knn_label",
     "embedding_kmeans",
     # streaming tier (dedupe_events + windowed_counts rotated out: both 2x
     # externally green; session_windows carries the SQL-checked streaming

@@ -760,3 +760,203 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase", depth.alias("depth"))
     )
+
+
+# ----------------------------------------------------- cohort retention
+def retention_cohorts(activity: DataFrame) -> DataFrame:
+    """Cohort-retention matrix over a ``(user_id, day)`` activity frame
+    (day = any integer period index): cohort = each user's MIN day,
+    active_users = distinct users of that cohort active at each offset,
+    cohort_size joined broadcast.  All-integer output; see
+    events_retention_cohorts for the scale shape."""
+    uw = activity.select("user_id", "day").distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        uw.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return act.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day", "day_offset", "active_users", "cohort_size"
+    )
+
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS INT) AS day
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM uw GROUP BY user_id
+    ),
+    act AS (
+      SELECT f.cohort_day,
+             CAST(uw.day - f.cohort_day AS INT) AS day_offset,
+             COUNT(*) AS active_users
+      FROM uw JOIN firsts f ON uw.user_id = f.user_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+    )
+    SELECT a.cohort_day, a.day_offset, a.active_users, s.cohort_size
+    FROM act a JOIN sizes s ON a.cohort_day = s.cohort_day
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users are cohorted by the period of their
+    FIRST event (integer day index from a fixed epoch — portable integer
+    arithmetic, no engine-specific date-truncation semantics; the period
+    width is a constant, day-granular here because the fixture's 30-day
+    stream makes every coarser cohort degenerate) and counted once per
+    (cohort, offset) period they were active in.  The classic
+    product-analytics retention triangle; in a data pipeline the same
+    shape answers "how much of crawl-snapshot W's content is still alive
+    k snapshots later".
+
+    Scale shape: the (user, day) de-dup is a partial-aggregating
+    distinct on the same user_id-led key the cohort MIN groupBy then
+    reuses; the cohort join is user_id-keyed (one logical shuffle key for
+    all the heavy stages, like events_funnel); the final (cohort, offset)
+    rollup and the cohort-size join operate on period-cardinality rows —
+    broadcast-sized by construction regardless of input scale.  All
+    emitted columns are exact integers, so the cross-engine hash cannot
+    ride on float formatting.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("timestamp").cast("date"), F.lit("2024-01-01"))
+        .cast("int")
+        .alias("day"),
+    )
+    return retention_cohorts(e)
+
+
+# ------------------------------------- bucketed temporal proximity join
+# Window half-width for the error->purchase proximity join (microseconds)
+# and the pack base for the (abs_dt, purchase_id) argmin encoding.  The
+# pack is exact while purchase event_ids stay below 2^24 (16.7M; max
+# event_id at sf0.1 is 99,999) and |dt| * 2^24 stays well inside int64 —
+# at larger id spaces widen the base; the encoding is checked by
+# tests/test_corpus_ops.py.
+_PROX_W_US = 600_000_000  # +/- 10 minutes
+_PROX_PACK = 1 << 24
+
+
+def temporal_proximity_join(
+    left: DataFrame,
+    right: DataFrame,
+    window_us: int,
+    pack: int = _PROX_PACK,
+) -> DataFrame:
+    """Bucketed temporal proximity join: for every ``left`` row
+    (``left_id``, ``us``), the count of ``right`` rows (``right_id``,
+    ``us``) within ``+/- window_us`` plus the nearest one (ties on
+    |dt| broken by smaller right_id via an exact integer packing).
+    Bucket width = window width; the right side is replicated to its
+    bucket and both neighbors (constant 3x fan-out), so any qualifying
+    pair meets on exactly ONE equi-join key and no post-join de-dup is
+    needed.  See events_proximity_join for the full scale narrative."""
+    lb = left.select(
+        "left_id",
+        "us",
+        F.expr(f"us div {window_us}").alias("bucket"),
+    )
+    rb = F.expr(f"us div {window_us}")
+    rx = right.select(
+        F.col("right_id"),
+        F.col("us").alias("r_us"),
+        F.explode(F.array(rb - 1, rb, rb + 1)).alias("bucket"),
+    )
+    pairs = lb.join(rx, "bucket").filter(
+        F.abs(F.col("us") - F.col("r_us")) <= F.lit(window_us)
+    )
+    nk = F.abs(F.col("us") - F.col("r_us")) * F.lit(pack) + F.col("right_id")
+    agg = pairs.groupBy("left_id").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.min(nk).alias("nk"),
+    )
+    return (
+        left.select("left_id")
+        .join(agg, "left_id", "left")
+        .select(
+            "left_id",
+            F.coalesce(F.col("n_within"), F.lit(0)).cast("bigint").alias("n_within"),
+            F.expr(f"nk div {pack}").alias("nearest_dt_us"),
+            (F.col("nk") % F.lit(pack)).cast("bigint").alias("nearest_right_id"),
+        )
+    )
+
+
+@register(
+    "events_proximity_join",
+    f"""
+    WITH e AS (
+      SELECT event_id AS error_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT event_id AS p_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT e.error_id,
+             COUNT(p.p_id) AS n_within,
+             MIN(ABS(e.us - p.p_us) * {_PROX_PACK} + p.p_id) AS nk
+      FROM e LEFT JOIN p
+        ON p.p_us BETWEEN e.us - {_PROX_W_US} AND e.us + {_PROX_W_US}
+      GROUP BY e.error_id
+    )
+    SELECT error_id, n_within,
+           nk // {_PROX_PACK} AS nearest_dt_us,
+           nk % {_PROX_PACK} AS nearest_purchase_id
+    FROM m
+    """,
+)
+def events_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-to-large temporal proximity join: for every error event, the
+    count of purchases within +/-10 minutes ANYWHERE in the stream plus
+    the nearest such purchase — the ad-attribution / incident-correlation
+    query whose naive form is an unbounded inequality join (O(n*m)).
+
+    Scale shape — the bucketed band-join pattern: each side is assigned
+    an integer time bucket of exactly the window width; the probe side is
+    replicated to its bucket and both neighbors (a fixed 3x fan-out,
+    independent of data volume), and the join becomes a hash equi-join on
+    bucket id.  Any pair within the window shares exactly ONE
+    (error-bucket, replicated-bucket) key, so no post-join de-dup is
+    needed; pairs further apart than one bucket can never meet.  This is
+    the same binning trick behind range-join optimizers (and our
+    events_asof_join's sibling); it holds at 100 TB because the fan-out
+    is constant and the join is a plain shuffled hash join on a dense
+    integer key.  Nearest-purchase is an argmin via MIN over an exact
+    integer (abs_dt, purchase_id) packing — deterministic on both engines
+    with a total tie-break, no window sort over the stream.  All outputs
+    are exact integers.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("left_id"), "us"
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("right_id"), "us"
+    )
+    return temporal_proximity_join(err, pur, _PROX_W_US).select(
+        F.col("left_id").alias("error_id"),
+        "n_within",
+        "nearest_dt_us",
+        F.col("nearest_right_id").alias("nearest_purchase_id"),
+    )

@@ -1328,6 +1328,147 @@ def corpus_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(scored)
 
 
+# ------------------------------- DSIR-style importance-weighted selection
+# Hashed-unigram feature space size.  128 buckets keeps the per-bucket
+# log-ratio table broadcast-tiny at any corpus scale while leaving enough
+# resolution for the language-level separation the fixture exercises; the
+# paper uses 10k hashed bigram buckets — the shape is identical, only the
+# constant grows.
+_DSIR_BUCKETS = 128
+
+
+def dsir_weights(docs: DataFrame, n_buckets: int = _DSIR_BUCKETS) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") over a ``(doc_id,
+    is_target, words)`` frame: unigrams are hashed into ``n_buckets``
+    buckets (first 8 hex chars of md5 — portable to any ANSI engine), a
+    per-bucket log-likelihood ratio ``lam = ln(p_target / p_raw)`` is
+    estimated with add-1 smoothing, and each document scores the SUM of
+    its tokens' ratios.  High weight = looks like the target distribution.
+    Deterministic variant: weights are emitted exactly (fixed-point 1e-6
+    nats per term, bigint sum — the doc_unigram_entropy lesson) and
+    selection is the sign threshold ``weight > 0`` rather than the
+    paper's Gumbel resampling, so the result is oracle-checkable.
+
+    Scale shape: ONE token pass computes raw and target bucket counts
+    together (partial-aggregating groupBy to ``n_buckets`` rows); the
+    log-ratio table is broadcast back onto a second token pass whose only
+    shuffle is the per-doc partial sum keyed by doc_id.  Nothing
+    materializes per-token state, the ratio table is O(buckets), and the
+    overflow-prone ``(ct+1)*(r+B)`` product is promoted to double BEFORE
+    multiplying (exact below 2^53; the bigint*bigint ANSI overflow trap).
+    """
+    tok = docs.select(
+        "doc_id", "is_target", F.explode("words").alias("w")
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+            % F.lit(n_buckets)
+        ).alias("b"),
+    )
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("is_target").cast("bigint")).alias("ct"),
+    )
+    tot = counts.agg(F.sum("cr").alias("r"), F.sum("ct").alias("t"))
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * 1.0 * (F.col("r") + n_buckets))
+                / ((F.col("cr") + 1) * 1.0 * (F.col("t") + n_buckets))
+            )
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("lam"),
+    )
+    per = (
+        tok.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lam").alias("weight_fp"),
+        )
+    )
+    wfp = F.coalesce(F.col("weight_fp"), F.lit(0)).cast("bigint")
+    return (
+        docs.select("doc_id", "is_target")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            wfp.alias("weight_fp"),
+            (wfp / F.lit(1000000.0)).alias("weight"),
+            (wfp > 0).alias("selected"),
+        )
+    )
+
+
+@register(
+    "doc_dsir_weight",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, lang,
+               UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '')) AS w
+        FROM documents
+      )
+    ),
+    counts AS (
+      SELECT b, COUNT(*) AS cr,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM tok GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS r, CAST(SUM(ct) AS BIGINT) AS t
+      FROM counts
+    ),
+    lam AS (
+      SELECT b,
+             CAST(ROUND(LN(((ct + 1) * 1.0 * (r + {_DSIR_BUCKETS}))
+                           / ((cr + 1) * 1.0 * (t + {_DSIR_BUCKETS})))
+                        * 1000000.0) AS BIGINT) AS lam
+      FROM counts CROSS JOIN tot
+    ),
+    per AS (
+      SELECT tok.doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(lam.lam) AS BIGINT) AS weight_fp
+      FROM tok JOIN lam ON tok.b = lam.b
+      GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id, (d.lang = 'en') AS is_target,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.weight_fp, 0) AS weight_fp,
+           COALESCE(p.weight_fp, 0) / 1000000.0 AS weight,
+           COALESCE(p.weight_fp, 0) > 0 AS selected
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting of the corpus against an in-corpus target
+    slice (target = the English documents; the raw distribution is the
+    whole corpus).  A GPT-3/DSIR-lineage pipeline uses exactly this score
+    to pick web documents that look like a curated reference corpus; on
+    the fixture it separates languages by construction, which makes the
+    sign-threshold selection a checkable proxy.  See ``dsir_weights`` for
+    the estimator and the scale shape.
+    """
+    d = load(spark, sf_dir, "documents")
+    return dsir_weights(
+        d.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_target"),
+            _words_col().alias("words"),
+        )
+    )
+
+
 # ---------------------------------------------- corpus -> training shards
 _SHARD_PLANT_SQL = """
       SELECT doc_id, text FROM documents

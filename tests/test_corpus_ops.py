@@ -497,3 +497,111 @@ class TestUnigramEntropy:
         )
         with pytest.raises(ValueError, match="iters >= 1"):
             kmeans_fit(vecs, k=1, iters=0)
+
+
+class TestTemporalProximityJoin:
+    def _run(self, spark, left, right, w=100):
+        from moira_spark.harness.relational import temporal_proximity_join
+
+        l = spark.createDataFrame(left, "left_id long, us long")
+        r = spark.createDataFrame(right, "right_id long, us long")
+        return {
+            row["left_id"]: row
+            for row in temporal_proximity_join(l, r, w).collect()
+        }
+
+    def test_window_boundary_inclusive(self, spark):
+        out = self._run(spark, [(1, 1000)], [(10, 1100), (11, 1101)], w=100)
+        # |dt| == W is inside; W+1 is out
+        assert out[1]["n_within"] == 1
+        assert out[1]["nearest_right_id"] == 10
+        assert out[1]["nearest_dt_us"] == 100
+
+    def test_cross_bucket_pair_meets_exactly_once(self, spark):
+        # left in bucket 9 (us=999), right in bucket 10 (us=1050):
+        # the pair qualifies (dt=51 <= 100) and must be counted ONCE —
+        # the replicate-to-neighbors scheme cannot double-match
+        out = self._run(spark, [(1, 999)], [(10, 1050)], w=100)
+        assert out[1]["n_within"] == 1
+
+    def test_nearest_tie_breaks_to_smaller_right_id(self, spark):
+        out = self._run(spark, [(1, 1000)], [(7, 1005), (3, 995)], w=100)
+        assert out[1]["n_within"] == 2
+        assert out[1]["nearest_dt_us"] == 5
+        assert out[1]["nearest_right_id"] == 3
+
+    def test_left_without_matches_survives_with_zero(self, spark):
+        out = self._run(spark, [(1, 1000), (2, 900_000)], [(10, 1050)], w=100)
+        assert out[2]["n_within"] == 0
+        assert out[2]["nearest_right_id"] is None
+        assert out[2]["nearest_dt_us"] is None
+
+
+class TestRetentionCohorts:
+    def _run(self, spark, rows):
+        from moira_spark.harness.relational import retention_cohorts
+
+        df = spark.createDataFrame(rows, "user_id long, day int")
+        return {
+            (r["cohort_day"], r["day_offset"]): r
+            for r in retention_cohorts(df).collect()
+        }
+
+    def test_two_cohorts(self, spark):
+        out = self._run(spark, [(1, 0), (1, 3), (2, 3)])
+        assert set(out) == {(0, 0), (0, 3), (3, 0)}
+        assert out[(0, 0)]["active_users"] == 1
+        assert out[(0, 3)]["active_users"] == 1
+        assert out[(3, 0)]["active_users"] == 1
+        assert out[(0, 0)]["cohort_size"] == 1
+        assert out[(3, 0)]["cohort_size"] == 1
+
+    def test_offset_zero_always_equals_cohort_size(self, spark):
+        out = self._run(spark, [(1, 2), (2, 2), (3, 2), (3, 5)])
+        assert out[(2, 0)]["active_users"] == out[(2, 0)]["cohort_size"] == 3
+
+    def test_same_day_activity_counts_once(self, spark):
+        out = self._run(spark, [(1, 0), (1, 0), (1, 0)])
+        assert out[(0, 0)]["active_users"] == 1
+
+
+class TestDsirWeights:
+    def _run(self, spark, rows):
+        from moira_spark.harness.text import dsir_weights
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, is_target boolean, words array<string>"
+        )
+        return {r["doc_id"]: r for r in dsir_weights(df).collect()}
+
+    def test_weight_matches_closed_form(self, spark):
+        # two target docs of 'aaa', one raw doc of 'bbb', one raw doc of
+        # 'aaa' — replicate the add-1 smoothed log-ratio exactly
+        import math
+
+        out = self._run(
+            spark,
+            [
+                (1, True, ["aaa", "aaa"]),
+                (2, True, ["aaa", "aaa"]),
+                (3, False, ["bbb", "bbb"]),
+                (4, False, ["aaa", "aaa"]),
+            ],
+        )
+        B, r, t = 128, 8, 4
+        # lam = ln((ct+1)(r+B) / ((cr+1)(t+B))): aaa has cr=6, ct=4; bbb
+        # has cr=2, ct=0 (no bucket collision: aaa -> 71, bbb -> 38)
+        lam_aaa = round(math.log(((4 + 1) * (r + B)) / ((6 + 1) * (t + B))) * 1e6)
+        lam_bbb = round(math.log(((0 + 1) * (r + B)) / ((2 + 1) * (t + B))) * 1e6)
+        assert out[4]["weight_fp"] == 2 * lam_aaa
+        assert out[3]["weight_fp"] == 2 * lam_bbb
+        # the raw doc written in target vocabulary outranks the off-target one
+        assert out[4]["weight_fp"] > out[3]["weight_fp"]
+        assert out[1]["weight_fp"] == out[4]["weight_fp"]
+
+    def test_empty_doc_retained_with_zero_weight(self, spark):
+        out = self._run(spark, [(1, True, ["aaa"]), (2, False, [])])
+        assert out[2]["n_tokens"] == 0
+        assert out[2]["weight_fp"] == 0
+        assert out[2]["weight"] == 0.0
+        assert not out[2]["selected"]

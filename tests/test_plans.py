@@ -102,6 +102,19 @@ CASES = [
     # round 5 second session: funnel — per-stage event_type filters MUST
     # reach the parquet scans (6 pushed), all joins keyed on user_id
     ("events_funnel", 0, 0, 2, 6),
+    # round 5 third session: cohort retention — user_id-keyed dedup/groupBy
+    # chain, cohort sizes + offset rollup broadcast back, pure JVM
+    ("events_retention_cohorts", 0, 0, 2, 0),
+    # round 5 third session: bucketed proximity join — both event_type
+    # filters MUST reach the scans (3 incl. the spine re-read); the single
+    # SortMergeJoin is the bucket equi-join (both sides stream-sized: the
+    # correct plan at scale), nearest-argmin folds into the groupBy
+    ("events_proximity_join", 0, 0, 1, 3),
+    # round 5 third session: DSIR weights — the ONE SinglePartition is the
+    # 128-row -> scalar totals aggregate (bounded by bucket count, not
+    # data); the log-ratio table joins back as a broadcast; the token
+    # explode never shuffles raw tokens except the per-doc partial sum
+    ("doc_dsir_weight", 1, 0, 1, 0),
 ]
 
 
