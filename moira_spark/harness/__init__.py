@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_f1_vs_reference",
     "transcripts_audit",
     "transcripts_good_sink",
+    "transcripts_structure_lint",
     "doc_langid",
     "doc_langid_separable",
     "doc_perplexity",
@@ -148,11 +149,12 @@ _PRIORITY: tuple[str, ...] = (
     # source_quality_filter / training_mix_sample / corpus_to_shards rotated
     # out in round 5 as 2x externally proven)
     "shard_packing",
-    # returning veterans (round-5 rotation: no green query goes more than
-    # ~3 rounds without a fresh external row; doc_symbol_ratio — 3x green
-    # r1-r3, already EXTERNALLY_PROVEN — gave its seat back in the third
-    # session to keep every round-5 first-timer inside the window)
-    "doc_length_rule",
+    # returning veteran (round-5 rotation: no green query goes more than
+    # ~3 rounds without a fresh external row; doc_symbol_ratio and
+    # doc_length_rule — both 3x green r1-r3, EXTERNALLY_PROVEN — gave
+    # their seats back in the third session so every round-5 first-timer
+    # sits inside the window; first_event_per_user, last green r2 and so
+    # the stalest green row, keeps the veteran seat)
     "first_event_per_user",
     # event-time as-of join (new relational operator round 4; r5 makes the
     # same-ts tie-break deterministic, so its second green is a fresh check)

@@ -13,7 +13,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from moira_spark.harness import load, register
 
@@ -94,6 +94,124 @@ def transcripts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = audit_rows(labels, run_id="driver-check", bucket=0, wall_ms=0)
     return rows.drop("wall_ms").withColumn(
         "rule_hits", F.to_json(F.col("rule_hits"))
+    )
+
+
+def structure_lint(turns: DataFrame) -> DataFrame:
+    """Per-conversation structural lint over a raw transcripts frame
+    (conv_id, turn_idx, role, text, tool, ts) — the protocol-shape checks
+    an agent-transcript pipeline runs BEFORE content scoring, because a
+    conversation whose structure is corrupt (duplicated turns, tool calls
+    with no calling assistant, clock inversions) cannot be trusted for
+    training regardless of per-turn text quality:
+
+    - ``n_dup_turn_idx``   rows sharing a (conv_id, turn_idx) slot (the
+                           ingestion-retry artifact the stable-ordering
+                           dedupe later collapses);
+    - ``n_role_repeats``   adjacent turns with the same role (broken
+                           user/assistant alternation; tool->tool chains
+                           are legal and excluded);
+    - ``n_orphan_tools``   tool turns not directly preceded by an
+                           assistant or tool turn (no caller);
+    - ``n_ts_inversions``  adjacent turns whose timestamps run backwards
+                           under the stable (turn_idx, ts, role) order;
+    - ``n_misplaced_system`` system turns after turn 0;
+    - ``structure_ok``     all of the above zero.
+
+    Scale shape: ONE shuffle keyed by conv_id; adjacency counters come
+    from lag() over the stable per-conversation order (a per-partition
+    sort whose cost is bounded by conversation length), and the
+    slot-duplicate counter is algebraic (count - countDistinct) riding
+    the same aggregation.  The hot-conversation skew risk is the same one
+    the salted conv agg defuses — here the window is genuinely
+    order-dependent, so the mitigation at 10^12-turn scale is the
+    generator's per-conv length cap plus range partitioning inside the
+    conversation for the algebraic subset; the lag chain itself is
+    inherently sequential per conversation.  Everything is JVM column
+    expressions — no Python, no per-row work.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", "role")
+    x = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    # tool->tool chains are legal protocol (one assistant call fanning out
+    # to several tool results), so alternation violations exclude them
+    repeat = F.coalesce(
+        (F.col("prev_role") == F.col("role")) & (F.col("role") != "tool"),
+        F.lit(False),
+    )
+    orphan = (F.col("role") == "tool") & ~F.coalesce(
+        F.col("prev_role").isin("assistant", "tool"), F.lit(False)
+    )
+    inversion = F.coalesce(F.col("prev_ts") > F.col("ts"), F.lit(False))
+    misplaced = (F.col("role") == "system") & (F.col("turn_idx") > 0)
+    return (
+        x.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            (F.count(F.lit(1)) - F.countDistinct("turn_idx")).alias(
+                "n_dup_turn_idx"
+            ),
+            F.sum(repeat.cast("bigint")).alias("n_role_repeats"),
+            F.sum(orphan.cast("bigint")).alias("n_orphan_tools"),
+            F.sum(inversion.cast("bigint")).alias("n_ts_inversions"),
+            F.sum(misplaced.cast("bigint")).alias("n_misplaced_system"),
+        )
+        .withColumn(
+            "structure_ok",
+            (F.col("n_dup_turn_idx") == 0)
+            & (F.col("n_role_repeats") == 0)
+            & (F.col("n_orphan_tools") == 0)
+            & (F.col("n_ts_inversions") == 0)
+            & (F.col("n_misplaced_system") == 0),
+        )
+    )
+
+
+@register("transcripts_structure_lint", None)
+def transcripts_structure_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural lint of the deterministic transcripts fixture, with the
+    planted artifacts pinned as hard floors: the generator plants ~0.5%
+    ingestion-retry rows (same (conv_id, turn_idx), ts shifted +1h — each
+    one both a slot duplicate AND, ordered stably, a timestamp inversion
+    against the following turn) and ~8% random tool-role overrides (which
+    break alternation and strand tool turns behind non-assistant
+    predecessors), while system turns exist ONLY at turn 0.  A zero in
+    any planted counter means the corresponding detector went dead, so
+    the query RAISES instead of returning plausible rows; the
+    misplaced-system counter must stay exactly zero (a false positive
+    there is as much a lint bug as a miss).  toPandas here materializes
+    the per-conversation frame — bounded by the fixture's conversation
+    count, driver-check scale only; ``structure_lint`` itself stays fully
+    distributed."""
+    lint = structure_lint(_transcripts(spark).drop("defect"))
+
+    def floors(pdf: pd.DataFrame) -> bool:
+        return bool(
+            pdf["n_dup_turn_idx"].sum() > 0
+            and pdf["n_role_repeats"].sum() > 0
+            and pdf["n_orphan_tools"].sum() > 0
+            and pdf["n_ts_inversions"].sum() > 0
+            and pdf["n_misplaced_system"].sum() == 0
+            and (~pdf["structure_ok"]).any()
+        )
+
+    return _assert_and_rebuild(
+        spark,
+        lint,
+        floors,
+        "transcripts_structure_lint: a planted structural-defect class "
+        "went undetected (or misplaced-system false-positived)",
     )
 
 

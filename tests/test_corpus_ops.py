@@ -605,3 +605,91 @@ class TestDsirWeights:
         assert out[2]["weight_fp"] == 0
         assert out[2]["weight"] == 0.0
         assert not out[2]["selected"]
+
+
+class TestStructureLint:
+    def _run(self, spark, rows):
+        import datetime as dt
+
+        from moira_spark.harness.transcripts import structure_lint
+
+        base = dt.datetime(2026, 1, 1)
+
+        def ts(sec):
+            return base + dt.timedelta(seconds=sec)
+
+        df = spark.createDataFrame(
+            [(c, i, r, "text", None, ts(s)) for (c, i, r, s) in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        return {r["conv_id"]: r for r in structure_lint(df).collect()}
+
+    def test_clean_conversation_is_ok(self, spark):
+        out = self._run(
+            spark,
+            [
+                ("c", 0, "system", 0),
+                ("c", 1, "user", 7),
+                ("c", 2, "assistant", 14),
+                ("c", 3, "tool", 21),
+                ("c", 4, "tool", 28),
+                ("c", 5, "assistant", 35),
+            ],
+        )
+        r = out["c"]
+        assert r["structure_ok"]
+        assert r["n_turns"] == 6
+        # tool-after-tool is a legal chain: neither orphan nor repeat
+        assert r["n_orphan_tools"] == 0
+        assert r["n_role_repeats"] == 0
+
+    def test_retry_duplicate_is_slot_dup_and_inversion(self, spark):
+        out = self._run(
+            spark,
+            [
+                ("c", 0, "user", 0),
+                ("c", 0, "user", 3600),  # retry: same slot, ts +1h
+                ("c", 1, "assistant", 7),
+            ],
+        )
+        r = out["c"]
+        assert r["n_dup_turn_idx"] == 1
+        assert r["n_ts_inversions"] == 1  # 1h-later dup precedes turn 1
+        assert r["n_role_repeats"] == 1
+        assert not r["structure_ok"]
+
+    def test_orphan_tool_after_user(self, spark):
+        out = self._run(
+            spark,
+            [("c", 0, "user", 0), ("c", 1, "tool", 7), ("c", 2, "assistant", 14)],
+        )
+        assert out["c"]["n_orphan_tools"] == 1
+
+    def test_tool_opening_a_conversation_is_orphan(self, spark):
+        out = self._run(spark, [("c", 0, "tool", 0), ("c", 1, "assistant", 7)])
+        assert out["c"]["n_orphan_tools"] == 1
+
+    def test_misplaced_system_detected(self, spark):
+        out = self._run(
+            spark,
+            [("c", 0, "user", 0), ("c", 1, "system", 7), ("c", 2, "user", 14)],
+        )
+        assert out["c"]["n_misplaced_system"] == 1
+        assert not out["c"]["structure_ok"]
+
+    def test_conversations_isolated(self, spark):
+        out = self._run(
+            spark,
+            [
+                ("a", 0, "user", 0),
+                ("a", 1, "assistant", 7),
+                # b starts with an earlier ts than a ended — NOT an inversion,
+                # adjacency never crosses a conversation boundary
+                ("b", 0, "user", 1),
+                ("b", 1, "user", 8),
+            ],
+        )
+        assert out["a"]["structure_ok"]
+        assert out["b"]["n_role_repeats"] == 1
+        assert out["b"]["n_ts_inversions"] == 0

@@ -86,6 +86,7 @@ HARD_FLOOR_QUERIES = [
     "read_expected_errors_bootstrap",
     "doc_bpe_trained",
     "streaming_incremental_dedup",
+    "transcripts_structure_lint",
 ]
 
 
