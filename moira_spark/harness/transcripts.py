@@ -194,7 +194,7 @@ def transcripts_structure_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-conversation frame — bounded by the fixture's conversation
     count, driver-check scale only; ``structure_lint`` itself stays fully
     distributed."""
-    lint = structure_lint(_transcripts(spark).drop("defect"))
+    lint = structure_lint(_transcripts(spark))
 
     def floors(pdf: pd.DataFrame) -> bool:
         return bool(

@@ -106,9 +106,11 @@ CASES = [
     # chain, cohort sizes + offset rollup broadcast back, pure JVM
     ("events_retention_cohorts", 0, 0, 2, 0),
     # round 5 third session: bucketed proximity join — both event_type
-    # filters MUST reach the scans (3 incl. the spine re-read); the single
-    # SortMergeJoin is the bucket equi-join (both sides stream-sized: the
-    # correct plan at scale), nearest-argmin folds into the groupBy
+    # filters MUST reach the scans (3 incl. the spine re-read); at sf0.001
+    # AQE broadcasts the bucket equi-join and the SortMergeJoin is the
+    # left-outer rejoin onto the error spine (at scale both become
+    # shuffled joins on dense integer keys — either strategy is correct);
+    # nearest-argmin folds into the groupBy
     ("events_proximity_join", 0, 0, 1, 3),
     # round 5 third session: DSIR weights — the ONE SinglePartition is the
     # 128-row -> scalar totals aggregate (bounded by bucket count, not
