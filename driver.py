@@ -39,6 +39,17 @@ def parse_args(argv):
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--cores", type=int, default=None, help="local[N] (local runs only)")
     p.add_argument(
+        "--export-good-jsonl",
+        help="also export the good sink (kept turns of kept conversations, "
+        "scrubbed text) as gzip JSONL shards into this directory",
+    )
+    p.add_argument(
+        "--export-shards",
+        type=int,
+        default=None,
+        help="shard count for --export-good-jsonl (default: upstream partitioning)",
+    )
+    p.add_argument(
         "--no-broadcast-verdicts",
         action="store_true",
         help="force shuffle join for the conversation-verdict join-back",
@@ -116,17 +127,30 @@ def main(argv=None) -> int:
     final = table.read(spark)
     n = final.count()
     kept = final.filter("keep AND conv_keep").count()
-    print(
-        json.dumps(
-            {
-                "run_id": args.run_id,
-                "turns": n,
-                "kept": kept,
-                "wall_sec": round(time.time() - t0, 1),
-                "snapshot_version": table.latest_snapshot().version,
-            }
+    exported = None
+    if args.export_good_jsonl:
+        from moira_spark.pipeline import filtered_output
+        from moira_spark.sources.jsonl import write_jsonl
+
+        good = filtered_output(final, source)
+        write_jsonl(
+            good,
+            args.export_good_jsonl,
+            shards=args.export_shards,
+            sort_within_shards="conv_id",
+            mode="overwrite",
         )
-    )
+        exported = kept
+    summary = {
+        "run_id": args.run_id,
+        "turns": n,
+        "kept": kept,
+        "wall_sec": round(time.time() - t0, 1),
+        "snapshot_version": table.latest_snapshot().version,
+    }
+    if exported is not None:
+        summary["exported_jsonl"] = exported
+    print(json.dumps(summary))
     return 0
 
 

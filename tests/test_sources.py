@@ -157,3 +157,42 @@ class TestJsonl:
         back = read_jsonl(spark, out, self.SCHEMA)
         assert corrupt_line_count(back) == 0
         assert back.drop(CORRUPT_COL).columns == ["conv_id", "turn_idx", "text"]
+
+
+class TestDriverJsonlExport:
+    def test_job_exports_good_sink_as_jsonl(self, spark, tmp_path, capsys):
+        import json as _json
+
+        import driver
+
+        out = str(tmp_path / "job")
+        good_dir = str(tmp_path / "good")
+        rc = driver.main(
+            [
+                "--synthetic-turns",
+                "2000",
+                "--output",
+                out,
+                "--run-id",
+                "exp1",
+                "--buckets",
+                "2",
+                "--export-good-jsonl",
+                good_dir,
+                "--export-shards",
+                "2",
+            ]
+        )
+        assert rc == 0
+        summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["exported_jsonl"] == summary["kept"] > 0
+        back = read_jsonl(
+            spark,
+            good_dir,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        assert corrupt_line_count(back) == 0
+        rows = back.collect()
+        assert len(rows) == summary["kept"]
+        assert all(r["conv_id"] is not None and r["text"] is not None for r in rows)
