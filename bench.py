@@ -74,6 +74,7 @@ HEADLINE = [
     "doc_dsir_weight",
     "events_retention_cohorts",
     "events_proximity_join",
+    "events_anomaly",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "embedding_ann_ivf",

@@ -118,6 +118,10 @@ COVERED_BY_SIBLING: dict[str, str] = {
     "dedup_simhash": "dedup_minhash_lsh",
     "embedding_ann_lsh": "embedding_ann_recall",
     "embedding_ann_ivf": "embedding_ann_recall",
+    # the LSH-banded embedding bucket join runs inside ann_recall's
+    # floor-gated path every round; the dedup variant adds only the
+    # threshold prune on top (rotated out round 5, third session)
+    "dedup_embedding_lsh": "embedding_ann_recall",
     "streaming_filter_labels": "streaming_conv_verdicts",
     # media pair rotates each round: round 5 has image/audio in-window,
     # resize/frames covered (round 4 was the reverse)
@@ -176,9 +180,11 @@ _PRIORITY: tuple[str, ...] = (
     "doc_repetition_stats",
     "doc_unigram_entropy",
     "doc_quality_model",
-    # sketch tier (HLL++ / GK quantiles, self-verifying floors)
+    # sketch tier (HLL++ / GK quantiles, self-verifying floors) + the
+    # integer-exact hourly anomaly test (new round 5, third session)
     "events_approx_distinct",
     "events_approx_quantiles",
+    "events_anomaly",
     # dedup tier (incl. round-3/4 capstones: closure, capped, incremental;
     # round 5 adds containment doc-in-doc dedup, eval-set decontamination,
     # and per-source percentile gating — dedup_exact / dedup_jaccard_3gram
@@ -194,7 +200,9 @@ _PRIORITY: tuple[str, ...] = (
     "training_mix_temperature",
     "dedup_jaccard_capped",
     "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
+    # (dedup_embedding_lsh rotated out in the third session under sibling
+    # cover: embedding_ann_recall — in-window, floor-gated — exercises the
+    # same LSH-banded embedding bucket join every round)
     # (dedup_cluster_representatives rotated out late round 5: 3x green
     # r2-r4, and the in-window bigstar twin is checked against the SAME
     # DuckDB recursive-CTE closure oracle)

@@ -960,3 +960,89 @@ def events_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nearest_dt_us",
         F.col("nearest_right_id").alias("nearest_purchase_id"),
     )
+
+
+# ------------------------------------------------ hourly count anomalies
+def bucket_count_anomalies(counts: DataFrame, z2: int = 9) -> DataFrame:
+    """Flag buckets whose count deviates more than sqrt(z2) population
+    standard deviations from their group's mean, in EXACT integer
+    arithmetic: with n buckets, S = sum(c), SS = sum(c^2), the test
+    ``z^2 > z0^2`` rewrites to ``(c*n - S)^2 > z0^2 * (n*SS - S^2)`` —
+    no division, no floats, so both engines agree bit-for-bit and a
+    constant series (variance 0) flags nothing.  STRICT inequality:
+    a lone outlier among n-1 identical values sits at exactly
+    z^2 = n-1, so the n=10 single-spike case is deliberately NOT an
+    anomaly at z0=3.  Input ``(grp, bucket, c)``; int64 bound: valid
+    while c*n < ~3e9 (the square must fit int64; Spark ANSI fails loud,
+    not silent, past it) — at larger scales rescale counts or widen to
+    decimal.  Group stats are a partial-aggregating groupBy to
+    group-cardinality rows, broadcast back onto the bucket stream."""
+    s = counts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("S"),
+        F.sum(F.col("c") * F.col("c")).alias("SS"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("S")
+    var_n = F.col("n") * F.col("SS") - F.col("S") * F.col("S")
+    return (
+        counts.join(F.broadcast(s), "grp")
+        .select(
+            "grp",
+            "bucket",
+            "c",
+            (dev * dev > F.lit(z2) * var_n).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "events_anomaly",
+    """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(n_events) AS BIGINT) AS S,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS SS
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_type, c.hour_idx, c.n_events,
+           (c.n_events * s.n - s.S) * (c.n_events * s.n - s.S)
+             > 9 * (s.n * s.SS - s.S * s.S) AS is_anomaly
+    FROM c JOIN s ON c.event_type = s.event_type
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume-anomaly detection per event type — the monitoring
+    query a streaming ingest pipeline runs continuously (a traffic spike
+    or outage hour shows up as a >3-sigma bucket).  Statistics are over
+    OBSERVED hours only (an entirely silent hour is absent from the
+    groupBy — detecting those is a calendar anti-join, a different
+    query); the fixture's Poisson-ish stream yields a handful of natural
+    3-sigma hours per type (3-8 at sf0.01), so the flag is exercised
+    without planting.
+
+    Scale shape: one partial-aggregating groupBy to (type, hour) cells,
+    one more to 5 per-type stat rows broadcast back — the anomaly test
+    itself is ``bucket_count_anomalies``'s exact integer algebra, so the
+    cross-engine hash rides only on integers and booleans.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias(
+            "hour_idx"
+        ),
+    )
+    c = e.groupBy("event_type", "hour_idx").agg(F.count(F.lit(1)).alias("c"))
+    out = bucket_count_anomalies(
+        c.select(F.col("event_type").alias("grp"), F.col("hour_idx").alias("bucket"), "c")
+    )
+    return out.select(
+        F.col("grp").alias("event_type"),
+        F.col("bucket").alias("hour_idx"),
+        F.col("c").alias("n_events"),
+        "is_anomaly",
+    )

@@ -693,3 +693,57 @@ class TestStructureLint:
         assert out["a"]["structure_ok"]
         assert out["b"]["n_role_repeats"] == 1
         assert out["b"]["n_ts_inversions"] == 0
+
+
+class TestBucketCountAnomalies:
+    def _run(self, spark, counts, z2=9):
+        from moira_spark.harness.relational import bucket_count_anomalies
+
+        df = spark.createDataFrame(
+            [("g", i, c) for i, c in enumerate(counts)],
+            "grp string, bucket long, c long",
+        )
+        rows = bucket_count_anomalies(df, z2).collect()
+        return {r["bucket"]: r["is_anomaly"] for r in rows}
+
+    def test_matches_float_zscore_closed_form(self, spark):
+        import math
+
+        # Samuelson's inequality caps a single outlier at z^2 = n-1, so a
+        # >3-sigma spike needs n comfortably above 10 — 24 calm hours + 1
+        # spike mirrors the real hourly series shape
+        counts = [10, 11, 9, 12, 10, 10, 11, 9, 10, 12] * 2 + [10, 11, 9, 10, 55]
+        out = self._run(spark, counts)
+        n = len(counts)
+        mean = sum(counts) / n
+        var = sum(c * c for c in counts) / n - mean * mean
+        for i, c in enumerate(counts):
+            expect = (c - mean) ** 2 > 9 * var
+            assert out[i] == expect, (i, c, (c - mean) / math.sqrt(var))
+        assert out[n - 1]  # the spike is > 3 sigma here
+
+    def test_single_outlier_among_identicals_sits_exactly_on_boundary(self, spark):
+        # 9 identical + 1 outlier has z^2 = n-1 = 9 EXACTLY for any
+        # outlier size; strict inequality must not flag it
+        for spike in (100, 1000):
+            out = self._run(spark, [10] * 9 + [spike])
+            assert not any(out.values())
+
+    def test_constant_series_flags_nothing(self, spark):
+        out = self._run(spark, [7] * 24)
+        assert not any(out.values())
+
+    def test_single_bucket_group_not_flagged(self, spark):
+        out = self._run(spark, [999])
+        assert not out[0]
+
+    def test_groups_are_independent(self, spark):
+        from moira_spark.harness.relational import bucket_count_anomalies
+
+        calm = [10, 11, 9, 10, 12, 10, 11, 9, 10, 10] * 2
+        rows = [("a", i, c) for i, c in enumerate(calm + [80])]
+        rows += [("b", i, 80) for i in range(5)]  # constant 80s: never anomalous
+        df = spark.createDataFrame(rows, "grp string, bucket long, c long")
+        out = {(r["grp"], r["bucket"]): r["is_anomaly"] for r in bucket_count_anomalies(df).collect()}
+        assert out[("a", 20)]
+        assert not any(v for (g, _), v in out.items() if g == "b")

@@ -112,6 +112,10 @@ CASES = [
     # shuffled joins on dense integer keys — either strategy is correct);
     # nearest-argmin folds into the groupBy
     ("events_proximity_join", 0, 0, 1, 3),
+    # round 5 third session: hourly anomaly test — two partial-aggregating
+    # groupBys (cells, then per-type stats broadcast back), pure integer
+    # JVM exprs, zero global exchange
+    ("events_anomaly", 0, 0, 1, 2),
     # round 5 third session: DSIR weights — the ONE SinglePartition is the
     # 128-row -> scalar totals aggregate (bounded by bucket count, not
     # data); the log-ratio table joins back as a broadcast; the token
