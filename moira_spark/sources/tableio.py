@@ -36,7 +36,9 @@ import os
 import tempfile
 from dataclasses import dataclass, field
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 @dataclass
@@ -302,6 +304,126 @@ class SnapshotTable:
                 continue  # re-read, re-fold the newly committed rows
         raise SnapshotConflictError(
             f"compaction lost {_CAS_RETRIES} CAS races; "
+            "a writer is livelocking this table"
+        )
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        merge_id: str,
+        delete_col: str | None = None,
+    ) -> Snapshot:
+        """Iceberg-style MERGE (copy-on-write with data-file pruning):
+        rows of ``updates`` replace committed rows sharing their key,
+        unmatched update rows are inserted, and update rows whose
+        ``delete_col`` is true delete their match instead.
+
+        The scale property this implements deliberately: only run dirs
+        that actually CONTAIN a matched key are rewritten — every other
+        committed run dir stays referenced untouched in the new snapshot
+        (Iceberg's COW file pruning; at 100 TB a merge touching one day's
+        partition must not rewrite the other 364).  Matched-run discovery
+        is one semi-join over the committed rows with run provenance; the
+        collect is bounded by the number of run DIRS, never rows.
+
+        Idempotent under ``merge_id`` (recorded in committed_keys — a
+        crash-and-rerun is a no-op) and CAS-safe like compact: losing the
+        snapshot race restarts the whole merge from the fresh snapshot,
+        so concurrently appended rows are never silently dropped.
+        Replaced run dirs move to retired_run_ids: prior snapshots still
+        time-travel until vacuum() expires them, and their run_ids stay
+        recognized by is_committed.  Duplicate keys WITHIN updates raise
+        (Iceberg's multiple-matching-source-rows error).  Schema
+        evolution: updates may carry new columns — survivors read back
+        with NULLs there, per _evolve_schema.
+        """
+        key = f"merge/{merge_id}"
+        upd_keys = updates.select(*key_cols).distinct()
+        n_updates = updates.count()
+        if upd_keys.count() != n_updates:
+            raise ValueError(
+                "duplicate keys within updates: MERGE requires each target "
+                "row to match at most one source row"
+            )
+        upserts = updates
+        if delete_col is not None:
+            upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+            upd_keys = updates.select(*key_cols).distinct()
+        for _ in range(_CAS_RETRIES):
+            prev = self.latest_snapshot()
+            if prev is not None and key in prev.committed_keys:
+                return prev  # idempotent re-merge
+            if prev is not None and prev.run_ids:
+                schema = (
+                    StructType.fromJson(json.loads(prev.schema_json))
+                    if prev.schema_json
+                    else None
+                )
+
+                def _run_frame(r: str) -> DataFrame:
+                    reader = spark.read.schema(schema) if schema else spark.read
+                    # per-run lit() provenance instead of basePath partition
+                    # discovery: partition-type inference would corrupt
+                    # digit-only run ids ("01" -> 1 -> "1")
+                    return reader.parquet(self.staged_dir(r)).withColumn(
+                        "__run", F.lit(r)
+                    )
+
+                cur = _run_frame(prev.run_ids[0])
+                for r in prev.run_ids[1:]:
+                    cur = cur.unionByName(_run_frame(r))
+                matched_runs = sorted(
+                    row["__run"]
+                    for row in cur.join(upd_keys, key_cols, "leftsemi")
+                    .select("__run")
+                    .distinct()
+                    .collect()
+                )
+                untouched = [r for r in prev.run_ids if r not in matched_runs]
+                survivors = (
+                    cur.filter(F.col("__run").isin(matched_runs))
+                    .drop("__run")
+                    .join(upd_keys, key_cols, "left_anti")
+                )
+                result = survivors.unionByName(upserts, allowMissingColumns=True)
+            else:
+                matched_runs, untouched = [], []
+                result = upserts
+            version = (prev.version + 1) if prev else 1
+            run_id = f"merge-{merge_id}-v{version}-{os.urandom(4).hex()}"
+            self.stage(result, run_id)
+            staged = spark.read.parquet(self.staged_dir(run_id))
+            rows = staged.count()
+            snap = Snapshot(
+                version=version,
+                run_ids=untouched + [run_id],
+                committed_keys=sorted(
+                    set(prev.committed_keys if prev else []) | {key}
+                ),
+                row_counts={
+                    **{
+                        r: prev.row_counts[r]
+                        for r in untouched
+                        if prev and r in prev.row_counts
+                    },
+                    run_id: rows,
+                },
+                retired_run_ids=sorted(
+                    set(prev.retired_run_ids if prev else []) | set(matched_runs)
+                ),
+                schema_json=_evolve_schema(
+                    prev.schema_json if prev else None, staged.schema
+                ),
+            )
+            try:
+                self._write_snapshot(snap)
+                return snap
+            except SnapshotConflictError:
+                continue  # restart from the fresh snapshot
+        raise SnapshotConflictError(
+            f"merge {merge_id!r} lost {_CAS_RETRIES} CAS races; "
             "a writer is livelocking this table"
         )
 

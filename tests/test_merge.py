@@ -1,0 +1,118 @@
+"""MERGE (copy-on-write upsert with run-dir pruning) on SnapshotTable —
+matched-run rewrite only, delete clause, idempotency, time travel, CAS
+semantics (moira_spark/sources/tableio.py merge)."""
+
+from __future__ import annotations
+
+import pytest
+
+from moira_spark.sources.tableio import SnapshotTable
+
+
+def _table(spark, tmp_path, runs):
+    t = SnapshotTable(str(tmp_path / "t"))
+    for run_id, rows in runs:
+        df = spark.createDataFrame(rows, "k long, v string")
+        t.stage(df, run_id)
+        t.commit(spark, run_id)
+    return t
+
+
+def _rows(spark, t, version=None):
+    df = t.read(spark, version=version)
+    return {r["k"]: r["v"] for r in df.collect()} if df is not None else {}
+
+
+class TestMerge:
+    def test_upsert_updates_and_inserts(self, spark, tmp_path):
+        t = _table(
+            spark,
+            tmp_path,
+            [("r1", [(1, "a"), (2, "b")]), ("r2", [(3, "c"), (4, "d")])],
+        )
+        upd = spark.createDataFrame([(2, "B"), (9, "new")], "k long, v string")
+        snap = t.merge(spark, upd, ["k"], merge_id="m1")
+        assert _rows(spark, t) == {1: "a", 2: "B", 3: "c", 4: "d", 9: "new"}
+        assert snap.version == 3
+
+    def test_untouched_run_dirs_stay_referenced(self, spark, tmp_path):
+        # the COW file-pruning property: updates hit only r1's keys, so
+        # r2's original run dir must survive in the new snapshot while r1
+        # is retired
+        t = _table(
+            spark,
+            tmp_path,
+            [("r1", [(1, "a"), (2, "b")]), ("r2", [(3, "c"), (4, "d")])],
+        )
+        upd = spark.createDataFrame([(1, "A")], "k long, v string")
+        snap = t.merge(spark, upd, ["k"], merge_id="m1")
+        assert "r2" in snap.run_ids
+        assert "r1" not in snap.run_ids and "r1" in snap.retired_run_ids
+        assert snap.row_counts["r2"] == 2  # carried, not recounted
+        assert _rows(spark, t) == {1: "A", 2: "b", 3: "c", 4: "d"}
+
+    def test_delete_clause(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b"), (3, "c")])])
+        upd = spark.createDataFrame(
+            [(1, "A", False), (2, None, True)], "k long, v string, is_delete boolean"
+        )
+        t.merge(spark, upd, ["k"], merge_id="m1", delete_col="is_delete")
+        assert _rows(spark, t) == {1: "A", 3: "c"}
+
+    def test_idempotent_rerun(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a")])])
+        upd = spark.createDataFrame([(1, "A")], "k long, v string")
+        s1 = t.merge(spark, upd, ["k"], merge_id="m1")
+        s2 = t.merge(spark, upd, ["k"], merge_id="m1")  # crash-and-rerun
+        assert s2.version == s1.version
+        assert _rows(spark, t) == {1: "A"}
+
+    def test_time_travel_to_pre_merge_state(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        pre = t.latest_snapshot().version
+        upd = spark.createDataFrame([(1, "A")], "k long, v string")
+        t.merge(spark, upd, ["k"], merge_id="m1")
+        assert _rows(spark, t, version=pre) == {1: "a", 2: "b"}
+        assert _rows(spark, t) == {1: "A", 2: "b"}
+
+    def test_duplicate_update_keys_raise(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a")])])
+        upd = spark.createDataFrame([(1, "A"), (1, "B")], "k long, v string")
+        with pytest.raises(ValueError, match="duplicate keys"):
+            t.merge(spark, upd, ["k"], merge_id="m1")
+
+    def test_bootstrap_merge_into_empty_table(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        upd = spark.createDataFrame([(1, "a")], "k long, v string")
+        snap = t.merge(spark, upd, ["k"], merge_id="m0")
+        assert snap.version == 1
+        assert _rows(spark, t) == {1: "a"}
+
+    def test_insert_only_merge_keeps_every_existing_run(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a")]), ("r2", [(2, "b")])])
+        upd = spark.createDataFrame([(9, "z")], "k long, v string")
+        snap = t.merge(spark, upd, ["k"], merge_id="m1")
+        assert {"r1", "r2"}.issubset(set(snap.run_ids))
+        assert snap.retired_run_ids == []
+        assert _rows(spark, t) == {1: "a", 2: "b", 9: "z"}
+
+    def test_schema_evolution_on_merge(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        upd = spark.createDataFrame(
+            [(2, "B", 7)], "k long, v string, score int"
+        )
+        t.merge(spark, upd, ["k"], merge_id="m1")
+        rows = {r["k"]: r for r in t.read(spark).collect()}
+        assert rows[2]["score"] == 7
+        assert rows[1]["score"] is None  # survivor reads NULL for new column
+        assert rows[1]["v"] == "a"
+
+    def test_merge_then_resume_guard_still_recognizes_retired_runs(
+        self, spark, tmp_path
+    ):
+        # the streaming replay guard checks is_committed(run_id); a run
+        # retired by merge must still count as done
+        t = _table(spark, tmp_path, [("r1", [(1, "a")])])
+        upd = spark.createDataFrame([(1, "A")], "k long, v string")
+        t.merge(spark, upd, ["k"], merge_id="m1")
+        assert t.is_committed("r1")
