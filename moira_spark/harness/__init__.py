@@ -127,6 +127,12 @@ COVERED_BY_SIBLING: dict[str, str] = {
     # resize/frames covered (round 4 was the reverse)
     "media_resize_features": "media_image_features",
     "media_frame_samples": "media_audio_features",
+    # round-5 third-session first-timer: the in-window sibling exercises the
+    # same SnapshotTable stage/commit/CAS/retire/time-travel machinery every
+    # round; merge-specific semantics (COW run pruning, delete clause,
+    # merge_id idempotency) are pinned by tests/test_merge.py.  PROMOTE into
+    # the window in round 6 when the r5 first-timer seats free.
+    "table_merge_upsert": "table_maintenance_lifecycle",
 }
 
 _PRIORITY: tuple[str, ...] = (

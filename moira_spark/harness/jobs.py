@@ -159,3 +159,69 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "data_dirs_left int"
         ),
     )
+
+
+@register("table_merge_upsert", None)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style MERGE under the driver harness: copy-on-write upsert
+    with run-dir pruning on SnapshotTable (the mutation primitive a
+    transcript store needs for redaction / re-scoring without full
+    rewrites — at 100 TB a merge touching one partition's keys must not
+    rewrite the others).
+
+    Sequence: commit 2 runs -> MERGE (one update, one insert, one delete
+    hitting only run 1's keys) -> re-merge the same merge_id (idempotent
+    no-op) -> read back + time-travel.  Hard-fails in-query (raise, ->
+    red driver row) if any of the pinned invariants drifts: merged
+    contents, the untouched run dir surviving unrewritten, the matched
+    run retiring (still replay-recognized), idempotency, or pre-merge
+    time travel.  tests/test_merge.py pins the same surface plus CAS
+    races and schema evolution.
+    """
+    import os
+
+    from moira_spark.sources.tableio import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="moira_merge_check_")
+    t = SnapshotTable(f"{work}/t")
+    t.stage(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), "r1")
+    t.commit(spark, "r1")
+    t.stage(spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string"), "r2")
+    t.commit(spark, "r2")
+
+    upd = spark.createDataFrame(
+        [(2, "B", False), (9, "new", False), (1, None, True)],
+        "k long, v string, is_delete boolean",
+    )
+    snap = t.merge(spark, upd, ["k"], merge_id="m1", delete_col="is_delete")
+    again = t.merge(spark, upd, ["k"], merge_id="m1", delete_col="is_delete")
+
+    merged = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    travel = {r["k"]: r["v"] for r in t.read(spark, version=2).collect()}
+    row = {
+        "merged_rows": len(merged),
+        "merged_ok": merged == {2: "B", 3: "c", 4: "d", 9: "new"},
+        "untouched_run_kept": "r2" in snap.run_ids,
+        "matched_run_retired": (
+            "r1" not in snap.run_ids and "r1" in snap.retired_run_ids
+        ),
+        "retired_still_committed": t.is_committed("r1"),
+        "rerun_idempotent": again.version == snap.version,
+        "time_travel_pre_merge": travel == {1: "a", 2: "b", 3: "c", 4: "d"},
+        "data_dirs": sum(
+            1 for e in os.listdir(t.data_dir) if e.startswith("run_id=")
+        ),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    bad = [k for k, v in row.items() if v is False]
+    if bad:
+        raise AssertionError(f"MERGE invariants violated: {bad} in {row}")
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "merged_rows int, merged_ok boolean, untouched_run_kept boolean, "
+            "matched_run_retired boolean, retired_still_committed boolean, "
+            "rerun_idempotent boolean, time_travel_pre_merge boolean, "
+            "data_dirs int"
+        ),
+    )

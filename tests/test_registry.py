@@ -87,6 +87,7 @@ HARD_FLOOR_QUERIES = [
     "doc_bpe_trained",
     "streaming_incremental_dedup",
     "transcripts_structure_lint",
+    "table_merge_upsert",
 ]
 
 
