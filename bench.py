@@ -68,6 +68,8 @@ HEADLINE = [
     "training_mix_temperature",
     "embedding_kmeans",
     "doc_unigram_entropy",
+    "doc_tfidf_topterms",
+    "corpus_bigram_pmi",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",

@@ -127,13 +127,26 @@ COVERED_BY_SIBLING: dict[str, str] = {
     # resize/frames covered (round 4 was the reverse)
     "media_resize_features": "media_image_features",
     "media_frame_samples": "media_audio_features",
-    # round-5 third-session first-timer: the in-window sibling exercises the
-    # same SnapshotTable stage/commit/CAS/retire/time-travel machinery every
-    # round; merge-specific semantics (COW run pruning, delete clause,
-    # merge_id idempotency) are pinned by tests/test_merge.py.  PROMOTE into
-    # the window in round 6 when the r5 first-timer seats free.
-    "table_merge_upsert": "table_maintenance_lifecycle",
 }
+
+# Queries registered late in round 5, when the window held 50 unproven
+# first-timers that must collect their first external row this round and the
+# only rotation-eligible seat (first_event_per_user) is the deliberately
+# returned veteran.  Staged queries are fully checked locally every session
+# (scripts/check_correctness.py runs ALL oracle-backed queries at sf0.001 +
+# sf0.01 with the driver's exact compare; table_merge_upsert hard-fails
+# in-query and is pinned by tests/test_merge.py) and MUST be promoted into
+# the window in round 6 when the r5 first-timer seats free.
+# tests/test_registry.py caps this queue at 4 so it stays a queue, not a
+# loophole.
+STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
+    {
+        "table_merge_upsert",
+        "doc_tfidf_topterms",
+        "corpus_bigram_pmi",
+        "streaming_interval_join",
+    }
+)
 
 _PRIORITY: tuple[str, ...] = (
     # flagship + spec acceptance gates (north_rule core)

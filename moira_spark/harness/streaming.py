@@ -515,3 +515,95 @@ def streaming_filter_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scrub_exact_frac double, conv_verdict_agreement double"
         ),
     )
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream event-time interval join under Structured
+    Streaming — views joined to same-user clicks landing within 4 hours
+    — SQL-hash-checked against DuckDB's batch inequality join.  Completes
+    the streaming operator tier: tumbling/session windows, stateful custom
+    verdicts, watermark dedupe, incremental dedup, and now the symmetric
+    stateful join.
+
+    Both sides carry a 1-hour watermark and the join condition carries the
+    event-time range Spark needs to bound state retention (each side's
+    buffered rows are dropped once the other side's watermark passes
+    view_ts + 4 h) — the exact mechanism that keeps the join's state
+    finite on an unbounded stream; inner-join matches are emitted as they
+    are found, so the completed availableNow run equals the batch join
+    row-for-row (the fixture arrives as one parquet file -> one
+    micro-batch; cross-batch state correctness is the streaming engine's
+    own guarantee, exercised for our state machinery by
+    streaming_incremental_dedup's multi-batch harness).
+
+    Scale shape: the streaming symmetric hash join keys state by user_id —
+    the same equi-key the batch twin (events_proximity_join) shuffles on —
+    and the event_type filters are pushed to the parquet scan on both
+    sides.
+    """
+    ev_schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    work = tempfile.mkdtemp(prefix="moira_stream_ijoin_")
+    def _side(kind: str, alias: str):
+        return (
+            spark.readStream.schema(ev_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    views, clicks = _side("view", "view"), _side("click", "click")
+    joined = views.join(
+        clicks,
+        (F.col("view_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 240 MINUTES")
+        ),
+        "inner",
+    ).select(
+        F.col("view_id"),
+        F.col("click_id"),
+        F.col("view_user").alias("user_id"),
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        raise TimeoutError("interval-join streaming query did not finish")
+    pdf = spark.read.parquet(f"{work}/out").toPandas()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        schema=(
+            "view_id bigint, click_id bigint, user_id bigint, "
+            "view_ts timestamp_ntz, click_ts timestamp_ntz"
+        ),
+    )

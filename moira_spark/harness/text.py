@@ -1658,3 +1658,223 @@ def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd.DataFrame(rows),
         schema="cohort string, n long, mean_score double, accuracy double",
     )
+
+
+# ------------------------------------------------- corpus term statistics
+@register(
+    "doc_tfidf_topterms",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '')) AS wd
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, wd, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY doc_id, wd
+    ),
+    dfreq AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY wd),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.wd AS term, t.tf, d.df,
+             CAST(ROUND(t.tf * LN(n.n_docs * 1.0 / d.df) * 1000000)
+                  AS BIGINT) AS score_fp
+      FROM tf t JOIN dfreq d ON t.wd = d.wd CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df, score_fp,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_fp DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df,
+           ROUND(score_fp / 1000000.0, 6) AS tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by TF-IDF — the classic two-pass
+    corpus statistic (per-doc term frequency x corpus-wide inverse
+    document frequency), the building block for keyword extraction,
+    topic tagging, and quality-classifier features over a training
+    corpus.
+
+    Scale shape: ONE tokenize/explode feeds both aggregates — tf =
+    groupBy(doc_id, term) with map-side partial aggregation, df =
+    groupBy(term) over the already-distinct tf keys (no second explode,
+    no countDistinct shuffle).  The tf-df join shuffles on term
+    (vocabulary keys: heavy-tailed but bounded df per key after the tf
+    collapse); the per-doc top-3 is a row_number window keyed by doc_id
+    — no global sort.  n_docs is a scalar aggregate.
+
+    Cross-engine float discipline (the doc_unigram_entropy pattern):
+    tf/df/n_docs are exact integers; the only float op is one division +
+    one libm log + one multiply, fixed-pointed to 1e-6 per term BEFORE
+    ranking, so the 1-ULP JVM-vs-DuckDB log disagreement (~1e-10 of a
+    fixed-point unit) cannot flip a rank or the emitted 6dp value, and
+    ties on score_fp break on the term itself.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()  # scalar aggregate, driver-side by design
+    tf = (
+        d.select("doc_id", F.explode(_words_col()).alias("wd"))
+        .groupBy("doc_id", "wd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("wd").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    score_fp = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000
+    ).cast("bigint")
+    scored = tf.join(dfreq, "wd").select(
+        "doc_id",
+        F.col("wd").alias("term"),
+        "tf",
+        "df",
+        score_fp.alias("score_fp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("score_fp") / 1000000.0, 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "corpus_bigram_pmi",
+    """
+    WITH docs AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(LEN(w)) AS BIGINT) AS u,
+             CAST(SUM(GREATEST(LEN(w) - 1, 0)) AS BIGINT) AS wn
+      FROM docs
+    ),
+    uni AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(w) AS wd FROM docs) GROUP BY wd
+    ),
+    pairs AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i])) AS w1,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i + 1])) AS w2
+      FROM docs
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    ),
+    scored AS (
+      SELECT b.w1 || ' ' || b.w2 AS bigram, b.cxy, ux.c AS cx, uy.c AS cy,
+             CAST(ROUND(LN((b.cxy * 1.0 / t.wn)
+                           / ((ux.c * 1.0 / t.u) * (uy.c * 1.0 / t.u)))
+                        * 1000000) AS BIGINT) AS score_fp
+      FROM bi b
+      JOIN uni ux ON b.w1 = ux.wd
+      JOIN uni uy ON b.w2 = uy.wd
+      CROSS JOIN tot t
+    )
+    SELECT bigram, cxy AS c_xy, cx AS c_x, cy AS c_y,
+           ROUND(score_fp / 1000000.0, 6) AS pmi
+    FROM scored
+    ORDER BY score_fp DESC, bigram ASC LIMIT 20
+    """,
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations across the corpus by pointwise
+    mutual information, min support 5 — the corpus-level companion to the
+    per-doc term statistics (phrase mining, tokenizer-merge candidates,
+    boilerplate discovery).  PMI = ln(p(xy) / (p(x)p(y))) with the pair
+    probability over total bigram count and unigram probabilities over
+    total word count.
+
+    Scale shape: one explode -> groupBy(w1, w2) with map-side combine and
+    a >= 5 support prune BEFORE the two unigram-count joins (the prune
+    bounds the join input to the heavy pairs); corpus totals are one
+    scalar aggregate; the final top-20 is orderBy + limit, which Spark
+    executes as TakeOrderedAndProject (per-partition heaps, no global
+    sort/single-partition exchange).  The unigram-count subtree feeds
+    both join sides and is deliberately recomputed rather than
+    checkpointed: A/B at sf0.1/local[32] measured recompute 0.94 s vs
+    localCheckpoint 1.10 s best-of-3 (the aggregated vocab frame is
+    small, but eager materialization + two broadcast reads cost more
+    than the extra codegen'd tokenize pass — same verdict as the r3/r4
+    shingle-frame A/Bs).
+
+    Cross-engine float discipline: all counts exact bigints; the
+    probability ratio is built with an IDENTICAL operation tree on both
+    engines (each intermediate double deterministic under IEEE 754), the
+    single libm log is fixed-pointed to 1e-6 before ranking, and the
+    top-20 cut is total-ordered by (score_fp, bigram).  Counts are
+    promoted via * 1.0 BEFORE any multiply so no bigint product can
+    overflow under ANSI mode at scale.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.select("doc_id", _words_col().alias("w"))
+    tot = docs.agg(
+        F.sum(F.size("w")).cast("bigint").alias("u"),
+        F.sum(F.greatest(F.size("w") - 1, F.lit(0))).cast("bigint").alias("wn"),
+    ).collect()[0]  # scalar aggregate, driver-side by design
+    u, wn = float(tot["u"]), float(tot["wn"])
+    uni = (
+        docs.select(F.explode("w").alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(w, 1, greatest(size(w) - 1, 0))"),
+                F.expr("slice(w, 2, greatest(size(w) - 1, 0))"),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    ux = uni.select(F.col("wd").alias("w1"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("wd").alias("w2"), F.col("c").alias("cy"))
+    score_fp = F.round(
+        F.log(
+            (F.col("cxy") * 1.0 / F.lit(wn))
+            / ((F.col("cx") * 1.0 / F.lit(u)) * (F.col("cy") * 1.0 / F.lit(u)))
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        bi.join(ux, "w1")
+        .join(uy, "w2")
+        .select(
+            F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("bigram"),
+            F.col("cxy").alias("c_xy"),
+            F.col("cx").alias("c_x"),
+            F.col("cy").alias("c_y"),
+            score_fp.alias("score_fp"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score_fp").desc(), F.col("bigram").asc())
+        .limit(20)
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(F.col("score_fp") / 1000000.0, 6).alias("pmi"),
+        )
+    )

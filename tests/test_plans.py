@@ -121,6 +121,15 @@ CASES = [
     # data); the log-ratio table joins back as a broadcast; the token
     # explode never shuffles raw tokens except the per-doc partial sum
     ("doc_dsir_weight", 1, 0, 1, 0),
+    # round 5 fourth session: TF-IDF — one explode feeds tf and df, the
+    # vocab-keyed df frame joins back as a broadcast at this scale (a
+    # term-keyed shuffle join at corpus scale — either is correct), the
+    # per-doc top-3 window partitions by doc_id: zero global exchange
+    ("doc_tfidf_topterms", 0, 0, 1, 0),
+    # round 5 fourth session: bigram PMI — global top-20 MUST be
+    # TakeOrderedAndProject (per-partition heaps), never a sort over a
+    # SinglePartition exchange; unigram-count joins broadcast here
+    ("corpus_bigram_pmi", 0, 0, 2, 0),
 ]
 
 
@@ -204,3 +213,10 @@ def test_pipeline_uses_one_python_runtime_per_stage(spark):
     # appear anywhere.
     plan = _plan(spark, "transcripts_pipeline")
     assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in plan"
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    # corpus_bigram_pmi's global top-20 must run as per-partition heaps
+    # merged on the driver, not a full sort over a gathered partition.
+    plan = _plan(spark, "corpus_bigram_pmi")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -107,11 +107,28 @@ def test_no_unproven_checked_query_exiled_past_window():
         if pos[n] >= DRIVER_WINDOW
         and n not in harness.EXTERNALLY_PROVEN
         and n not in harness.COVERED_BY_SIBLING
+        and n not in harness.STAGED_NEXT_WINDOW
     }
     assert not exiled, (
         "oracle-backed/hard-floor queries past the driver window without "
-        f"external proof or a covering sibling: {exiled}"
+        f"external proof, a covering sibling, or a staged-promotion slot: "
+        f"{exiled}"
     )
+
+
+def test_staged_queue_stays_a_queue():
+    """STAGED_NEXT_WINDOW is a short, explicit promotion queue for queries
+    registered after the round's window filled with unproven first-timers —
+    never a standing exemption.  Every staged name must exist, be locally
+    checked (oracle-backed or hard-floor), and the queue stays tiny."""
+    staged = harness.STAGED_NEXT_WINDOW
+    assert len(staged) <= 4, "promote staged queries before adding more"
+    checked = {n for n, (_, s) in harness.REGISTRY.items() if s is not None}
+    checked |= set(HARD_FLOOR_QUERIES)
+    for n in staged:
+        assert n in harness.REGISTRY, n
+        assert n in checked, f"{n} staged but carries no local check"
+        assert n not in harness.EXTERNALLY_PROVEN, n
 
 
 def test_sibling_cover_is_inside_window():
