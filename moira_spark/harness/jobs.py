@@ -196,18 +196,22 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = t.merge(spark, upd, ["k"], merge_id="m1", delete_col="is_delete")
     again = t.merge(spark, upd, ["k"], merge_id="m1", delete_col="is_delete")
 
-    merged = {r["k"]: r["v"] for r in t.read(spark).collect()}
-    travel = {r["k"]: r["v"] for r in t.read(spark, version=2).collect()}
+    # compare as sorted row LISTS, not key-indexed dicts: a regression that
+    # leaves BOTH the old survivor and its replacement in the table must
+    # fail loudly, not collapse into one dict entry (review finding r5s4)
+    merged = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    travel = sorted((r["k"], r["v"]) for r in t.read(spark, version=2).collect())
     row = {
         "merged_rows": len(merged),
-        "merged_ok": merged == {2: "B", 3: "c", 4: "d", 9: "new"},
+        "merged_ok": merged == [(2, "B"), (3, "c"), (4, "d"), (9, "new")],
         "untouched_run_kept": "r2" in snap.run_ids,
         "matched_run_retired": (
             "r1" not in snap.run_ids and "r1" in snap.retired_run_ids
         ),
         "retired_still_committed": t.is_committed("r1"),
         "rerun_idempotent": again.version == snap.version,
-        "time_travel_pre_merge": travel == {1: "a", 2: "b", 3: "c", 4: "d"},
+        "time_travel_pre_merge": travel
+        == [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
         "data_dirs": sum(
             1 for e in os.listdir(t.data_dir) if e.startswith("run_id=")
         ),

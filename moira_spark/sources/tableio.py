@@ -334,23 +334,47 @@ class SnapshotTable:
         so concurrently appended rows are never silently dropped.
         Replaced run dirs move to retired_run_ids: prior snapshots still
         time-travel until vacuum() expires them, and their run_ids stay
-        recognized by is_committed.  Duplicate keys WITHIN updates raise
-        (Iceberg's multiple-matching-source-rows error).  Schema
-        evolution: updates may carry new columns — survivors read back
-        with NULLs there, per _evolve_schema.
+        recognized by is_committed.  Duplicate or NULL keys WITHIN
+        updates raise (equality joins cannot match a NULL key, so a
+        NULL-key update row would silently insert forever instead of
+        erroring — Iceberg raises on multiple matching source rows for
+        the same reason).  A NULL ``delete_col`` means "not a delete"
+        (SQL MERGE's WHEN MATCHED AND <cond> treats NULL as false).
+        Schema evolution: updates may carry new columns — survivors read
+        back with NULLs there, per _evolve_schema.
         """
         key = f"merge/{merge_id}"
-        upd_keys = updates.select(*key_cols).distinct()
-        n_updates = updates.count()
-        if upd_keys.count() != n_updates:
+        # Idempotency short-circuit BEFORE validation: a crash-and-rerun of
+        # a committed merge_id is a metadata read, not two update scans.
+        prev0 = self.latest_snapshot()
+        if prev0 is not None and key in prev0.committed_keys:
+            return prev0
+        null_key = F.lit(False)
+        for c in key_cols:
+            null_key = null_key | F.col(c).isNull()
+        stats = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias("nk"),
+            F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null"),
+        ).collect()[0]
+        if (stats["n_null"] or 0) > 0:
+            raise ValueError(
+                f"{stats['n_null']} update row(s) carry NULL in a merge key "
+                "column: an equality MERGE can never match them"
+            )
+        if stats["nk"] != stats["n"]:
             raise ValueError(
                 "duplicate keys within updates: MERGE requires each target "
                 "row to match at most one source row"
             )
+        upd_keys = updates.select(*key_cols).distinct()
         upserts = updates
         if delete_col is not None:
-            upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
-            upd_keys = updates.select(*key_cols).distinct()
+            # NULL delete flag = not a delete; a bare ~col would silently
+            # drop NULL-flag rows from the upsert set (data loss)
+            upserts = updates.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
         for _ in range(_CAS_RETRIES):
             prev = self.latest_snapshot()
             if prev is not None and key in prev.committed_keys:

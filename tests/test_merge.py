@@ -20,7 +20,14 @@ def _table(spark, tmp_path, runs):
 
 def _rows(spark, t, version=None):
     df = t.read(spark, version=version)
-    return {r["k"]: r["v"] for r in df.collect()} if df is not None else {}
+    if df is None:
+        return {}
+    rows = df.collect()
+    out = {r["k"]: r["v"] for r in rows}
+    # a duplicate key (old survivor + replacement both present) must fail
+    # the comparison, not collapse into one dict entry
+    assert len(out) == len(rows), f"duplicate keys in table: {sorted(rows)}"
+    return out
 
 
 class TestMerge:
@@ -116,3 +123,33 @@ class TestMerge:
         upd = spark.createDataFrame([(1, "A")], "k long, v string")
         t.merge(spark, upd, ["k"], merge_id="m1")
         assert t.is_committed("r1")
+
+    def test_null_delete_flag_means_update_not_delete(self, spark, tmp_path):
+        # SQL MERGE's WHEN MATCHED AND <cond> treats NULL as false: a NULL
+        # is_delete row must UPDATE its match, never silently delete it
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        upd = spark.createDataFrame(
+            [(2, "B", None)], "k long, v string, is_delete boolean"
+        )
+        t.merge(spark, upd, ["k"], merge_id="m1", delete_col="is_delete")
+        assert _rows(spark, t) == {1: "a", 2: "B"}
+
+    def test_null_key_raises(self, spark, tmp_path):
+        # an equality MERGE can never match a NULL key; inserting it
+        # silently on every merge would be data corruption, so raise
+        t = _table(spark, tmp_path, [("r1", [(1, "a")])])
+        upd = spark.createDataFrame([(None, "x")], "k long, v string")
+        with pytest.raises(ValueError, match="NULL in a merge key"):
+            t.merge(spark, upd, ["k"], merge_id="m1")
+
+    def test_distinct_null_keys_do_not_false_trip_duplicate_guard(
+        self, spark, tmp_path
+    ):
+        # two different NULL-key rows must report the NULL-key error, not
+        # a bogus "duplicate keys" (distinct() treats NULL == NULL)
+        t = _table(spark, tmp_path, [("r1", [(1, "a")])])
+        upd = spark.createDataFrame(
+            [(None, "x"), (None, "y")], "k long, v string"
+        )
+        with pytest.raises(ValueError, match="NULL in a merge key"):
+            t.merge(spark, upd, ["k"], merge_id="m1")
