@@ -153,3 +153,30 @@ class TestMerge:
         )
         with pytest.raises(ValueError, match="NULL in a merge key"):
             t.merge(spark, upd, ["k"], merge_id="m1")
+
+    def test_merge_cas_race_keeps_concurrent_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # A plain append lands between merge's snapshot read and its CAS
+        # write: the merge must lose, retry from the fresh snapshot, and
+        # the concurrently appended rows must survive into the result.
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        real_write = SnapshotTable._write_snapshot
+        fired = {"done": False}
+
+        def racing_write(self_, snap):
+            if not fired["done"] and str(snap.run_ids[-1]).startswith("merge-"):
+                fired["done"] = True
+                other = SnapshotTable(self_.table_dir)
+                other.stage(
+                    spark.createDataFrame([(7, "g")], "k long, v string"), "r9"
+                )
+                other.commit(spark, "r9")  # wins the CAS
+            return real_write(self_, snap)
+
+        monkeypatch.setattr(SnapshotTable, "_write_snapshot", racing_write)
+        upd = spark.createDataFrame([(2, "B")], "k long, v string")
+        snap = t.merge(spark, upd, ["k"], merge_id="m1")
+        assert fired["done"]
+        assert _rows(spark, t) == {1: "a", 2: "B", 7: "g"}
+        assert "r9" in snap.run_ids  # the winner's append is referenced
