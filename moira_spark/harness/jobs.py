@@ -102,12 +102,16 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive schema evolution -> compaction -> vacuum, on one table.
 
     Sequence: commit 3 runs (the third adds a column -> earlier rows read
-    back NULL there), compact (data-identical rewrite, schema carried,
-    folded runs retired so replayed commits stay idempotent), vacuum with
-    age-0 (expired + orphaned staging dirs removed), and re-read.  One row
-    of deterministic values; any drift in schema-evolution NULL backfill,
-    compaction row preservation, retire bookkeeping, or vacuum scope flips
-    a value.
+    back NULL there), zone-map pruned scan (Iceberg-style column metrics:
+    a filtered read plans only the run dirs whose min/max can match, and a
+    filter on the evolved column skips the runs committed before it
+    existed), compact (data-identical rewrite, schema carried, folded runs
+    retired so replayed commits stay idempotent), vacuum with age-0
+    (expired + orphaned staging dirs removed), and re-read.  One row of
+    deterministic values; the zone-map invariants hard-fail in-query (a
+    regression turns the driver row red), and any drift in
+    schema-evolution NULL backfill, compaction row preservation, retire
+    bookkeeping, or vacuum scope flips a value.
     """
     import os
 
@@ -131,10 +135,38 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("s")
     ).collect()[0]["s"]
 
+    # zone-map file skipping: x>=8 lives only in r3 (r1 [0,4], r2 [5,7]),
+    # so the pruned scan must plan ONLY r3's files; a filter on the evolved
+    # column y must also skip r1/r2 (committed before y existed, all-NULL)
+    pre = t.latest_snapshot()
+    pruned_read = t.read(spark, filters=[("x", ">=", 8)])
+    scan_files = pruned_read.inputFiles()
+    _, skipped_x = t.prune(pre, [("x", ">=", 8)])
+    _, skipped_y = t.prune(pre, [("y", ">", 0)])
+    zone = {
+        "zone_runs_skipped": len(skipped_x),
+        "zone_pruned_rows": pruned_read.count(),
+        "zone_scan_reads_only_matching_run": bool(scan_files)
+        and all("run_id=r3" in p for p in scan_files),
+        "zone_evolution_skips_pre_column_runs": sorted(skipped_y)
+        == ["r1", "r2"],
+    }
+    expect = {
+        "zone_runs_skipped": 2,
+        "zone_pruned_rows": 2,
+        "zone_scan_reads_only_matching_run": True,
+        "zone_evolution_skips_pre_column_runs": True,
+    }
+    if zone != expect:
+        raise AssertionError(
+            f"zone-map pruning invariants violated: {zone} != {expect}"
+        )
+
     snap = t.compact(spark)
     removed = t.vacuum(retain_last=1, min_age_seconds=0)
     after = t.read(spark)
     row = {
+        **zone,
         "rows_before": 10,
         "rows_after_compact_vacuum": after.count(),
         "sum_x": after.agg(F.sum("x").cast("long").alias("s")).collect()[0]["s"],
@@ -152,6 +184,9 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [row],
         schema=(
+            "zone_runs_skipped int, zone_pruned_rows long, "
+            "zone_scan_reads_only_matching_run boolean, "
+            "zone_evolution_skips_pre_column_runs boolean, "
             "rows_before int, rows_after_compact_vacuum long, sum_x long, "
             "nulls_backfilled_in_new_col long, sum_new_col long, "
             "schema_after string, runs_retired int, "

@@ -16,8 +16,13 @@ plus bookkeeping (row counts, committed conversation-partition ids).  Readers
 resolve LATEST and read only committed run dirs — a crashed writer leaves an
 orphaned staging dir that no snapshot references, so re-running the same
 run_id is idempotent: the orphan is overwritten, and commit happens once.
-This is exactly Iceberg's optimistic snapshot protocol minus manifest-level
-file tracking (sufficient here because each run writes its own directory).
+This is exactly Iceberg's optimistic snapshot protocol with run-directory
+granularity instead of per-file manifests (sufficient here because each run
+writes its own directory).  Snapshots also carry Iceberg-style column
+metrics (zone maps): per-run min/max/null-count collected at commit, so
+``read(filters=...)`` and ``merge`` skip whole run dirs whose stats prove
+they cannot match — manifest-level file skipping, the scan-side half of
+what makes a 100 TB table queryable.
 
 Concurrency (round 3): snapshot files are created with an atomic
 link-if-absent (full content written to a temp file first, then os.link —
@@ -32,6 +37,7 @@ maximum v<N>.json so a stale pointer can never hide a committed snapshot.
 from __future__ import annotations
 
 import json
+import math
 import os
 import tempfile
 from dataclasses import dataclass, field
@@ -47,6 +53,15 @@ class Snapshot:
     run_ids: list[str]
     committed_keys: list[str] = field(default_factory=list)
     row_counts: dict[str, int] = field(default_factory=dict)
+    # Iceberg-style manifest column metrics: per run_id, per column,
+    # {"min":…, "max":…, "nulls": n} for prunable atomic types ({"u": true}
+    # for types stats cannot cover).  A column absent from a run's dict was
+    # not in the run's schema at commit time (schema evolution), so every
+    # row of that run reads NULL there.  Collected by an exact Spark agg at
+    # commit (parquet footer string min/max may be TRUNCATED by writers,
+    # which would make max-based pruning unsound — so footers are not
+    # trusted).  Legacy snapshots (no stats) simply never prune.
+    column_stats: dict[str, dict] = field(default_factory=dict)
     # run_ids whose DATA was folded into a compaction rewrite: no longer
     # read, but their commit is still a fact — is_committed()/commit()
     # must keep treating them as done or a checkpoint-replayed micro-batch
@@ -68,6 +83,7 @@ class Snapshot:
                 "row_counts": self.row_counts,
                 "retired_run_ids": self.retired_run_ids,
                 "schema_json": self.schema_json,
+                "column_stats": self.column_stats,
             }
         )
 
@@ -81,6 +97,7 @@ class Snapshot:
             row_counts=d.get("row_counts", {}),
             retired_run_ids=d.get("retired_run_ids", []),
             schema_json=d.get("schema_json"),
+            column_stats=d.get("column_stats", {}),
         )
 
 
@@ -113,6 +130,160 @@ def _evolve_schema(prev_json: str | None, staged: "StructType") -> str:
                 f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
             )
     return StructType(merged).json()
+
+
+def _stats_supported(dt) -> bool:
+    """Atomic types zone maps cover: JSON-clean, totally ordered, and
+    comparable to plain Python filter literals.  Decimals/dates/timestamps
+    collect as non-JSON Python objects and are deliberately left out."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DecimalType,
+        NumericType,
+        StringType,
+    )
+
+    return isinstance(dt, (StringType, BooleanType)) or (
+        isinstance(dt, NumericType) and not isinstance(dt, DecimalType)
+    )
+
+
+def _collect_stats(df: DataFrame) -> tuple[int, dict]:
+    """One agg pass over a staged run: exact row count + per-column
+    min/max/null-count for every stats-supported column (the file metrics an
+    Iceberg writer emits into the manifest).  Unsupported types record
+    ``{"u": true}`` (present-but-unprunable — distinct from ABSENT, which
+    means the column was not in the run's schema at all)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    tracked = []
+    for f0 in df.schema.fields:
+        if _stats_supported(f0.dataType):
+            tracked.append(f0.name)
+            i = len(tracked) - 1
+            aggs.append(F.min(df[f0.name]).alias(f"__mn_{i}"))
+            aggs.append(F.max(df[f0.name]).alias(f"__mx_{i}"))
+            aggs.append(
+                F.sum(df[f0.name].isNull().cast("long")).alias(f"__nl_{i}")
+            )
+    row = df.agg(*aggs).collect()[0]
+    stats: dict[str, dict] = {}
+    for i, name in enumerate(tracked):
+        mn, mx = row[f"__mn_{i}"], row[f"__mx_{i}"]
+        nulls = row[f"__nl_{i}"] or 0
+        nonfinite = any(
+            isinstance(v, float) and not math.isfinite(v) for v in (mn, mx)
+        )
+        if nonfinite:  # NaN/inf bounds are not JSON-portable ordering proof
+            stats[name] = {"u": True}
+        else:
+            stats[name] = {"min": mn, "max": mx, "nulls": nulls}
+    for f0 in df.schema.fields:
+        if f0.name not in stats:
+            stats[f0.name] = {"u": True}
+    return row["__n"], stats
+
+
+# Filter ops whose predicate can never be satisfied by a NULL value (SQL
+# three-valued logic): a run whose column has zero non-null values is
+# provably empty under any of these.
+_NONNULL_OPS = frozenset(
+    {"=", "==", "<", "<=", ">", ">=", "in", "between", "is_not_null"}
+)
+_VALID_OPS = _NONNULL_OPS | {"is_null"}
+
+
+def _normalize_filter(flt) -> tuple[str, str, object]:
+    col, op = flt[0], flt[1]
+    if op not in _VALID_OPS:
+        raise ValueError(f"unknown filter op {op!r} (supported: {sorted(_VALID_OPS)})")
+    return col, op, (flt[2] if len(flt) > 2 else None)
+
+
+def _run_provably_empty(run_stats: "dict | None", filters) -> bool:
+    """True only when zone-map stats PROVE no row of the run can satisfy the
+    conjunctive ``filters``.  Anything unprovable keeps the run — pruning is
+    an optimization; the residual filter re-applies exact semantics."""
+    if run_stats is None:
+        return False  # legacy snapshot committed before stats existed
+    for flt in filters:
+        col, op, val = _normalize_filter(flt)
+        ent = run_stats.get(col)
+        if ent is None:
+            # Column absent from the run's schema at commit time: schema
+            # evolution reads it back all-NULL, which no non-null-matching
+            # predicate can satisfy.
+            if op in _NONNULL_OPS:
+                return True
+            continue
+        if ent.get("u"):
+            continue
+        mn, mx, nulls = ent.get("min"), ent.get("max"), ent.get("nulls", 0)
+        if op == "is_null":
+            if nulls == 0:
+                return True
+            continue
+        if mn is None:  # zero non-null values in this run
+            return True  # op is in _NONNULL_OPS here
+        if op == "is_not_null":
+            continue
+        try:
+            if op in ("=", "=="):
+                if val < mn or val > mx:
+                    return True
+            elif op == "<":
+                if mn >= val:
+                    return True
+            elif op == "<=":
+                if mn > val:
+                    return True
+            elif op == ">":
+                if mx <= val:
+                    return True
+            elif op == ">=":
+                if mx < val:
+                    return True
+            elif op == "in":
+                vals = list(val)
+                if not vals or all(v < mn or v > mx for v in vals):
+                    return True
+            elif op == "between":
+                lo, hi = val
+                if hi < mn or lo > mx:
+                    return True
+        except TypeError:
+            continue  # literal type incomparable with the stats — keep
+    return False
+
+
+def _filters_to_expr(filters):
+    """The same conjuncts as a Spark Column (residual filter): pruning only
+    removes whole runs, this re-applies exact row-level semantics — and the
+    simple comparisons push down into the parquet scan as PushedFilters."""
+    expr = None
+    for flt in filters:
+        col, op, val = _normalize_filter(flt)
+        c = F.col(col)
+        if op in ("=", "=="):
+            e = c == F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        elif op == "in":
+            vals = list(val)
+            e = c.isin(vals) if vals else F.lit(False)
+        elif op == "between":
+            e = c.between(F.lit(val[0]), F.lit(val[1]))
+        elif op == "is_null":
+            e = c.isNull()
+        else:  # is_not_null
+            e = c.isNotNull()
+        expr = e if expr is None else (expr & e)
+    return expr if expr is not None else F.lit(True)
 
 
 class SnapshotTable:
@@ -205,6 +376,7 @@ class SnapshotTable:
         already contain this run_id — then it is a no-op) and try the next
         version."""
         rows = None
+        run_stats = None
         staged_schema = None
         for _ in range(_CAS_RETRIES):
             prev = self.latest_snapshot()
@@ -214,7 +386,7 @@ class SnapshotTable:
                 return prev  # idempotent re-commit (incl. compaction-retired)
             if rows is None:  # staged data is fixed; scan once
                 staged = spark.read.parquet(self.staged_dir(run_id))
-                rows = staged.count()
+                rows, run_stats = _collect_stats(staged)
                 staged_schema = staged.schema
             snap = Snapshot(
                 version=(prev.version + 1) if prev else 1,
@@ -228,6 +400,10 @@ class SnapshotTable:
                 schema_json=_evolve_schema(
                     prev.schema_json if prev else None, staged_schema
                 ),
+                column_stats={
+                    **(prev.column_stats if prev else {}),
+                    run_id: run_stats,
+                },
             )
             try:
                 self._write_snapshot(snap)
@@ -281,7 +457,9 @@ class SnapshotTable:
             else:
                 df = spark.read.parquet(*prev_paths)
             self.stage(df.repartition(target_partitions), run_id)
-            rows = spark.read.parquet(self.staged_dir(run_id)).count()
+            rows, run_stats = _collect_stats(
+                spark.read.parquet(self.staged_dir(run_id))
+            )
             if rows != sum(prev.row_counts.values()):
                 raise RuntimeError(
                     f"compaction row mismatch: {rows} != "
@@ -296,6 +474,7 @@ class SnapshotTable:
                     set(prev.retired_run_ids) | set(prev.run_ids)
                 ),
                 schema_json=prev.schema_json,
+                column_stats={run_id: run_stats},
             )
             try:
                 self._write_snapshot(snap)
@@ -352,11 +531,23 @@ class SnapshotTable:
         null_key = F.lit(False)
         for c in key_cols:
             null_key = null_key | F.col(c).isNull()
-        stats = updates.agg(
+        # zone-map-prunable key columns: collect the updates' key range in
+        # the same validation pass, so committed runs whose recorded key
+        # range provably misses every update key are never even scanned
+        # (Iceberg's manifest-level file skipping applied to MERGE).
+        dtypes = {f0.name: f0.dataType for f0 in updates.schema.fields}
+        range_keys = [
+            c for c in key_cols if _stats_supported(dtypes.get(c, None) or ())
+        ]
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(*[F.col(c) for c in key_cols]).alias("nk"),
             F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null"),
-        ).collect()[0]
+        ]
+        for i, c in enumerate(range_keys):
+            aggs.append(F.min(c).alias(f"__kmn_{i}"))
+            aggs.append(F.max(c).alias(f"__kmx_{i}"))
+        stats = updates.agg(*aggs).collect()[0]
         if (stats["n_null"] or 0) > 0:
             raise ValueError(
                 f"{stats['n_null']} update row(s) carry NULL in a merge key "
@@ -367,6 +558,14 @@ class SnapshotTable:
                 "duplicate keys within updates: MERGE requires each target "
                 "row to match at most one source row"
             )
+        key_filters = []
+        for i, c in enumerate(range_keys):
+            kmn, kmx = stats[f"__kmn_{i}"], stats[f"__kmx_{i}"]
+            if kmn is not None and not (
+                isinstance(kmn, float)
+                and not (math.isfinite(kmn) and math.isfinite(kmx))
+            ):
+                key_filters.append((c, "between", (kmn, kmx)))
         upd_keys = updates.select(*key_cols).distinct()
         upserts = updates
         if delete_col is not None:
@@ -379,7 +578,18 @@ class SnapshotTable:
             prev = self.latest_snapshot()
             if prev is not None and key in prev.committed_keys:
                 return prev  # idempotent re-merge
-            if prev is not None and prev.run_ids:
+            # zone-map prune BEFORE any scan: a run whose committed key
+            # range provably misses every update key cannot contain a match
+            # and stays referenced untouched, unread (at 100 TB a merge
+            # keyed to one day's id range must not scan the other 364).
+            scan_runs = [
+                r
+                for r in (prev.run_ids if prev else [])
+                if not _run_provably_empty(
+                    prev.column_stats.get(r), key_filters
+                )
+            ]
+            if scan_runs:
                 schema = (
                     StructType.fromJson(json.loads(prev.schema_json))
                     if prev.schema_json
@@ -395,8 +605,8 @@ class SnapshotTable:
                         "__run", F.lit(r)
                     )
 
-                cur = _run_frame(prev.run_ids[0])
-                for r in prev.run_ids[1:]:
+                cur = _run_frame(scan_runs[0])
+                for r in scan_runs[1:]:
                     cur = cur.unionByName(_run_frame(r))
                 matched_runs = sorted(
                     row["__run"]
@@ -413,13 +623,14 @@ class SnapshotTable:
                 )
                 result = survivors.unionByName(upserts, allowMissingColumns=True)
             else:
-                matched_runs, untouched = [], []
+                matched_runs = []
+                untouched = list(prev.run_ids) if prev else []
                 result = upserts
             version = (prev.version + 1) if prev else 1
             run_id = f"merge-{merge_id}-v{version}-{os.urandom(4).hex()}"
             self.stage(result, run_id)
             staged = spark.read.parquet(self.staged_dir(run_id))
-            rows = staged.count()
+            rows, run_stats = _collect_stats(staged)
             snap = Snapshot(
                 version=version,
                 run_ids=untouched + [run_id],
@@ -440,6 +651,14 @@ class SnapshotTable:
                 schema_json=_evolve_schema(
                     prev.schema_json if prev else None, staged.schema
                 ),
+                column_stats={
+                    **{
+                        r: (prev.column_stats if prev else {})[r]
+                        for r in untouched
+                        if prev and r in prev.column_stats
+                    },
+                    run_id: run_stats,
+                },
             )
             try:
                 self._write_snapshot(snap)
@@ -500,21 +719,69 @@ class SnapshotTable:
         with open(path) as f:
             return Snapshot.from_json(f.read())
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+    def prune(self, snap: Snapshot, filters) -> tuple[list[str], list[str]]:
+        """Split a snapshot's run_ids into (kept, skipped) under conjunctive
+        ``filters`` — tuples ``(col, op, value)`` with op in =, ==, <, <=,
+        >, >=, in, between, is_null, is_not_null (value omitted for the
+        null tests).  A run is skipped only when its committed zone-map
+        stats PROVE no row can satisfy the conjunction, including runs
+        committed before a filtered column existed (schema evolution reads
+        them all-NULL).  Legacy snapshots without stats keep everything."""
+        kept, skipped = [], []
+        for r in snap.run_ids:
+            if _run_provably_empty(snap.column_stats.get(r), filters):
+                skipped.append(r)
+            else:
+                kept.append(r)
+        return kept, skipped
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        filters=None,
+    ) -> DataFrame | None:
         """Read the committed table state (union of committed run dirs).
 
         ``version`` enables Iceberg-style time travel: the table as of that
-        snapshot.  Default: latest."""
+        snapshot.  Default: latest.
+
+        ``filters`` (see :meth:`prune`) enables manifest-level file
+        skipping: run dirs whose zone-map stats prove no row can match are
+        never handed to the scan AT PLAN-BUILD TIME — at 100 TB this is the
+        difference between listing/reading 3 of 365 daily runs and all of
+        them, before Spark's own parquet row-group pruning even starts.
+        The same conjuncts are re-applied as a residual row filter (and
+        push down into the surviving parquet scans), so the result is
+        exactly ``read(...).filter(...)`` regardless of how much pruning
+        the stats could prove."""
         snap = self.latest_snapshot() if version is None else self.snapshot(version)
         if snap is None or not snap.run_ids:
             return None
-        paths = [self.staged_dir(r) for r in snap.run_ids]
-        if snap.schema_json is not None:
+        run_ids = snap.run_ids
+        if filters:
+            run_ids, _ = self.prune(snap, filters)
+        schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap.schema_json is not None
+            else None
+        )
+        if not run_ids:
+            # everything pruned: an empty frame in the snapshot schema
+            # (schema_json is recorded by every stats-writing commit)
+            if schema is None:
+                schema = spark.read.parquet(
+                    *[self.staged_dir(r) for r in snap.run_ids]
+                ).schema
+            return spark.createDataFrame([], schema)
+        paths = [self.staged_dir(r) for r in run_ids]
+        if schema is not None:
             # schema from snapshot metadata, Iceberg-style: runs written
             # before a column existed read back with NULLs there, and no
             # per-file footer merge (mergeSchema) is ever needed
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(json.loads(snap.schema_json))
-            return spark.read.schema(schema).parquet(*paths)
-        return spark.read.parquet(*paths)
+            df = spark.read.schema(schema).parquet(*paths)
+        else:
+            df = spark.read.parquet(*paths)
+        if filters:
+            df = df.filter(_filters_to_expr(filters))
+        return df

@@ -180,3 +180,38 @@ class TestMerge:
         assert fired["done"]
         assert _rows(spark, t) == {1: "a", 2: "B", 7: "g"}
         assert "r9" in snap.run_ids  # the winner's append is referenced
+
+
+class TestMergeZoneMapPruning:
+    """merge() consults committed zone-map key stats before scanning: runs
+    whose key range provably misses every update key are never read (and
+    an all-miss merge is a pure insert that scans nothing)."""
+
+    def test_out_of_range_merge_is_pure_insert(self, spark, tmp_path):
+        t = _table(
+            spark, tmp_path,
+            [("r1", [(1, "a"), (2, "b")]), ("r2", [(3, "c"), (4, "d")])],
+        )
+        upd = spark.createDataFrame([(500, "new")], "k long, v string")
+        snap = t.merge(spark, upd, ["k"], merge_id="m-insert")
+        # every committed run survives unrewritten; nothing retired
+        assert "r1" in snap.run_ids and "r2" in snap.run_ids
+        assert snap.retired_run_ids == []
+        assert _rows(spark, t) == {1: "a", 2: "b", 3: "c", 4: "d", 500: "new"}
+
+    def test_range_pruned_run_keeps_its_stats(self, spark, tmp_path):
+        t = _table(
+            spark, tmp_path,
+            [("r1", [(1, "a"), (2, "b")]), ("r2", [(30, "c"), (40, "d")])],
+        )
+        upd = spark.createDataFrame([(30, "C")], "k long, v string")
+        snap = t.merge(spark, upd, ["k"], merge_id="m-prune")
+        # r1's key range [1,2] provably misses key 30: untouched, stats kept
+        assert "r1" in snap.run_ids and "r1" in snap.column_stats
+        assert snap.column_stats["r1"]["k"] == {"min": 1, "max": 2, "nulls": 0}
+        assert "r2" in snap.retired_run_ids
+        assert _rows(spark, t) == {1: "a", 2: "b", 30: "C", 40: "d"}
+        # zone-map read over the post-merge table still prunes correctly
+        assert sorted(
+            r.k for r in t.read(spark, filters=[("k", "<=", 2)]).collect()
+        ) == [1, 2]

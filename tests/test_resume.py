@@ -387,3 +387,156 @@ class TestSchemaEvolution:
         out = t.read(spark).orderBy("x").collect()
         assert [r.x for r in out] == [0, 1, 2, 3, 4]
         assert [r.y for r in out] == [None, None, None, "v", "v"]
+
+
+class TestZoneMapPruning:
+    """Iceberg-style column metrics + manifest-level file skipping
+    (tableio.py Snapshot.column_stats / SnapshotTable.prune / read(filters)).
+
+    Pruning is an optimization with a proof obligation: read(filters=...)
+    must ALWAYS equal read().filter(same predicate), and a run dir may be
+    skipped only when its committed min/max/null stats prove emptiness."""
+
+    def _three_runs(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(0, 5).toDF("x"), "r1")
+        t.commit(spark, "r1")
+        t.stage(spark.range(5, 8).toDF("x"), "r2")
+        t.commit(spark, "r2")
+        t.stage(
+            spark.range(8, 10).toDF("x").withColumn("y", F.col("x") * 2), "r3"
+        )
+        t.commit(spark, "r3")
+        return t
+
+    def test_commit_records_exact_stats(self, spark, tmp_path):
+        t = self._three_runs(spark, tmp_path)
+        stats = t.latest_snapshot().column_stats
+        assert stats["r1"]["x"] == {"min": 0, "max": 4, "nulls": 0}
+        assert stats["r2"]["x"] == {"min": 5, "max": 7, "nulls": 0}
+        assert stats["r3"]["y"] == {"min": 16, "max": 18, "nulls": 0}
+        assert "y" not in stats["r1"]  # absent = column not in run schema
+
+    def test_scan_skips_pruned_run_dirs(self, spark, tmp_path):
+        t = self._three_runs(spark, tmp_path)
+        df = t.read(spark, filters=[("x", ">=", 8)])
+        # the plan never references r1/r2 files — skipped at plan-build time
+        assert df.inputFiles(), "pruned scan lost its surviving files"
+        assert all("run_id=r3" in p for p in df.inputFiles())
+        assert sorted(r.x for r in df.collect()) == [8, 9]
+
+    def test_pruned_read_equals_residual_filter(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = self._three_runs(spark, tmp_path)
+        cases = [
+            [("x", "<", 3)],
+            [("x", "between", (4, 6))],
+            [("x", "in", [2, 9])],
+            [("x", ">", 100)],             # prunes everything
+            [("x", ">=", 5), ("x", "<=", 5)],
+            [("y", "is_not_null",)],
+            [("y", "is_null",)],
+        ]
+        full = t.read(spark)
+        from moira_spark.sources.tableio import _filters_to_expr
+
+        for filters in cases:
+            got = sorted(
+                (r.x, r.y) for r in t.read(spark, filters=filters).collect()
+            )
+            want = sorted(
+                (r.x, r.y)
+                for r in full.filter(_filters_to_expr(filters)).collect()
+            )
+            assert got == want, f"pruned read diverged for {filters}"
+
+    def test_all_pruned_returns_empty_frame_in_snapshot_schema(
+        self, spark, tmp_path
+    ):
+        t = self._three_runs(spark, tmp_path)
+        df = t.read(spark, filters=[("x", ">", 100)])
+        assert df.columns == ["x", "y"]
+        assert df.count() == 0
+
+    def test_schema_evolution_prunes_pre_column_runs(self, spark, tmp_path):
+        # r1/r2 predate column y: every row reads NULL there, so a
+        # non-null-matching filter on y provably excludes them
+        t = self._three_runs(spark, tmp_path)
+        kept, skipped = t.prune(t.latest_snapshot(), [("y", ">", 0)])
+        assert kept == ["r3"] and sorted(skipped) == ["r1", "r2"]
+        assert sorted(
+            r.x for r in t.read(spark, filters=[("y", ">", 0)]).collect()
+        ) == [8, 9]
+
+    def test_all_null_column_prunes_nonnull_ops_not_is_null(
+        self, spark, tmp_path
+    ):
+        import pyspark.sql.functions as F
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(
+            spark.range(3)
+            .toDF("x")
+            .withColumn("v", F.lit(None).cast("string")),
+            "r1",
+        )
+        t.commit(spark, "r1")
+        snap = t.latest_snapshot()
+        assert snap.column_stats["r1"]["v"] == {
+            "min": None, "max": None, "nulls": 3,
+        }
+        assert t.prune(snap, [("v", "=", "a")]) == ([], ["r1"])
+        assert t.prune(snap, [("v", "is_not_null")]) == ([], ["r1"])
+        assert t.prune(snap, [("v", "is_null")]) == (["r1"], [])
+        assert t.read(spark, filters=[("v", "is_null",)]).count() == 3
+
+    def test_string_stats_prune(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(
+            spark.createDataFrame([("apple",), ("fig",)], "s string"), "r1"
+        )
+        t.commit(spark, "r1")
+        t.stage(
+            spark.createDataFrame([("kiwi",), ("pear",)], "s string"), "r2"
+        )
+        t.commit(spark, "r2")
+        snap = t.latest_snapshot()
+        assert t.prune(snap, [("s", ">=", "melon")]) == (["r2"], ["r1"])
+        assert t.prune(snap, [("s", "=", "banana")]) == (["r1"], ["r2"])
+        got = sorted(
+            r.s for r in t.read(spark, filters=[("s", "=", "fig")]).collect()
+        )
+        assert got == ["fig"]
+
+    def test_legacy_snapshot_without_stats_never_prunes(self, spark, tmp_path):
+        import json as _json
+
+        from moira_spark.sources.tableio import Snapshot
+
+        # a snapshot serialized before column_stats existed round-trips with
+        # empty stats and keeps every run under any filter
+        t = self._three_runs(spark, tmp_path)
+        snap = t.latest_snapshot()
+        d = _json.loads(snap.to_json())
+        del d["column_stats"]
+        legacy = Snapshot.from_json(_json.dumps(d))
+        assert legacy.column_stats == {}
+        kept, skipped = t.prune(legacy, [("x", ">", 100)])
+        assert skipped == [] and kept == ["r1", "r2", "r3"]
+
+    def test_unknown_filter_op_raises(self, spark, tmp_path):
+        t = self._three_runs(spark, tmp_path)
+        with pytest.raises(ValueError, match="unknown filter op"):
+            t.read(spark, filters=[("x", "like", "%a%")])
+
+    def test_compact_recomputes_stats_for_folded_run(self, spark, tmp_path):
+        t = self._three_runs(spark, tmp_path)
+        snap = t.compact(spark)
+        st = snap.column_stats[snap.run_ids[0]]
+        assert st["x"] == {"min": 0, "max": 9, "nulls": 0}
+        assert st["y"] == {"min": 16, "max": 18, "nulls": 8}
+        # pruning still sound over the compacted table
+        assert t.read(spark, filters=[("x", ">=", 8)]).count() == 2
