@@ -62,6 +62,12 @@ class Snapshot:
     # which would make max-based pruning unsound — so footers are not
     # trusted).  Legacy snapshots (no stats) simply never prune.
     column_stats: dict[str, dict] = field(default_factory=dict)
+    # Finer grain of the same metrics: per run_id, per FILE basename, the
+    # same {col: entry} dict.  read(filters=...) uses these to plan
+    # individual surviving files within a kept run — with cluster_by
+    # (sorted write) the files carry disjoint ranges and a point/range
+    # query plans one file of N (Iceberg file-level manifest pruning).
+    file_stats: dict[str, dict] = field(default_factory=dict)
     # run_ids whose DATA was folded into a compaction rewrite: no longer
     # read, but their commit is still a fact — is_committed()/commit()
     # must keep treating them as done or a checkpoint-replayed micro-batch
@@ -84,6 +90,7 @@ class Snapshot:
                 "retired_run_ids": self.retired_run_ids,
                 "schema_json": self.schema_json,
                 "column_stats": self.column_stats,
+                "file_stats": self.file_stats,
             }
         )
 
@@ -98,6 +105,7 @@ class Snapshot:
             retired_run_ids=d.get("retired_run_ids", []),
             schema_json=d.get("schema_json"),
             column_stats=d.get("column_stats", {}),
+            file_stats=d.get("file_stats", {}),
         )
 
 
@@ -148,39 +156,64 @@ def _stats_supported(dt) -> bool:
     )
 
 
-def _collect_stats(df: DataFrame) -> tuple[int, dict]:
-    """One agg pass over a staged run: exact row count + per-column
-    min/max/null-count for every stats-supported column (the file metrics an
-    Iceberg writer emits into the manifest).  Unsupported types record
-    ``{"u": true}`` (present-but-unprunable — distinct from ABSENT, which
-    means the column was not in the run's schema at all)."""
+def _stats_entry(mn, mx, nulls) -> dict:
+    nonfinite = any(
+        isinstance(v, float) and not math.isfinite(v) for v in (mn, mx)
+    )
+    if nonfinite:  # NaN/inf bounds are not JSON-portable ordering proof
+        return {"u": True}
+    return {"min": mn, "max": mx, "nulls": nulls}
+
+
+def _collect_stats(df: DataFrame) -> tuple[int, dict, dict]:
+    """One grouped agg pass over a staged run: per-FILE min/max/null-count
+    for every stats-supported column (the per-file metrics an Iceberg
+    writer emits into the manifest), folded driver-side into run-level
+    stats.  The collect is bounded by the run's FILE count, never rows.
+    Unsupported types record ``{"u": true}`` (present-but-unprunable —
+    distinct from ABSENT, which means the column was not in the run's
+    schema at all).  Returns ``(rows, run_stats, file_stats)`` with
+    file_stats keyed by file basename."""
+    from urllib.parse import unquote, urlparse
+
     aggs = [F.count(F.lit(1)).alias("__n")]
-    tracked = []
-    for f0 in df.schema.fields:
-        if _stats_supported(f0.dataType):
-            tracked.append(f0.name)
-            i = len(tracked) - 1
-            aggs.append(F.min(df[f0.name]).alias(f"__mn_{i}"))
-            aggs.append(F.max(df[f0.name]).alias(f"__mx_{i}"))
-            aggs.append(
-                F.sum(df[f0.name].isNull().cast("long")).alias(f"__nl_{i}")
-            )
-    row = df.agg(*aggs).collect()[0]
-    stats: dict[str, dict] = {}
+    tracked = [
+        f0.name for f0 in df.schema.fields if _stats_supported(f0.dataType)
+    ]
     for i, name in enumerate(tracked):
-        mn, mx = row[f"__mn_{i}"], row[f"__mx_{i}"]
-        nulls = row[f"__nl_{i}"] or 0
-        nonfinite = any(
-            isinstance(v, float) and not math.isfinite(v) for v in (mn, mx)
-        )
-        if nonfinite:  # NaN/inf bounds are not JSON-portable ordering proof
-            stats[name] = {"u": True}
-        else:
-            stats[name] = {"min": mn, "max": mx, "nulls": nulls}
+        aggs.append(F.min(df[name]).alias(f"__mn_{i}"))
+        aggs.append(F.max(df[name]).alias(f"__mx_{i}"))
+        aggs.append(F.sum(df[name].isNull().cast("long")).alias(f"__nl_{i}"))
+    per_file = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    rows = 0
+    file_stats: dict[str, dict] = {}
+    for r in per_file:
+        rows += r["__n"]
+        ent: dict[str, dict] = {}
+        for i, name in enumerate(tracked):
+            ent[name] = _stats_entry(
+                r[f"__mn_{i}"], r[f"__mx_{i}"], r[f"__nl_{i}"] or 0
+            )
+        for f0 in df.schema.fields:
+            if f0.name not in ent:
+                ent[f0.name] = {"u": True}
+        file_stats[os.path.basename(unquote(urlparse(r["__f"]).path))] = ent
+    run_stats: dict[str, dict] = {}
     for f0 in df.schema.fields:
-        if f0.name not in stats:
-            stats[f0.name] = {"u": True}
-    return row["__n"], stats
+        ents = [fs[f0.name] for fs in file_stats.values()]
+        if not ents:
+            continue  # empty run: no files grouped, no stats to fold
+        if any(e.get("u") for e in ents):
+            run_stats[f0.name] = {"u": True}
+            continue
+        mins = [e["min"] for e in ents if e["min"] is not None]
+        maxs = [e["max"] for e in ents if e["max"] is not None]
+        run_stats[f0.name] = {
+            "min": min(mins) if mins else None,
+            "max": max(maxs) if maxs else None,
+            "nulls": sum(e["nulls"] for e in ents),
+        }
+    return rows, run_stats, file_stats
 
 
 # Filter ops whose predicate can never be satisfied by a NULL value (SQL
@@ -356,9 +389,38 @@ class SnapshotTable:
             run_id in snap.run_ids or run_id in snap.retired_run_ids
         )
 
-    def stage(self, df: DataFrame, run_id: str) -> str:
+    def stage(
+        self,
+        df: DataFrame,
+        run_id: str,
+        cluster_by: "list[str] | None" = None,
+        cluster_partitions: int | None = None,
+    ) -> str:
         """Write df into the run's staging dir (overwrite = crash-safe
-        re-run; an uncommitted dir is invisible to readers)."""
+        re-run; an uncommitted dir is invisible to readers).
+
+        ``cluster_by`` range-partitions and sorts the write on the given
+        columns (Iceberg's sorted write-distribution): each output file
+        then covers a near-disjoint slice of the cluster key, so the
+        file-level zone maps collected at commit let a point/range read
+        plan one file of N instead of the whole run — the write-side half
+        of data skipping (the read-side half is ``read(filters=...)``)."""
+        if cluster_by:
+            if cluster_partitions is not None:
+                n = cluster_partitions
+            else:
+                # may be non-numeric ("auto" under AQE-managed deployments)
+                try:
+                    n = int(
+                        df.sparkSession.conf.get(
+                            "spark.sql.shuffle.partitions", "16"
+                        )
+                    )
+                except (ValueError, TypeError):
+                    n = 16
+            df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
         path = self.staged_dir(run_id)
         df.write.mode("overwrite").parquet(path)
         return path
@@ -377,6 +439,7 @@ class SnapshotTable:
         version."""
         rows = None
         run_stats = None
+        run_fstats = None
         staged_schema = None
         for _ in range(_CAS_RETRIES):
             prev = self.latest_snapshot()
@@ -386,7 +449,7 @@ class SnapshotTable:
                 return prev  # idempotent re-commit (incl. compaction-retired)
             if rows is None:  # staged data is fixed; scan once
                 staged = spark.read.parquet(self.staged_dir(run_id))
-                rows, run_stats = _collect_stats(staged)
+                rows, run_stats, run_fstats = _collect_stats(staged)
                 staged_schema = staged.schema
             snap = Snapshot(
                 version=(prev.version + 1) if prev else 1,
@@ -403,6 +466,10 @@ class SnapshotTable:
                 column_stats={
                     **(prev.column_stats if prev else {}),
                     run_id: run_stats,
+                },
+                file_stats={
+                    **(prev.file_stats if prev else {}),
+                    run_id: run_fstats,
                 },
             )
             try:
@@ -457,7 +524,7 @@ class SnapshotTable:
             else:
                 df = spark.read.parquet(*prev_paths)
             self.stage(df.repartition(target_partitions), run_id)
-            rows, run_stats = _collect_stats(
+            rows, run_stats, run_fstats = _collect_stats(
                 spark.read.parquet(self.staged_dir(run_id))
             )
             if rows != sum(prev.row_counts.values()):
@@ -475,6 +542,7 @@ class SnapshotTable:
                 ),
                 schema_json=prev.schema_json,
                 column_stats={run_id: run_stats},
+                file_stats={run_id: run_fstats},
             )
             try:
                 self._write_snapshot(snap)
@@ -630,7 +698,7 @@ class SnapshotTable:
             run_id = f"merge-{merge_id}-v{version}-{os.urandom(4).hex()}"
             self.stage(result, run_id)
             staged = spark.read.parquet(self.staged_dir(run_id))
-            rows, run_stats = _collect_stats(staged)
+            rows, run_stats, run_fstats = _collect_stats(staged)
             snap = Snapshot(
                 version=version,
                 run_ids=untouched + [run_id],
@@ -658,6 +726,14 @@ class SnapshotTable:
                         if prev and r in prev.column_stats
                     },
                     run_id: run_stats,
+                },
+                file_stats={
+                    **{
+                        r: (prev.file_stats if prev else {})[r]
+                        for r in untouched
+                        if prev and r in prev.file_stats
+                    },
+                    run_id: run_fstats,
                 },
             )
             try:
@@ -766,7 +842,21 @@ class SnapshotTable:
             if snap.schema_json is not None
             else None
         )
-        if not run_ids:
+        paths = []
+        for r in run_ids:
+            fstats = snap.file_stats.get(r)
+            if filters and fstats:
+                # file-level manifest pruning within the kept run: plan only
+                # the files whose zone maps can match (with cluster_by
+                # writes, one file of N for a point/range query)
+                paths.extend(
+                    os.path.join(self.staged_dir(r), fn)
+                    for fn, st in sorted(fstats.items())
+                    if not _run_provably_empty(st, filters)
+                )
+            else:
+                paths.append(self.staged_dir(r))
+        if not paths:
             # everything pruned: an empty frame in the snapshot schema
             # (schema_json is recorded by every stats-writing commit)
             if schema is None:
@@ -774,7 +864,6 @@ class SnapshotTable:
                     *[self.staged_dir(r) for r in snap.run_ids]
                 ).schema
             return spark.createDataFrame([], schema)
-        paths = [self.staged_dir(r) for r in run_ids]
         if schema is not None:
             # schema from snapshot metadata, Iceberg-style: runs written
             # before a column existed read back with NULLs there, and no

@@ -540,3 +540,110 @@ class TestZoneMapPruning:
         assert st["y"] == {"min": 16, "max": 18, "nulls": 8}
         # pruning still sound over the compacted table
         assert t.read(spark, filters=[("x", ">=", 8)]).count() == 2
+
+
+class TestFileLevelPruning:
+    """Per-FILE zone maps (Snapshot.file_stats) + cluster_by sorted writes:
+    within a kept run, read(filters=...) plans only the files whose stats
+    can match — with a clustered write that is one file of N for a point
+    query.  Same proof obligation as run-level pruning: the pruned read
+    must ALWAYS equal read().filter(same predicate)."""
+
+    def _clustered(self, spark, tmp_path, parts=4):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(
+            spark.range(100).toDF("x"),
+            "r1",
+            cluster_by=["x"],
+            cluster_partitions=parts,
+        )
+        t.commit(spark, "r1")
+        return t
+
+    def test_commit_records_per_file_stats(self, spark, tmp_path):
+        t = self._clustered(spark, tmp_path)
+        snap = t.latest_snapshot()
+        fstats = snap.file_stats["r1"]
+        assert len(fstats) == 4  # one entry per clustered output file
+        # files cover disjoint sorted ranges and fold to the run-level stats
+        spans = sorted(
+            (st["x"]["min"], st["x"]["max"]) for st in fstats.values()
+        )
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi < lo  # disjoint: sorted write-distribution
+        assert spans[0][0] == 0 and spans[-1][1] == 99
+        assert snap.column_stats["r1"]["x"] == {
+            "min": 0, "max": 99, "nulls": 0,
+        }
+
+    def test_point_read_plans_one_file_of_n(self, spark, tmp_path):
+        t = self._clustered(spark, tmp_path)
+        df = t.read(spark, filters=[("x", "=", 42)])
+        assert len(df.inputFiles()) == 1  # file-level manifest pruning
+        assert [r.x for r in df.collect()] == [42]
+
+    def test_range_read_plans_matching_files_only(self, spark, tmp_path):
+        t = self._clustered(spark, tmp_path)
+        full = len(t.read(spark).inputFiles())
+        df = t.read(spark, filters=[("x", "between", (10, 40))])
+        assert 1 <= len(df.inputFiles()) < full
+        assert sorted(r.x for r in df.collect()) == list(range(10, 41))
+
+    def test_pruned_read_equals_residual_filter(self, spark, tmp_path):
+        from moira_spark.sources.tableio import _filters_to_expr
+
+        t = self._clustered(spark, tmp_path)
+        t.stage(spark.range(100, 120).toDF("x"), "r2")  # unclustered run
+        t.commit(spark, "r2")
+        full = t.read(spark)
+        for filters in [
+            [("x", "<", 7)],
+            [("x", ">=", 95), ("x", "<", 110)],
+            [("x", "in", [3, 77, 115])],
+            [("x", ">", 500)],  # prunes everything
+        ]:
+            got = sorted(
+                r.x for r in t.read(spark, filters=filters).collect()
+            )
+            want = sorted(
+                r.x for r in full.filter(_filters_to_expr(filters)).collect()
+            )
+            assert got == want, f"file-pruned read diverged for {filters}"
+
+    def test_legacy_snapshot_without_file_stats_reads_whole_runs(
+        self, spark, tmp_path
+    ):
+        import json as _json
+
+        from moira_spark.sources.tableio import Snapshot
+
+        t = self._clustered(spark, tmp_path)
+        d = _json.loads(t.latest_snapshot().to_json())
+        del d["file_stats"]
+        legacy = Snapshot.from_json(_json.dumps(d))
+        assert legacy.file_stats == {}
+        # run-level pruning still applies; file-level quietly disabled
+        t._write_snapshot = lambda s: None  # not persisting the legacy view
+        kept, _ = t.prune(legacy, [("x", "=", 42)])
+        assert kept == ["r1"]
+
+    def test_merge_carries_file_stats_for_untouched_runs(
+        self, spark, tmp_path
+    ):
+        t = self._clustered(spark, tmp_path)
+        t.stage(spark.range(200, 210).toDF("x"), "r2")
+        t.commit(spark, "r2")
+        src = spark.createDataFrame([(205, False)], "x long, _del boolean")
+        t.merge(spark, src, key_cols=["x"], merge_id="m1", delete_col="_del")
+        snap = t.latest_snapshot()
+        assert "r1" in snap.file_stats  # untouched run keeps its file maps
+        assert len(snap.file_stats["r1"]) == 4
+        # point read through the merged table still plans one r1 file
+        df = t.read(spark, filters=[("x", "=", 42)])
+        assert len(df.inputFiles()) == 1
+
+    def test_compact_records_file_stats(self, spark, tmp_path):
+        t = self._clustered(spark, tmp_path)
+        snap = t.compact(spark)
+        assert set(snap.file_stats) == set(snap.run_ids)
+        assert t.read(spark, filters=[("x", "=", 42)]).count() == 1
