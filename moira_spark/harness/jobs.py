@@ -107,7 +107,9 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter on the evolved column skips the runs committed before it
     existed), compact (data-identical rewrite, schema carried, folded runs
     retired so replayed commits stay idempotent), vacuum with age-0
-    (expired + orphaned staging dirs removed), and re-read.  One row of
+    (expired + orphaned staging dirs removed), and re-read.  A second
+    table exercises FILE-level zone maps: a cluster_by sorted write into 4
+    files, then a point read that must plan exactly 1 of them.  One row of
     deterministic values; the zone-map invariants hard-fail in-query (a
     regression turns the driver row red), and any drift in
     schema-evolution NULL backfill, compaction row preservation, retire
@@ -162,11 +164,43 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"zone-map pruning invariants violated: {zone} != {expect}"
         )
 
+    # file-level zone maps (round 5): a cluster_by sorted write splits the
+    # run into files with disjoint key ranges; the per-file stats recorded
+    # at commit let a point read plan ONE file of N — Iceberg's file-level
+    # manifest pruning below the run-level skipping checked above
+    t2 = SnapshotTable(f"{work}/t2")
+    t2.stage(
+        spark.range(100, 200).toDF("x"),
+        "c1",
+        cluster_by=["x"],
+        cluster_partitions=4,
+    )
+    t2.commit(spark, "c1")
+    point = t2.read(spark, filters=[("x", "=", 150)])
+    point_files = point.inputFiles()
+    fzone = {
+        "file_zone_total_files": len(
+            t2.latest_snapshot().file_stats["c1"]
+        ),
+        "file_zone_files_planned": len(point_files),
+        "file_zone_point_row_ok": [r.x for r in point.collect()] == [150],
+    }
+    fexpect = {
+        "file_zone_total_files": 4,
+        "file_zone_files_planned": 1,
+        "file_zone_point_row_ok": True,
+    }
+    if fzone != fexpect:
+        raise AssertionError(
+            f"file-level pruning invariants violated: {fzone} != {fexpect}"
+        )
+
     snap = t.compact(spark)
     removed = t.vacuum(retain_last=1, min_age_seconds=0)
     after = t.read(spark)
     row = {
         **zone,
+        **fzone,
         "rows_before": 10,
         "rows_after_compact_vacuum": after.count(),
         "sum_x": after.agg(F.sum("x").cast("long").alias("s")).collect()[0]["s"],
@@ -187,6 +221,8 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zone_runs_skipped int, zone_pruned_rows long, "
             "zone_scan_reads_only_matching_run boolean, "
             "zone_evolution_skips_pre_column_runs boolean, "
+            "file_zone_total_files int, file_zone_files_planned int, "
+            "file_zone_point_row_ok boolean, "
             "rows_before int, rows_after_compact_vacuum long, sum_x long, "
             "nulls_backfilled_in_new_col long, sum_new_col long, "
             "schema_after string, runs_retired int, "
