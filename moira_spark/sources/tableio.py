@@ -79,6 +79,13 @@ class Snapshot:
     # read back with NULLs in the new column and no footer-merge scan ever
     # happens (mergeSchema=true reads every file's footer — wrong at 100 TB).
     schema_json: str | None = None
+    # What produced this snapshot: "append" (commit), "compact"
+    # (data-identical rewrite), "merge" (logical rewrite).  Drives
+    # read_changes(): Iceberg's incremental scan consumes appends, skips
+    # data-identical rewrites, and refuses logical rewrites.  None = legacy
+    # snapshot written before the field existed (read_changes infers
+    # conservatively from retired_run_ids growth).
+    operation: str | None = "append"
 
     def to_json(self) -> str:
         return json.dumps(
@@ -91,6 +98,7 @@ class Snapshot:
                 "schema_json": self.schema_json,
                 "column_stats": self.column_stats,
                 "file_stats": self.file_stats,
+                "operation": self.operation,
             }
         )
 
@@ -106,6 +114,7 @@ class Snapshot:
             schema_json=d.get("schema_json"),
             column_stats=d.get("column_stats", {}),
             file_stats=d.get("file_stats", {}),
+            operation=d.get("operation"),
         )
 
 
@@ -543,6 +552,7 @@ class SnapshotTable:
                 schema_json=prev.schema_json,
                 column_stats={run_id: run_stats},
                 file_stats={run_id: run_fstats},
+                operation="compact",
             )
             try:
                 self._write_snapshot(snap)
@@ -735,6 +745,7 @@ class SnapshotTable:
                     },
                     run_id: run_fstats,
                 },
+                operation="merge",
             )
             try:
                 self._write_snapshot(snap)
@@ -874,3 +885,92 @@ class SnapshotTable:
         if filters:
             df = df.filter(_filters_to_expr(filters))
         return df
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Iceberg-style incremental append scan: the rows ADDED by append
+        snapshots in ``(from_version, to_version]`` — the consumption
+        primitive for downstream pipelines (incremental dedup, CDC-style
+        re-scoring, nightly exports) that must process only new data, not
+        re-scan a 100 TB table per run.
+
+        Semantics match Iceberg's incremental read: append snapshots
+        contribute their new run dirs; compaction snapshots are skipped
+        (data-identical rewrites add nothing); a merge snapshot in the
+        range raises (a logical rewrite cannot be expressed as appends —
+        Iceberg refuses the same way).  Legacy snapshots without an
+        ``operation`` field are classified conservatively: growth of
+        ``retired_run_ids`` marks a rewrite and raises.  Rows are read
+        under the TO snapshot's schema (columns added later backfill NULL).
+        Vacuumed history cannot be incrementally scanned — like expired
+        Iceberg snapshots — because the appended dirs are gone.
+
+        ``from_version`` 0 means "from before the first snapshot" (a full
+        bootstrap read).  Returns an empty frame when the range adds
+        nothing."""
+        to_snap = (
+            self.latest_snapshot()
+            if to_version is None
+            else self.snapshot(to_version)
+        )
+        if to_snap is None:
+            raise ValueError("read_changes: no committed snapshot to read to")
+        if from_version > to_snap.version:
+            raise ValueError(
+                f"read_changes: from_version {from_version} is beyond "
+                f"snapshot {to_snap.version}"
+            )
+        new_runs: list[str] = []
+        if from_version > 0:
+            base = self.snapshot(from_version)
+            if base is None:
+                raise ValueError(
+                    f"read_changes: snapshot v{from_version} does not exist"
+                )
+            prev_runs = set(base.run_ids) | set(base.retired_run_ids)
+            prev_retired = set(base.retired_run_ids)
+        else:
+            prev_runs = set()
+            prev_retired = set()
+        for v in range(max(from_version, 0) + 1, to_snap.version + 1):
+            s = self.snapshot(v)
+            if s is None:
+                raise ValueError(f"read_changes: snapshot v{v} is missing")
+            op = s.operation
+            if op is None:  # legacy record: infer from retire growth
+                op = (
+                    "rewrite"
+                    if set(s.retired_run_ids) > prev_retired
+                    else "append"
+                )
+            if op == "append":
+                new_runs.extend(
+                    r for r in s.run_ids if r not in prev_runs
+                )
+            elif op != "compact":
+                raise ValueError(
+                    f"read_changes: snapshot v{v} is a {op!r} — a logical "
+                    "rewrite cannot be consumed as incremental appends; "
+                    "read the full table at that version instead"
+                )
+            prev_runs |= set(s.run_ids) | set(s.retired_run_ids)
+            prev_retired = set(s.retired_run_ids)
+        schema = (
+            StructType.fromJson(json.loads(to_snap.schema_json))
+            if to_snap.schema_json is not None
+            else None
+        )
+        if not new_runs:
+            if schema is None:
+                schema = spark.read.parquet(
+                    *[self.staged_dir(r) for r in to_snap.run_ids]
+                ).schema
+            return spark.createDataFrame([], schema)
+        paths = [self.staged_dir(r) for r in new_runs]
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*paths)
+        return spark.read.parquet(*paths)

@@ -647,3 +647,102 @@ class TestFileLevelPruning:
         snap = t.compact(spark)
         assert set(snap.file_stats) == set(snap.run_ids)
         assert t.read(spark, filters=[("x", "=", 42)]).count() == 1
+
+
+class TestIncrementalRead:
+    """Iceberg-style incremental append scan (SnapshotTable.read_changes):
+    downstream consumers process only the rows appended in a snapshot
+    range — appends contribute, compactions add nothing, merges refuse."""
+
+    def _table(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        for i, (lo, hi) in enumerate([(0, 5), (5, 8), (8, 10)], start=1):
+            t.stage(spark.range(lo, hi).toDF("x"), f"r{i}")
+            t.commit(spark, f"r{i}")
+        return t  # v1=r1, v2=r2, v3=r3
+
+    def test_appends_between_versions(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        got = sorted(r.x for r in t.read_changes(spark, 1, 3).collect())
+        assert got == [5, 6, 7, 8, 9]
+        assert sorted(
+            r.x for r in t.read_changes(spark, 2).collect()
+        ) == [8, 9]  # to_version defaults to latest
+        empty = t.read_changes(spark, 3, 3)
+        assert empty.columns == ["x"] and empty.count() == 0
+        # from_version 0 = bootstrap read of everything up to the target
+        assert sorted(
+            r.x for r in t.read_changes(spark, 0, 1).collect()
+        ) == [0, 1, 2, 3, 4]
+
+    def test_compaction_contributes_nothing(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.compact(spark)  # v4
+        t.stage(spark.range(10, 12).toDF("x"), "r4")
+        t.commit(spark, "r4")  # v5
+        # range spanning the compaction: only real appends surface
+        assert sorted(
+            r.x for r in t.read_changes(spark, 2, 5).collect()
+        ) == [8, 9, 10, 11]
+        assert t.read_changes(spark, 3, 4).count() == 0
+
+    def test_merge_in_range_raises(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        upd = spark.createDataFrame([(5, 50)], "x long, y long")
+        # schema evolution via merge is fine; the INCREMENTAL read refuses
+        t.merge(spark, upd.select("x"), ["x"], merge_id="m1")
+        with pytest.raises(ValueError, match="merge"):
+            t.read_changes(spark, 1)
+        # a range that stops before the merge still works
+        assert t.read_changes(spark, 1, 3).count() == 5
+
+    def test_schema_evolution_backfills_null(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(3).toDF("x"), "r1")
+        t.commit(spark, "r1")
+        t.stage(
+            spark.range(3, 5).toDF("x").withColumn("y", F.col("x") * 2), "r2"
+        )
+        t.commit(spark, "r2")
+        # rows are read under the TO snapshot's schema
+        got = sorted(
+            (r.x, r.y) for r in t.read_changes(spark, 0, 2).collect()
+        )
+        assert got == [(0, None), (1, None), (2, None), (3, 6), (4, 8)]
+        assert t.read_changes(spark, 0, 1).columns == ["x"]
+
+    def test_legacy_snapshots_classified_conservatively(
+        self, spark, tmp_path
+    ):
+        import json as _json
+
+        t = self._table(spark, tmp_path)
+        t.compact(spark)  # v4
+        # strip the operation field from every snapshot record on disk,
+        # emulating a table written before the field existed
+        snap_dir = os.path.join(str(tmp_path / "t"), "_snapshots")
+        for fn in os.listdir(snap_dir):
+            if not fn.endswith(".json"):
+                continue
+            p = os.path.join(snap_dir, fn)
+            with open(p) as fh:
+                d = _json.load(fh)
+            d.pop("operation", None)
+            os.unlink(p)  # snapshot files are hard-linked; replace whole
+            with open(p, "w") as fh:
+                _json.dump(d, fh)
+        # pure appends still read; retire growth (the compact) raises
+        assert t.read_changes(spark, 1, 3).count() == 5
+        with pytest.raises(ValueError, match="rewrite"):
+            t.read_changes(spark, 1, 4)
+
+    def test_bad_versions_raise(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="beyond"):
+            t.read_changes(spark, 9)
+        # a hole in the snapshot log is a hard error, never silent data loss
+        os.unlink(os.path.join(str(tmp_path / "t"), "_snapshots", "v2.json"))
+        with pytest.raises(ValueError, match="missing"):
+            t.read_changes(spark, 1, 3)
