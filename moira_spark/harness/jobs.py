@@ -164,6 +164,19 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"zone-map pruning invariants violated: {zone} != {expect}"
         )
 
+    # incremental append scan (round 5): consumers of a growing table read
+    # only the rows ADDED in a snapshot range — appends contribute,
+    # compaction (checked after the compact below) contributes nothing
+    inc_12 = sorted(
+        r.x for r in t.read_changes(spark, 1, 3).collect()
+    ) == [5, 6, 7, 8, 9]
+    inc_bootstrap = t.read_changes(spark, 0, 1).count() == 5
+    if not (inc_12 and inc_bootstrap):
+        raise AssertionError(
+            f"incremental append scan broke: v1->v3 ok={inc_12}, "
+            f"bootstrap ok={inc_bootstrap}"
+        )
+
     # file-level zone maps (round 5): a cluster_by sorted write splits the
     # run into files with disjoint key ranges; the per-file stats recorded
     # at commit let a point read plan ONE file of N — Iceberg's file-level
@@ -196,11 +209,21 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     snap = t.compact(spark)
+    inc_across_compact = t.read_changes(
+        spark, 3, snap.version
+    ).count()  # the rewrite added no rows, so the scan yields none
+    if inc_across_compact != 0:
+        raise AssertionError(
+            "incremental scan surfaced a compaction rewrite as "
+            f"{inc_across_compact} appended rows"
+        )
     removed = t.vacuum(retain_last=1, min_age_seconds=0)
     after = t.read(spark)
     row = {
         **zone,
         **fzone,
+        "incremental_scan_ok": inc_12 and inc_bootstrap,
+        "incremental_rows_across_compact": inc_across_compact,
         "rows_before": 10,
         "rows_after_compact_vacuum": after.count(),
         "sum_x": after.agg(F.sum("x").cast("long").alias("s")).collect()[0]["s"],
@@ -223,6 +246,8 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zone_evolution_skips_pre_column_runs boolean, "
             "file_zone_total_files int, file_zone_files_planned int, "
             "file_zone_point_row_ok boolean, "
+            "incremental_scan_ok boolean, "
+            "incremental_rows_across_compact long, "
             "rows_before int, rows_after_compact_vacuum long, sum_x long, "
             "nulls_backfilled_in_new_col long, sum_new_col long, "
             "schema_after string, runs_retired int, "
