@@ -149,23 +149,60 @@ def _evolve_schema(prev_json: str | None, staged: "StructType") -> str:
     return StructType(merged).json()
 
 
-def _stats_supported(dt) -> bool:
-    """Atomic types zone maps cover: JSON-clean, totally ordered, and
-    comparable to plain Python filter literals.  Decimals/dates/timestamps
-    collect as non-JSON Python objects and are deliberately left out."""
+def _stats_kind(dt) -> "str | None":
+    """How zone maps cover a type: "plain" for JSON-native totally-ordered
+    atomics, "ts" for date/timestamp (serialized as ISO strings, whose
+    lexicographic order is chronological), None for everything else
+    (decimals, complex types — recorded as present-but-unprunable)."""
     from pyspark.sql.types import (
         BooleanType,
+        DateType,
         DecimalType,
         NumericType,
         StringType,
+        TimestampNTZType,
+        TimestampType,
     )
 
-    return isinstance(dt, (StringType, BooleanType)) or (
+    if isinstance(dt, (StringType, BooleanType)) or (
         isinstance(dt, NumericType) and not isinstance(dt, DecimalType)
-    )
+    ):
+        return "plain"
+    if isinstance(dt, (DateType, TimestampType, TimestampNTZType)):
+        return "ts"
+    return None
 
 
-def _stats_entry(mn, mx, nulls) -> dict:
+def _to_iso(v):
+    """date/datetime -> ISO string (tz-aware normalized to UTC and stripped,
+    so every stored bound lives in one naive-UTC domain — the session
+    timezone is pinned UTC by session.py)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def _iso_full(v) -> "str | None":
+    """Widen an ISO date ("YYYY-MM-DD") to its midnight timestamp — EXACT,
+    not conservative: SQL comparisons cast a date to timestamp-at-midnight,
+    so both bounds and literals land in one comparable string domain."""
+    if v is None:
+        return None
+    s = _to_iso(v)
+    if not isinstance(s, str):
+        return v  # non-temporal literal: left for the TypeError keep-path
+    return s if "T" in s else s + "T00:00:00"
+
+
+def _stats_entry(mn, mx, nulls, kind: str = "plain") -> dict:
+    if kind == "ts":
+        return {"min": _to_iso(mn), "max": _to_iso(mx), "nulls": nulls, "ts": True}
     nonfinite = any(
         isinstance(v, float) and not math.isfinite(v) for v in (mn, mx)
     )
@@ -187,9 +224,11 @@ def _collect_stats(df: DataFrame) -> tuple[int, dict, dict]:
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     tracked = [
-        f0.name for f0 in df.schema.fields if _stats_supported(f0.dataType)
+        (f0.name, _stats_kind(f0.dataType))
+        for f0 in df.schema.fields
+        if _stats_kind(f0.dataType) is not None
     ]
-    for i, name in enumerate(tracked):
+    for i, (name, _) in enumerate(tracked):
         aggs.append(F.min(df[name]).alias(f"__mn_{i}"))
         aggs.append(F.max(df[name]).alias(f"__mx_{i}"))
         aggs.append(F.sum(df[name].isNull().cast("long")).alias(f"__nl_{i}"))
@@ -199,9 +238,9 @@ def _collect_stats(df: DataFrame) -> tuple[int, dict, dict]:
     for r in per_file:
         rows += r["__n"]
         ent: dict[str, dict] = {}
-        for i, name in enumerate(tracked):
+        for i, (name, kind) in enumerate(tracked):
             ent[name] = _stats_entry(
-                r[f"__mn_{i}"], r[f"__mx_{i}"], r[f"__nl_{i}"] or 0
+                r[f"__mn_{i}"], r[f"__mx_{i}"], r[f"__nl_{i}"] or 0, kind
             )
         for f0 in df.schema.fields:
             if f0.name not in ent:
@@ -221,6 +260,7 @@ def _collect_stats(df: DataFrame) -> tuple[int, dict, dict]:
             "min": min(mins) if mins else None,
             "max": max(maxs) if maxs else None,
             "nulls": sum(e["nulls"] for e in ents),
+            **({"ts": True} if ents[0].get("ts") else {}),
         }
     return rows, run_stats, file_stats
 
@@ -268,6 +308,18 @@ def _run_provably_empty(run_stats: "dict | None", filters) -> bool:
             return True  # op is in _NONNULL_OPS here
         if op == "is_not_null":
             continue
+        if ent.get("ts"):
+            # temporal bounds are ISO strings; widen date-grain values on
+            # BOTH sides to midnight timestamps so lexicographic order is
+            # chronological across date/timestamp mixes (exact, since SQL
+            # casts a date to its midnight timestamp)
+            mn, mx = _iso_full(mn), _iso_full(mx)
+            if op == "in":
+                val = [_iso_full(v) for v in val]
+            elif op == "between":
+                val = tuple(_iso_full(v) for v in val)
+            else:
+                val = _iso_full(val)
         try:
             if op in ("=", "=="):
                 if val < mn or val > mx:
@@ -615,7 +667,9 @@ class SnapshotTable:
         # (Iceberg's manifest-level file skipping applied to MERGE).
         dtypes = {f0.name: f0.dataType for f0 in updates.schema.fields}
         range_keys = [
-            c for c in key_cols if _stats_supported(dtypes.get(c, None) or ())
+            c
+            for c in key_cols
+            if _stats_kind(dtypes.get(c, None) or ()) is not None
         ]
         aggs = [
             F.count(F.lit(1)).alias("n"),

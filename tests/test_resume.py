@@ -746,3 +746,125 @@ class TestIncrementalRead:
         os.unlink(os.path.join(str(tmp_path / "t"), "_snapshots", "v2.json"))
         with pytest.raises(ValueError, match="missing"):
             t.read_changes(spark, 1, 3)
+
+
+class TestTemporalZoneMaps:
+    """Zone maps over date/timestamp columns — the dominant pruning key of
+    a time-partitioned 100 TB table.  Bounds serialize as ISO strings
+    (lexicographic = chronological); date-grain values widen to midnight
+    on BOTH sides, which is exact because SQL casts date -> midnight ts."""
+
+    def _table(self, spark, tmp_path):
+        import datetime as dt
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        days = [
+            ("r1", [dt.datetime(2024, 1, d, 12, 30) for d in (1, 2, 3)]),
+            ("r2", [dt.datetime(2024, 1, d, 8, 0) for d in (4, 5)]),
+            ("r3", [dt.datetime(2024, 2, 1, 0, 0)]),
+        ]
+        for rid, stamps in days:
+            t.stage(
+                spark.createDataFrame(
+                    [(s,) for s in stamps], "ev_ts timestamp_ntz"
+                ),
+                rid,
+            )
+            t.commit(spark, rid)
+        return t
+
+    def test_commit_records_iso_bounds(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        st = t.latest_snapshot().column_stats
+        assert st["r1"]["ev_ts"] == {
+            "min": "2024-01-01T12:30:00",
+            "max": "2024-01-03T12:30:00",
+            "nulls": 0,
+            "ts": True,
+        }
+
+    def test_prune_with_datetime_literals(self, spark, tmp_path):
+        import datetime as dt
+
+        t = self._table(spark, tmp_path)
+        snap = t.latest_snapshot()
+        kept, skipped = t.prune(
+            snap, [("ev_ts", ">=", dt.datetime(2024, 1, 4))]
+        )
+        assert kept == ["r2", "r3"] and skipped == ["r1"]
+        kept, _ = t.prune(
+            snap,
+            [("ev_ts", "between",
+              (dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)))],
+        )
+        assert kept == ["r1"]
+
+    def test_date_literal_widens_to_midnight(self, spark, tmp_path):
+        import datetime as dt
+
+        t = self._table(spark, tmp_path)
+        snap = t.latest_snapshot()
+        # date literal 2024-02-01 = midnight, exactly r3's single stamp
+        kept, _ = t.prune(snap, [("ev_ts", ">=", dt.date(2024, 2, 1))])
+        assert kept == ["r3"]
+
+    def test_datetime_literal_on_date_column_is_exact(self, spark, tmp_path):
+        import datetime as dt
+
+        t = SnapshotTable(str(tmp_path / "d"))
+        t.stage(
+            spark.createDataFrame(
+                [(dt.date(2024, 1, 5),), (dt.date(2024, 1, 6),)],
+                "d date",
+            ),
+            "r1",
+        )
+        t.commit(spark, "r1")
+        snap = t.latest_snapshot()
+        assert snap.column_stats["r1"]["d"]["min"] == "2024-01-05"
+        # midnight equality MUST keep (date casts to midnight ts)
+        kept, _ = t.prune(snap, [("d", "=", dt.datetime(2024, 1, 5, 0, 0))])
+        assert kept == ["r1"]
+        # d < 10:00 on the min day MUST keep (midnight qualifies)
+        kept, _ = t.prune(snap, [("d", "<", dt.datetime(2024, 1, 5, 10, 0))])
+        assert kept == ["r1"]
+        # strictly-before-midnight-of-min provably empty
+        kept, skipped = t.prune(
+            snap, [("d", "<", dt.datetime(2024, 1, 5, 0, 0))]
+        )
+        assert kept == [] and skipped == ["r1"]
+
+    def test_pruned_read_equals_residual_filter(self, spark, tmp_path):
+        import datetime as dt
+
+        from moira_spark.sources.tableio import _filters_to_expr
+
+        t = self._table(spark, tmp_path)
+        full = t.read(spark)
+        for filters in [
+            [("ev_ts", "<", dt.datetime(2024, 1, 4))],
+            [("ev_ts", ">=", dt.datetime(2024, 1, 5, 9, 0))],
+            [("ev_ts", "=", dt.datetime(2024, 2, 1))],
+            [("ev_ts", ">", dt.datetime(2030, 1, 1))],  # prunes everything
+        ]:
+            got = sorted(
+                r.ev_ts for r in t.read(spark, filters=filters).collect()
+            )
+            want = sorted(
+                r.ev_ts
+                for r in full.filter(_filters_to_expr(filters)).collect()
+            )
+            assert got == want, f"temporal pruned read diverged: {filters}"
+
+    def test_merge_prunes_on_temporal_key(self, spark, tmp_path):
+        import datetime as dt
+
+        t = self._table(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(dt.datetime(2024, 2, 1, 0, 0),)], "ev_ts timestamp_ntz"
+        )
+        snap = t.merge(spark, upd, ["ev_ts"], merge_id="m1")
+        # only r3's key range matches: r1/r2 stay referenced untouched
+        assert "r1" in snap.run_ids and "r2" in snap.run_ids
+        assert "r3" in snap.retired_run_ids
+        assert t.read(spark).count() == 6
