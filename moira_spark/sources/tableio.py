@@ -1028,3 +1028,43 @@ class SnapshotTable:
         if schema is not None:
             return spark.read.schema(schema).parquet(*paths)
         return spark.read.parquet(*paths)
+
+    def history(self, spark: SparkSession) -> "DataFrame | None":
+        """Iceberg's snapshots metadata table: one row per committed
+        snapshot — version, producing operation, runs/rows referenced, and
+        rows added vs the previous snapshot.  Metadata-only (reads the
+        snapshot log, never a data file), so it stays O(versions) on a
+        100 TB table.  Returns None before the first commit."""
+        latest = self.latest_snapshot()
+        if latest is None:
+            return None
+        rows = []
+        prev_counts: dict[str, int] = {}
+        for v in range(1, latest.version + 1):
+            s = self.snapshot(v)
+            if s is None:  # a hole is reported, not an error: history is
+                continue  # diagnostic surface, not a consistency proof
+            total = sum(s.row_counts.get(r, 0) for r in s.run_ids)
+            added = sum(
+                n
+                for r, n in s.row_counts.items()
+                if r in s.run_ids and r not in prev_counts
+            )
+            rows.append(
+                {
+                    "version": s.version,
+                    "operation": s.operation or "unknown",
+                    "n_runs": len(s.run_ids),
+                    "n_retired": len(s.retired_run_ids),
+                    "total_rows": total,
+                    "rows_added": added if (s.operation or "append") == "append" else 0,
+                }
+            )
+            prev_counts = dict(s.row_counts)
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "version int, operation string, n_runs int, n_retired int, "
+                "total_rows long, rows_added long"
+            ),
+        )

@@ -868,3 +868,23 @@ class TestTemporalZoneMaps:
         assert "r1" in snap.run_ids and "r2" in snap.run_ids
         assert "r3" in snap.retired_run_ids
         assert t.read(spark).count() == 6
+
+
+class TestHistory:
+    def test_history_metadata_table(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(5).toDF("x"), "r1")
+        t.commit(spark, "r1")
+        t.stage(spark.range(5, 8).toDF("x"), "r2")
+        t.commit(spark, "r2")
+        t.compact(spark)
+        t.stage(spark.range(8, 10).toDF("x"), "r3")
+        t.commit(spark, "r3")
+        h = {r.version: r for r in t.history(spark).collect()}
+        assert [h[v].operation for v in (1, 2, 3, 4)] == [
+            "append", "append", "compact", "append",
+        ]
+        assert [h[v].rows_added for v in (1, 2, 3, 4)] == [5, 3, 0, 2]
+        assert h[3].total_rows == 8 and h[4].total_rows == 10
+        assert h[3].n_retired == 2
+        assert SnapshotTable(str(tmp_path / "none")).history(spark) is None
