@@ -544,9 +544,22 @@ class SnapshotTable:
         )
 
     # ---------------------------------------------------------- maintenance
-    def compact(self, spark: SparkSession, target_partitions: int = 1) -> Snapshot:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int = 1,
+        cluster_by: "list[str] | None" = None,
+    ) -> Snapshot:
         """Rewrite every committed run dir into one compacted run and commit
         a snapshot referencing only it (Iceberg rewrite_data_files).
+
+        ``cluster_by`` makes it a SORTED rewrite (Iceberg's sort/z-order
+        strategy): the compacted files carry near-disjoint ranges of the
+        cluster key, so the file-level zone maps collected at commit turn
+        an accumulation of unsorted micro-batch runs into a table where a
+        point/range read plans one file of ``target_partitions`` — the
+        nightly maintenance pass a streaming ingest needs to stay
+        queryable.
 
         A long-running bucketed/streaming job accumulates one run dir per
         bucket or micro-batch; at 100 TB that means small-file explosion
@@ -584,7 +597,15 @@ class SnapshotTable:
                 ).parquet(*prev_paths)
             else:
                 df = spark.read.parquet(*prev_paths)
-            self.stage(df.repartition(target_partitions), run_id)
+            if cluster_by:
+                self.stage(
+                    df,
+                    run_id,
+                    cluster_by=cluster_by,
+                    cluster_partitions=target_partitions,
+                )
+            else:
+                self.stage(df.repartition(target_partitions), run_id)
             rows, run_stats, run_fstats = _collect_stats(
                 spark.read.parquet(self.staged_dir(run_id))
             )

@@ -888,3 +888,39 @@ class TestHistory:
         assert h[3].total_rows == 8 and h[4].total_rows == 10
         assert h[3].n_retired == 2
         assert SnapshotTable(str(tmp_path / "none")).history(spark) is None
+
+
+class TestSortedCompaction:
+    def test_compact_cluster_by_makes_point_reads_plan_one_file(
+        self, spark, tmp_path
+    ):
+        t = SnapshotTable(str(tmp_path / "t"))
+        # unsorted micro-batch accumulation: interleaved key ranges
+        for i, xs in enumerate(
+            [[5, 80, 13], [91, 2, 47], [30, 66, 9], [71, 24, 58]], start=1
+        ):
+            t.stage(
+                spark.createDataFrame([(x,) for x in xs], "x long").coalesce(
+                    1
+                ),
+                f"r{i}",
+            )
+            t.commit(spark, f"r{i}")
+        # before the sorted rewrite every run's (one) file overlaps x=47,
+        # so the point read must plan all 4 of them
+        assert len(t.read(spark, filters=[("x", "=", 47)]).inputFiles()) == 4
+        snap = t.compact(spark, target_partitions=4, cluster_by=["x"])
+        fstats = snap.file_stats[snap.run_ids[0]]
+        assert len(fstats) == 4
+        spans = sorted(
+            (st["x"]["min"], st["x"]["max"]) for st in fstats.values()
+        )
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi < lo  # sorted rewrite: disjoint file ranges
+        df = t.read(spark, filters=[("x", "=", 47)])
+        assert len(df.inputFiles()) == 1
+        assert [r.x for r in df.collect()] == [47]
+        # still data-identical
+        assert sorted(r.x for r in t.read(spark).collect()) == sorted(
+            [5, 80, 13, 91, 2, 47, 30, 66, 9, 71, 24, 58]
+        )
