@@ -288,3 +288,47 @@ def test_incremental_dedup_bands_backfill_on_pre_bands_state(spark, tmp_path):
         r.startswith("backfill-batch-2")
         for r in bands.latest_snapshot().run_ids
     )
+
+
+def test_incremental_consumer_across_stream_and_compaction(spark, tmp_path):
+    """The downstream-consumption story end to end: a streaming ingest
+    appends one snapshot per micro-batch; an incremental consumer
+    (read_changes) picks up exactly each batch's rows from its last-seen
+    version; a mid-stream sorted compaction neither duplicates rows into
+    the consumer's view nor disturbs subsequent increments."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    src = tg.gen_spark(spark, N_TURNS)
+    arrivals = [
+        src.filter(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    table = SnapshotTable(out_dir)
+    consumed = 0
+    cursor = 0  # the consumer's last-seen snapshot version
+    for i, part in enumerate(arrivals):
+        part.write.mode("append").parquet(in_dir)
+        q = stream_labels(spark, in_dir, out_dir, ck_dir)
+        q.awaitTermination(120)
+        head = table.latest_snapshot().version
+        batch = table.read_changes(spark, cursor, head)
+        n = batch.count()
+        assert n == part.select("conv_id", "turn_idx").distinct().count()
+        consumed += n
+        cursor = head
+        if i == 0:  # nightly maintenance between arrivals
+            snap = table.compact(
+                spark, target_partitions=2, cluster_by=["conv_id"]
+            )
+            cursor_before_compact = cursor
+            cursor = snap.version
+            # the rewrite contributes nothing to the consumer
+            assert (
+                table.read_changes(
+                    spark, cursor_before_compact, cursor
+                ).count()
+                == 0
+            )
+    assert consumed == table.read(spark).count()
