@@ -1046,6 +1046,16 @@ class SnapshotTable:
                 ).schema
             return spark.createDataFrame([], schema)
         paths = [self.staged_dir(r) for r in new_runs]
+        expired = [p for p in paths if not os.path.isdir(p)]
+        if expired:
+            # vacuumed history cannot be incrementally scanned (Iceberg:
+            # expired snapshots) — fail at plan time with the remedy, not
+            # mid-job with a FileNotFoundError from the scan
+            raise ValueError(
+                f"read_changes: {len(expired)} appended run dir(s) in the "
+                "range were expired by vacuum; bootstrap from a full "
+                "read() at the target version instead"
+            )
         if schema is not None:
             return spark.read.schema(schema).parquet(*paths)
         return spark.read.parquet(*paths)

@@ -924,3 +924,16 @@ class TestSortedCompaction:
         assert sorted(r.x for r in t.read(spark).collect()) == sorted(
             [5, 80, 13, 91, 2, 47, 30, 66, 9, 71, 24, 58]
         )
+
+
+def test_read_changes_over_vacuumed_history_raises(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    for i, (lo, hi) in enumerate([(0, 5), (5, 8)], start=1):
+        t.stage(spark.range(lo, hi).toDF("x"), f"r{i}")
+        t.commit(spark, f"r{i}")
+    t.compact(spark)
+    t.vacuum(retain_last=1, min_age_seconds=0)  # r1/r2 data dirs deleted
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        t.read_changes(spark, 0, 2)
+    # a full read at the compacted head still works
+    assert t.read(spark).count() == 8
