@@ -930,25 +930,69 @@ def semantic_dedup_flags(
 
 
 def intra_cluster_prune(
-    clustered: DataFrame, threshold: float = _EMB_DUP_THRESHOLD
+    clustered: DataFrame,
+    threshold: float = _EMB_DUP_THRESHOLD,
+    max_cluster: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup prune stage over a (vec_id, cluster, v, nv) frame: flag a
     vector dup when an earlier same-cluster vector sits at cosine >=
     ``threshold`` (single-pass pairwise, min-id survives).  Norms arrive
     precomputed (one 64-element fold per VECTOR, not three per PAIR); the
     pair join is an equi-join on cluster id, so comparisons never leave a
-    cluster.  Shared by the label-centroid and k-means SemDeDup paths."""
-    from moira_spark.harness.similarity import _dot
+    cluster.  Shared by the label-centroid and k-means SemDeDup paths.
 
-    a = clustered.select(
+    ``max_cluster`` is the 100 TB guard (the fan-out cap the shingle path
+    gets from the df cutoff): clusters above the cap are sub-split by a
+    sign-LSH signature wide enough that an even split lands under the cap,
+    so the pair join's per-key work stays bounded by occupancy instead of
+    growing O(hottest-cluster^2).  Exact copies share the signature by
+    construction and are always still caught; near-dups split across a
+    low-margin hyperplane can be missed — the same recall-for-boundedness
+    trade dedup_jaccard_capped documents, stated instead of silent."""
+    from moira_spark.harness.similarity import (
+        _dot,
+        _hyperplanes,
+        make_sign_lsh_udf,
+    )
+
+    work = clustered.withColumn("sub", F.lit(-1))
+    if max_cluster is not None:
+        sizes = clustered.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        n_max = sizes.agg(F.max("__n")).collect()[0][0] or 0  # scalar agg
+        if n_max > max_cluster:
+            import math
+
+            bits = max(1, math.ceil(math.log2(n_max / max_cluster)))
+            sig = make_sign_lsh_udf(
+                clustered.sparkSession,
+                _hyperplanes(bits, dim=_EMB_DIM, n_tables=1),
+            )
+            hot = sizes.filter(F.col("__n") > max_cluster).select(
+                "cluster", F.lit(True).alias("__hot")
+            )
+            work = (
+                clustered.join(F.broadcast(hot), "cluster", "left")
+                .withColumn(
+                    "sub",
+                    F.when(
+                        F.col("__hot"), F.element_at(sig(F.col("v")), 1)
+                    ).otherwise(F.lit(-1)),
+                )
+                .drop("__hot")
+            )
+    a = work.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cl"),
+        F.col("sub").alias("a_sub"),
         F.col("v").alias("va"),
         F.col("nv").alias("na"),
     )
-    b = clustered.select(
+    b = work.select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cl"),
+        F.col("sub").alias("b_sub"),
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
     )
@@ -958,7 +1002,9 @@ def intra_cluster_prune(
     dups = (
         a.join(
             F.broadcast(b),
-            (F.col("a_cl") == F.col("b_cl")) & (F.col("a_id") < F.col("b_id")),
+            (F.col("a_cl") == F.col("b_cl"))
+            & (F.col("a_sub") == F.col("b_sub"))
+            & (F.col("a_id") < F.col("b_id")),
         )
         .withColumn("cos_sim", pair_cos)
         .filter(F.col("cos_sim") >= threshold)

@@ -747,3 +747,65 @@ class TestBucketCountAnomalies:
         out = {(r["grp"], r["bucket"]): r["is_anomaly"] for r in bucket_count_anomalies(df).collect()}
         assert out[("a", 20)]
         assert not any(v for (g, _), v in out.items() if g == "b")
+
+
+class TestHotClusterCap:
+    """intra_cluster_prune(max_cluster=...): the SemDeDup fan-out guard.
+    Clusters above the cap sub-split by a sign-LSH signature sized so an
+    even split lands under the cap; exact copies share the signature by
+    construction, so planted duplicates are still always caught."""
+
+    def _frame(self, spark, rows):
+        import pyspark.sql.functions as F
+
+        from moira_spark.harness.similarity import _dot
+
+        df = spark.createDataFrame(
+            rows, "vec_id long, cluster long, v array<double>"
+        )
+        return df.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+    def test_cap_preserves_exact_copy_recall(self, spark):
+        from moira_spark.harness.dedup import intra_cluster_prune
+
+        def e(i):  # 64-dim basis vector
+            v = [0.0] * 64
+            v[i] = 1.0
+            return v
+
+        rows = []
+        vid = 0
+        # hot cluster 0: 6 families x (original + exact copy) = 12 > cap 4
+        for fam in range(6):
+            rows.append((vid, 0, e(fam))); vid += 1
+            rows.append((vid, 0, e(fam))); vid += 1
+        # cold cluster 1: one pair, stays on the unsplit (-1) path
+        rows.append((vid, 1, e(60))); vid += 1
+        rows.append((vid, 1, e(60))); vid += 1
+        out = {
+            r.vec_id: r.is_dup
+            for r in intra_cluster_prune(
+                self._frame(spark, rows), max_cluster=4
+            ).collect()
+        }
+        # every family's LATER exact copy is flagged, originals survive
+        for fam in range(6):
+            assert not out[2 * fam], f"family {fam} original was flagged"
+            assert out[2 * fam + 1], f"family {fam} copy escaped the cap"
+        assert not out[12] and out[13]  # cold-cluster pair unaffected
+        # distinct basis vectors (cosine 0) never false-flag
+        assert sum(out.values()) == 7
+
+    def test_cap_off_is_unchanged(self, spark):
+        from moira_spark.harness.dedup import intra_cluster_prune
+
+        rows = [
+            (1, 0, [1.0] + [0.0] * 63),
+            (2, 0, [1.0] + [0.0] * 63),
+            (3, 0, [0.0, 1.0] + [0.0] * 62),
+        ]
+        out = {
+            r.vec_id: r.is_dup
+            for r in intra_cluster_prune(self._frame(spark, rows)).collect()
+        }
+        assert out == {1: False, 2: True, 3: False}
