@@ -1085,8 +1085,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vector stream map-side — zero shuffle for assignment beyond the
     groupBy(vec_id) argmax, which partial-aggregates; the verify self-join
     is an equi-join on cluster id, so comparisons never leave a cluster
-    (at 100 TB, cap cluster occupancy like the shingle df cap and split
-    hot clusters by a secondary LSH band).  Determinism: centroid dims,
+    (at 100 TB, pass ``max_cluster`` to intra_cluster_prune — the
+    sign-LSH occupancy cap, pinned by tests/test_corpus_ops.py
+    TestHotClusterCap).  Determinism: centroid dims,
     assignment cosines, and pair cosines are all rounded to 6dp with
     min-label / min-id tiebreaks, so both engines make identical keep
     decisions.
