@@ -54,6 +54,41 @@ def parse_args(argv):
         action="store_true",
         help="force shuffle join for the conversation-verdict join-back",
     )
+    # table maintenance (nightly pass on the labels SnapshotTable; combine
+    # with --maintain-only to run maintenance without re-running the job)
+    m = p.add_argument_group("table maintenance")
+    m.add_argument(
+        "--compact",
+        action="store_true",
+        help="compact the labels table after the job",
+    )
+    m.add_argument(
+        "--compact-cluster-by",
+        help="comma-separated sort keys for a SORTED compaction rewrite "
+        "(files then carry disjoint key ranges -> point reads plan one "
+        "file of --compact-partitions)",
+    )
+    m.add_argument("--compact-partitions", type=int, default=16)
+    m.add_argument(
+        "--vacuum-retain",
+        type=int,
+        default=None,
+        help="expire all but the last N snapshots and delete data dirs "
+        "no retained snapshot references",
+    )
+    m.add_argument(
+        "--vacuum-min-age",
+        type=float,
+        default=3 * 86400,
+        help="never delete a dir younger than this many seconds "
+        "(in-flight-writer guard; default 3 days)",
+    )
+    m.add_argument(
+        "--maintain-only",
+        action="store_true",
+        help="skip the filter job; run only the requested maintenance "
+        "against the existing --output table",
+    )
     # moira-style threshold surface (maps onto moira_spark.config via
     # apply_overrides — the pandas oracle reads the same module, so the
     # F1/byte-exact acceptance gates hold under any setting):
@@ -111,45 +146,69 @@ def main(argv=None) -> int:
     spark = build_session(app_name=f"moira-spark-{args.run_id}", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.synthetic_turns:
-        from moira_spark.datagen import transcripts as tg
-
-        source = tg.gen_spark(spark, args.synthetic_turns, seed=42)
-    elif args.input:
-        source = spark.read.parquet(args.input)
-    else:
-        raise SystemExit("need --input or --synthetic-turns")
-
     t0 = time.time()
-    table = run_filter_job(
-        spark, source, args.output, args.run_id, n_buckets=args.buckets
-    )
-    final = table.read(spark)
-    n = final.count()
-    kept = final.filter("keep AND conv_keep").count()
-    exported = None
-    if args.export_good_jsonl:
-        from moira_spark.pipeline import filtered_output
-        from moira_spark.sources.jsonl import write_jsonl
+    if args.maintain_only:
+        from moira_spark.sources.tableio import SnapshotTable
 
-        good = filtered_output(final, source)
-        write_jsonl(
-            good,
-            args.export_good_jsonl,
-            shards=args.export_shards,
-            sort_within_shards="conv_id",
-            mode="overwrite",
+        table = SnapshotTable(f"{args.output}/labels")
+        if table.latest_snapshot() is None:
+            raise SystemExit(
+                f"--maintain-only: no committed table at {args.output}/labels"
+            )
+        summary = {"run_id": args.run_id}
+    else:
+        if args.synthetic_turns:
+            from moira_spark.datagen import transcripts as tg
+
+            source = tg.gen_spark(spark, args.synthetic_turns, seed=42)
+        elif args.input:
+            source = spark.read.parquet(args.input)
+        else:
+            raise SystemExit("need --input or --synthetic-turns")
+
+        table = run_filter_job(
+            spark, source, args.output, args.run_id, n_buckets=args.buckets
         )
-        exported = kept
-    summary = {
-        "run_id": args.run_id,
-        "turns": n,
-        "kept": kept,
-        "wall_sec": round(time.time() - t0, 1),
-        "snapshot_version": table.latest_snapshot().version,
-    }
-    if exported is not None:
-        summary["exported_jsonl"] = exported
+        final = table.read(spark)
+        n = final.count()
+        kept = final.filter("keep AND conv_keep").count()
+        summary = {"run_id": args.run_id, "turns": n, "kept": kept}
+        if args.export_good_jsonl:
+            from moira_spark.pipeline import filtered_output
+            from moira_spark.sources.jsonl import write_jsonl
+
+            good = filtered_output(final, source)
+            write_jsonl(
+                good,
+                args.export_good_jsonl,
+                shards=args.export_shards,
+                sort_within_shards="conv_id",
+                mode="overwrite",
+            )
+            summary["exported_jsonl"] = kept
+
+    if args.compact:
+        cluster_by = (
+            [s.strip() for s in args.compact_cluster_by.split(",") if s.strip()]
+            if args.compact_cluster_by
+            else None
+        )
+        snap = table.compact(
+            spark,
+            target_partitions=args.compact_partitions,
+            cluster_by=cluster_by,
+        )
+        summary["compacted_version"] = snap.version
+        summary["runs_folded"] = len(snap.retired_run_ids)
+    if args.vacuum_retain is not None:
+        removed = table.vacuum(
+            retain_last=args.vacuum_retain,
+            min_age_seconds=args.vacuum_min_age,
+        )
+        summary["dirs_vacuumed"] = len(removed)
+
+    summary["wall_sec"] = round(time.time() - t0, 1)
+    summary["snapshot_version"] = table.latest_snapshot().version
     print(json.dumps(summary))
     return 0
 

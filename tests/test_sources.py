@@ -196,3 +196,50 @@ class TestDriverJsonlExport:
         rows = back.collect()
         assert len(rows) == summary["kept"]
         assert all(r["conv_id"] is not None and r["text"] is not None for r in rows)
+
+
+class TestDriverMaintenance:
+    def test_job_then_maintain_only_compact_vacuum(self, spark, tmp_path, capsys):
+        import json as _json
+
+        import driver
+        from moira_spark.sources.tableio import SnapshotTable
+
+        out = str(tmp_path / "job")
+        # nightly job: several buckets -> several run dirs
+        rc = driver.main(
+            ["--synthetic-turns", "2000", "--output", out,
+             "--run-id", "n1", "--buckets", "4"]
+        )
+        assert rc == 0
+        job = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        t = SnapshotTable(f"{out}/labels")
+        assert len(t.latest_snapshot().run_ids) == 4
+
+        # separate maintenance invocation: sorted compaction + vacuum
+        rc = driver.main(
+            ["--maintain-only", "--output", out, "--run-id", "maint",
+             "--compact", "--compact-cluster-by", "conv_id",
+             "--compact-partitions", "2",
+             "--vacuum-retain", "1", "--vacuum-min-age", "0"]
+        )
+        assert rc == 0
+        m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert m["runs_folded"] == 4 and m["dirs_vacuumed"] >= 4
+        snap = t.latest_snapshot()
+        assert snap.version == m["snapshot_version"] > job["snapshot_version"]
+        assert len(snap.run_ids) == 1
+        # data identical after the maintenance pass
+        assert t.read(spark).count() == job["turns"]
+        # sorted rewrite: the compacted run carries per-file zone maps
+        assert len(snap.file_stats[snap.run_ids[0]]) == 2
+
+    def test_maintain_only_without_table_errors(self, tmp_path):
+        import driver
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="no committed table"):
+            driver.main(
+                ["--maintain-only", "--output", str(tmp_path / "none"),
+                 "--run-id", "x", "--compact"]
+            )
