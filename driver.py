@@ -13,6 +13,13 @@ Local smoke (no cluster):
 
     python driver.py --synthetic-turns 20000 --output /tmp/out --run-id t1
 
+Nightly maintenance (sorted compaction + snapshot expiry, no job re-run):
+
+    spark-submit --py-files pipeline.zip driver.py \\
+        --maintain-only --output /data/filtered --run-id maint-2026-08-17 \\
+        --compact --compact-cluster-by conv_id --compact-partitions 64 \\
+        --vacuum-retain 3
+
 The job is resumable: re-running with the same --run-id and --output skips
 every committed bucket (see moira_spark/job.py and sources/tableio.py).
 """
