@@ -109,7 +109,8 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     retired so replayed commits stay idempotent), vacuum with age-0
     (expired + orphaned staging dirs removed), and re-read.  A second
     table exercises FILE-level zone maps: a cluster_by sorted write into 4
-    files, then a point read that must plan exactly 1 of them.  One row of
+    files, then a point read that must plan exactly 1 of them, then an
+    append + rollback pinning the metadata-only undo contract.  One row of
     deterministic values; the zone-map invariants hard-fail in-query (a
     regression turns the driver row red), and any drift in
     schema-evolution NULL backfill, compaction row preservation, retire
@@ -219,11 +220,39 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     removed = t.vacuum(retain_last=1, min_age_seconds=0)
     after = t.read(spark)
+
+    # rollback (round 5): Iceberg rollback_to_snapshot — a metadata-only
+    # undo.  Append a second run to t2, roll back to v1, and pin the full
+    # contract: state restored as a NEW version, the undone run no longer
+    # committed (a corrected re-ingest re-appends), the undone version
+    # still time-travelable, and the incremental scan refusing to cross
+    # the rewrite while consuming normally from it forward.
+    t2.stage(spark.range(200, 210).toDF("x"), "c2")
+    t2.commit(spark, "c2")  # v2
+    rb = t2.rollback(1)  # v3
+    try:
+        t2.read_changes(spark, 1)  # spans the rollback -> must refuse
+        inc_refused = False
+    except ValueError:
+        inc_refused = True
+    roll = {
+        "rollback_is_new_version": rb.version == 3
+        and rb.operation == "rollback",
+        "rollback_state_restored": t2.read(spark).count() == 100,
+        "rollback_undoes_commit": not t2.is_committed("c2"),
+        "rollback_history_travelable": t2.read(spark, version=2).count()
+        == 110,
+        "rollback_blocks_incremental_scan": inc_refused,
+    }
+    if not all(roll.values()):
+        raise AssertionError(f"rollback invariants violated: {roll}")
+
     row = {
         **zone,
         **fzone,
         "incremental_scan_ok": inc_12 and inc_bootstrap,
         "incremental_rows_across_compact": inc_across_compact,
+        "rollback_ok": all(roll.values()),
         "rows_before": 10,
         "rows_after_compact_vacuum": after.count(),
         "sum_x": after.agg(F.sum("x").cast("long").alias("s")).collect()[0]["s"],
@@ -247,7 +276,7 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "file_zone_total_files int, file_zone_files_planned int, "
             "file_zone_point_row_ok boolean, "
             "incremental_scan_ok boolean, "
-            "incremental_rows_across_compact long, "
+            "incremental_rows_across_compact long, rollback_ok boolean, "
             "rows_before int, rows_after_compact_vacuum long, sum_x long, "
             "nulls_backfilled_in_new_col long, sum_new_col long, "
             "schema_after string, runs_retired int, "

@@ -872,6 +872,72 @@ class SnapshotTable:
             removed.append(path)
         return removed
 
+    def rollback(self, to_version: int) -> Snapshot:
+        """Iceberg's ``rollback_to_snapshot``: commit a NEW snapshot whose
+        table state (runs, keys, stats, schema) equals ``to_version``'s.
+        The operator's undo button for a bad append/merge — metadata-only,
+        O(1) in table size: no data file is read, written, or deleted.
+
+        Semantics (matching Iceberg):
+        - History is preserved.  The rolled-back versions stay
+          time-travelable until ``vacuum`` expires them; the new snapshot's
+          ``operation`` is ``"rollback"``.
+        - It is a true UNDO.  Runs that entered after ``to_version`` leave
+          ``run_ids`` *and* ``retired_run_ids``, so ``is_committed``
+          reports False and a checkpoint-replayed micro-batch (or a
+          corrected re-ingest) re-appends — exactly what rolling back bad
+          data is for.  Their orphaned dirs become ``vacuum``-collectable
+          after the age threshold.
+        - ``read_changes`` refuses to cross a rollback (rows were removed;
+          that is a logical rewrite, not an append) but consumes normally
+          from the rollback version forward.
+
+        Raises if the target version does not exist or if any of its run
+        dirs was already vacuumed (the data is gone; like time travel to
+        an expired snapshot).  Rolling back to the current version is a
+        no-op returning the latest snapshot."""
+        target = self.snapshot(to_version)
+        if target is None:
+            raise ValueError(
+                f"rollback: snapshot v{to_version} does not exist "
+                "(never committed, or expired by vacuum)"
+            )
+        missing = [
+            r
+            for r in target.run_ids
+            if not os.path.isdir(self.staged_dir(r))
+        ]
+        if missing:
+            raise ValueError(
+                f"rollback: {len(missing)} run dir(s) of v{to_version} were "
+                "expired by vacuum; the data no longer exists at that version"
+            )
+        for _ in range(_CAS_RETRIES):
+            prev = self.latest_snapshot()
+            assert prev is not None  # target exists, so a snapshot does
+            if prev.version == to_version:
+                return prev  # already there
+            snap = Snapshot(
+                version=prev.version + 1,
+                run_ids=list(target.run_ids),
+                committed_keys=list(target.committed_keys),
+                row_counts=dict(target.row_counts),
+                retired_run_ids=list(target.retired_run_ids),
+                schema_json=target.schema_json,
+                column_stats=dict(target.column_stats),
+                file_stats=dict(target.file_stats),
+                operation="rollback",
+            )
+            try:
+                self._write_snapshot(snap)
+                return snap
+            except SnapshotConflictError:
+                continue
+        raise SnapshotConflictError(
+            f"rollback to v{to_version} lost {_CAS_RETRIES} CAS races; "
+            "a writer is livelocking this table"
+        )
+
     # ------------------------------------------------------------- read path
     def snapshot(self, version: int) -> Snapshot | None:
         """Load a specific snapshot version (time travel)."""

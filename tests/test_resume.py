@@ -937,3 +937,81 @@ def test_read_changes_over_vacuumed_history_raises(spark, tmp_path):
         t.read_changes(spark, 0, 2)
     # a full read at the compacted head still works
     assert t.read(spark).count() == 8
+
+
+class TestRollback:
+    """Iceberg rollback_to_snapshot: a metadata-only undo that commits a
+    NEW snapshot equal to an older version's state, preserving history."""
+
+    def _table(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        for i, (lo, hi) in enumerate([(0, 5), (5, 8), (8, 10)], start=1):
+            t.stage(spark.range(lo, hi).toDF("x"), f"r{i}")
+            t.commit(spark, f"r{i}")
+        return t  # v1=r1, v2=+r2, v3=+r3
+
+    def test_rollback_restores_state_as_new_version(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        snap = t.rollback(2)
+        assert snap.version == 4 and snap.operation == "rollback"
+        assert sorted(r.x for r in t.read(spark).collect()) == list(range(8))
+        # history preserved: the undone version stays time-travelable
+        assert sorted(
+            r.x for r in t.read(spark, version=3).collect()
+        ) == list(range(10))
+        h = {r.version: r.operation for r in t.history(spark).collect()}
+        assert h[4] == "rollback"
+
+    def test_rollback_is_a_true_undo_for_replay(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.rollback(2)
+        # the undone run is no longer committed -> a checkpoint-replayed
+        # micro-batch (or corrected re-ingest) re-appends
+        assert not t.is_committed("r3")
+        snap = t.commit(spark, "r3")  # staged dir still on disk
+        assert snap.operation == "append" and snap.version == 5
+        assert sorted(r.x for r in t.read(spark).collect()) == list(range(10))
+
+    def test_rolled_back_runs_become_vacuumable(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.rollback(1)  # v4: only r1 referenced
+        removed = t.vacuum(retain_last=1, min_age_seconds=0)
+        assert len(removed) == 2  # r2 + r3 orphaned by the rollback
+        assert sorted(r.x for r in t.read(spark).collect()) == list(range(5))
+        # and rolling back to a vacuumed version now refuses cleanly
+        with pytest.raises(ValueError, match="expired by vacuum"):
+            t.rollback(3)
+
+    def test_read_changes_refuses_to_cross_a_rollback(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.rollback(2)  # v4
+        with pytest.raises(ValueError, match="rollback"):
+            t.read_changes(spark, 1)  # range spans the rewrite
+        # consuming from the rollback forward works: the re-append of r3
+        # (new run vs v4's base set) surfaces as an increment
+        t.commit(spark, "r3")  # v5
+        assert sorted(
+            r.x for r in t.read_changes(spark, 4, 5).collect()
+        ) == [8, 9]
+
+    def test_rollback_restores_pre_evolution_schema(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(spark.range(3).toDF("x"), "r1")
+        t.commit(spark, "r1")
+        t.stage(
+            spark.range(3, 5).toDF("x").withColumn("y", F.col("x") * 2), "r2"
+        )
+        t.commit(spark, "r2")
+        assert t.read(spark).columns == ["x", "y"]
+        t.rollback(1)
+        assert t.read(spark).columns == ["x"]
+        # zone-map stats rolled back with the state: pruning still works
+        assert t.read(spark, filters=[("x", ">", 100)]).count() == 0
+
+    def test_rollback_to_current_and_missing_versions(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        assert t.rollback(3).version == 3  # no-op
+        with pytest.raises(ValueError, match="does not exist"):
+            t.rollback(9)
