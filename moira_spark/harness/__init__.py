@@ -146,6 +146,14 @@ STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
         "corpus_bigram_pmi",
         "streaming_interval_join",
         "bucketed_join_colocated",
+        # sixth session: both SQL-checked at sf0.001 + sf0.01 by the local
+        # driver mirror every session, like the five above.  Round 6 frees
+        # >= 6 window seats (r4/r5 first-timers reaching 2x external green:
+        # events_asof_join, shard_packing, dedup_jaccard_capped,
+        # dedup_incremental, doc_span_dedup, streaming_session_windows), so
+        # the whole queue still drains to zero in round 6 as contracted.
+        "events_bloom_prefilter",
+        "corpus_curriculum_buckets",
     }
 )
 

@@ -1149,3 +1149,81 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_total_m bigint, frac_ppm bigint"
         ),
     )
+
+
+# ---------------------------------------------------- bloom semi-join (r5)
+@register(
+    "events_bloom_prefilter",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+               AS click_value_m
+    FROM events
+    WHERE event_type = 'click'
+      AND user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
+    GROUP BY user_id
+    """,
+)
+def events_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/bloom.py): per-user
+    click stats restricted to users that ever errored.
+
+    The scale story: at 10^12 events the semi join's shuffle is dominated
+    by rows that match nothing.  The Bloom bitmap built over the (small)
+    error-user side rides the plan as a constant-folded literal and drops
+    non-candidates inside the scan's whole-stage codegen, BEFORE any
+    shuffle or join; the broadcast semi join that follows removes the
+    false positives, so the composed result is bit-identical to the plain
+    semi join — which is exactly what the DuckDB oracle checks.
+
+    Two invariants hard-fail in-query: the filter must be a superset of
+    the true matches that actually prunes (false-positive side), and no
+    true match may be dropped (false-negative side — zero by construction,
+    verified anyway)."""
+    from moira_spark.operators.bloom import (
+        bloom_prefiltered_semi_join,
+        build_bloom,
+        might_contain,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    err_users = (
+        ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    )
+
+    words = build_bloom(err_users, "user_id")
+    passed = clicks.filter(might_contain(F.col("user_id"), words))
+    exact = clicks.join(F.broadcast(err_users), on="user_id", how="left_semi")
+
+    n_clicks, n_passed, n_exact = (
+        clicks.count(),
+        passed.count(),
+        exact.count(),
+    )
+    if not (n_exact <= n_passed <= n_clicks):
+        raise AssertionError(
+            "bloom pre-filter not a superset of true matches: "
+            f"clicks={n_clicks} passed={n_passed} exact={n_exact}"
+        )
+    # pruning power: of the non-member rows (n_clicks - n_exact), at most
+    # half may false-positive through — and at tiny sf every clicking user
+    # may also have errored, in which case there is nothing to prune
+    n_nonmember = n_clicks - n_exact
+    if n_nonmember and (n_passed - n_exact) > max(1, n_nonmember // 2):
+        raise AssertionError(
+            f"bloom passed {n_passed - n_exact} of {n_nonmember} "
+            "non-member rows — filter is not pruning"
+        )
+    false_neg = exact.filter(~might_contain(F.col("user_id"), words)).count()
+    if false_neg:
+        raise AssertionError(f"bloom dropped {false_neg} true matches")
+
+    out = bloom_prefiltered_semi_join(clicks, err_users, "user_id")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("click_value_m"),
+    )

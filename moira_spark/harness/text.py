@@ -1878,3 +1878,43 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_fp") / 1000000.0, 6).alias("pmi"),
         )
     )
+
+
+# ------------------------------------------------- curriculum buckets (r5)
+@register(
+    "corpus_curriculum_buckets",
+    """
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (SELECT n_chars,
+                 NTILE(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+          FROM documents)
+    GROUP BY bucket
+    """,
+)
+def corpus_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: split the corpus into B difficulty tiers by a
+    total order on a quality key (here document length; perplexity or a
+    learned score slots in identically), bit-identical to SQL
+    ``NTILE(B) OVER (ORDER BY key)``.
+
+    The scale story: NTILE over a global order is the classic
+    single-reducer window — Spark plans ``Exchange SinglePartition`` and
+    the entire corpus serializes through one task.  This computes the same
+    buckets from the hierarchical prefix-sum rank (operators/prefix.py):
+    NTILE's split is a closed form of the rank — the first ``n mod B``
+    buckets take ``ceil(n/B)`` rows, the rest ``floor(n/B)`` — so a
+    distributed row number plus one scalar count reproduces it with no
+    single-partition exchange anywhere in the plan (tests/test_plans.py
+    pins that property)."""
+    from moira_spark.operators.prefix import running_ntile
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucketed = running_ntile(docs, 8, ["n_chars", "doc_id"])
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )

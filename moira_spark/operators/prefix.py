@@ -187,6 +187,41 @@ def running_rank(
     )
 
 
+def running_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: Sequence[str],
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order)`` without the single-reducer
+    global-order window, bit-identical to the SQL function whenever the
+    order key is unique (callers append a unique id).
+
+    NTILE is a closed form of the global row number: with ``n`` rows and
+    ``B`` buckets the first ``n mod B`` buckets hold ``ceil(n/B)`` rows
+    and the rest ``floor(n/B)`` — so one distributed rank
+    (``running_rank`` above) plus one scalar count reproduces it.  All
+    bucket math is integer (floats misplace boundary ranks once
+    ``rank * B`` leaves double's exact range)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    n = df.count()
+    ranked = running_rank(
+        df, order_cols, out_col="__ntile_rk", num_partitions=num_partitions
+    )
+    q, rmd = divmod(n, n_buckets)
+    cut = rmd * (q + 1)  # last rank served by a ceil-sized bucket
+    return ranked.withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN __ntile_rk <= {cut} "
+            f"THEN (__ntile_rk - 1) div {q + 1} + 1 "
+            f"ELSE {rmd} + (__ntile_rk - {cut} - 1) div {max(q, 1)} + 1 END"
+        ),
+    ).drop("__ntile_rk")
+
+
 def _types_of(df: DataFrame, cols: Sequence[str]) -> list[str]:
     m = dict(df.dtypes)
     return [m[c] for c in cols]

@@ -130,6 +130,15 @@ CASES = [
     # TakeOrderedAndProject (per-partition heaps), never a sort over a
     # SinglePartition exchange; unigram-count joins broadcast here
     ("corpus_bigram_pmi", 0, 0, 2, 0),
+    # round 5 sixth session: NTILE curriculum — prefix-sum ranked
+    # (checkpoint root), the closed-form bucket expr and the final groupBy
+    # are pure JVM; the global-order window this replaces would plan a
+    # SinglePartition exchange over the whole corpus
+    ("corpus_curriculum_buckets", 0, 0, 0, 0),
+    # round 5 sixth session: bloom semi-join — the bitmap probe folds into
+    # the scan-side Filter (zero Python), the exact semi join broadcasts,
+    # and the click filter reaches the parquet scan
+    ("events_bloom_prefilter", 0, 0, 1, 1),
 ]
 
 

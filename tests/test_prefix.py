@@ -129,3 +129,23 @@ def test_double_valued_running_sum(spark):
     a = {r.id: round(r.cum, 9) for r in got.collect()}
     b = {r.id: round(r.cum, 9) for r in want.collect()}
     assert a == b
+
+
+@pytest.mark.parametrize("n,b", [(7, 3), (64, 8), (500, 8), (501, 8), (5, 9)])
+def test_running_ntile_matches_window_ntile(spark, n, b):
+    # bit-identical to NTILE(b) OVER (ORDER BY key, id) — including the
+    # ceil/floor split when b does not divide n, and b > n
+    from moira_spark.operators.prefix import running_ntile
+
+    data = [(i, (i * 37) % 11) for i in range(n)]
+    df = spark.createDataFrame(data, "id long, key long")
+    got = {
+        r.id: r.bucket
+        for r in running_ntile(df, b, ["key", "id"], num_partitions=4).collect()
+    }
+    w = Window.orderBy("key", "id")
+    want = {
+        r.id: r.nt
+        for r in df.withColumn("nt", F.ntile(b).over(w)).collect()
+    }
+    assert got == want
