@@ -77,6 +77,13 @@ def parse_args(argv):
     )
     m.add_argument("--compact-partitions", type=int, default=16)
     m.add_argument(
+        "--compact-zorder",
+        action="store_true",
+        help="sort the compaction on the Z-curve interleave of the "
+        "--compact-cluster-by columns (sublinear file pruning on every "
+        "clustered column, not just the leading one)",
+    )
+    m.add_argument(
         "--vacuum-retain",
         type=int,
         default=None,
@@ -204,6 +211,7 @@ def main(argv=None) -> int:
             spark,
             target_partitions=args.compact_partitions,
             cluster_by=cluster_by,
+            zorder=args.compact_zorder,
         )
         summary["compacted_version"] = snap.version
         summary["runs_folded"] = len(snap.retired_run_ids)

@@ -110,7 +110,9 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (expired + orphaned staging dirs removed), and re-read.  A second
     table exercises FILE-level zone maps: a cluster_by sorted write into 4
     files, then a point read that must plan exactly 1 of them, then an
-    append + rollback pinning the metadata-only undo contract.  One row of
+    append + rollback pinning the metadata-only undo contract.  A third
+    table pins Z-curve clustering: point slices on BOTH clustered dims
+    must prune files sublinearly.  One row of
     deterministic values; the zone-map invariants hard-fail in-query (a
     regression turns the driver row red), and any drift in
     schema-evolution NULL backfill, compaction row preservation, retire
@@ -209,6 +211,32 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"file-level pruning invariants violated: {fzone} != {fexpect}"
         )
 
+    # z-order clustering (round 5, sixth session): a Z-curve sorted write
+    # prunes sublinearly on EVERY clustered column, where lexicographic
+    # cluster_by prunes only the leading one.  16x16 grid into 4 files: a
+    # point slice on either dim must plan <= 3 of 4 files and return all
+    # 16 matching rows.
+    t3 = SnapshotTable(f"{work}/t3")
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], "a int, b int"
+    )
+    t3.stage(grid, "z1", cluster_by=["a", "b"], cluster_partitions=4,
+             zorder=True)
+    t3.commit(spark, "z1")
+    za = t3.read(spark, filters=[("a", "==", 5)])
+    zb = t3.read(spark, filters=[("b", "==", 5)])
+    zrow = {
+        "zorder_files_a": len(za.inputFiles()),
+        "zorder_files_b": len(zb.inputFiles()),
+        "zorder_rows_ok": za.count() == 16 and zb.count() == 16,
+    }
+    if not (
+        zrow["zorder_rows_ok"]
+        and 1 <= zrow["zorder_files_a"] <= 3
+        and 1 <= zrow["zorder_files_b"] <= 3
+    ):
+        raise AssertionError(f"z-order pruning invariants violated: {zrow}")
+
     snap = t.compact(spark)
     inc_across_compact = t.read_changes(
         spark, 3, snap.version
@@ -250,6 +278,7 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = {
         **zone,
         **fzone,
+        **zrow,
         "incremental_scan_ok": inc_12 and inc_bootstrap,
         "incremental_rows_across_compact": inc_across_compact,
         "rollback_ok": all(roll.values()),
@@ -275,6 +304,7 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zone_evolution_skips_pre_column_runs boolean, "
             "file_zone_total_files int, file_zone_files_planned int, "
             "file_zone_point_row_ok boolean, "
+            "zorder_files_a int, zorder_files_b int, zorder_rows_ok boolean, "
             "incremental_scan_ok boolean, "
             "incremental_rows_across_compact long, rollback_ok boolean, "
             "rows_before int, rows_after_compact_vacuum long, sum_x long, "

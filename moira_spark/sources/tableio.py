@@ -265,6 +265,65 @@ def _collect_stats(df: DataFrame) -> tuple[int, dict, dict]:
     return rows, run_stats, file_stats
 
 
+_Z_BITS = 8  # 256 buckets per dimension; z fits a bigint for up to 8 dims
+
+
+def _zvalue(df: DataFrame, cols: "list[str]", bits: int = _Z_BITS):
+    """Z-curve (Morton) ordering expression over ``cols``: bucket each
+    column uniformly into ``2^bits`` cells between its min and max (ONE
+    tiny aggregate job for the bounds), then bit-interleave the bucket
+    ids.  Pure JVM expressions — width_bucket + shifts inside codegen.
+
+    Uniform cells, not quantiles: the z value only orders the write, so
+    skew costs pruning selectivity on the hot range, never correctness.
+    NULLs and degenerate (constant/empty) columns bucket to 0."""
+    dtypes = dict(df.dtypes)
+    nums = []
+    for c in cols:
+        t = dtypes[c]
+        if t.startswith(("timestamp", "date")):
+            nums.append(F.unix_micros(F.col(c).cast("timestamp")).cast("double"))
+        elif t in ("string", "binary"):
+            # order-preserving 8-byte-prefix ordinal: the leading bytes as
+            # a big-endian unsigned integer ranks strings in (truncated)
+            # lexicographic byte order — enough locality to bucket on
+            b = F.substring(F.col(c).cast("binary"), 1, 8)
+            nums.append(
+                F.coalesce(
+                    F.conv(F.hex(b), 16, 10).cast("double"), F.lit(0.0)
+                )
+            )
+        elif t.startswith(("array", "map", "struct")):
+            raise ValueError(f"zorder: column {c!r} ({t}) is not orderable "
+                             "numerically; z-order needs scalar keys")
+        else:
+            nums.append(F.col(c).cast("double"))
+    aggs = []
+    for i, e in enumerate(nums):
+        aggs += [F.min(e).alias(f"mn{i}"), F.max(e).alias(f"mx{i}")]
+    bounds = df.agg(*aggs).collect()[0]
+    nb = 1 << bits
+    z = F.lit(0).cast("bigint")
+    for i, e in enumerate(nums):
+        mn, mx = bounds[f"mn{i}"], bounds[f"mx{i}"]
+        if mn is None or mx is None or mx == mn:
+            continue  # constant/empty dim contributes nothing to the order
+        b = (
+            F.width_bucket(e, F.lit(float(mn)), F.lit(float(mx)), F.lit(nb))
+            - 1
+        )
+        b = F.greatest(F.lit(0), F.least(F.lit(nb - 1), F.coalesce(b, F.lit(0))))
+        b = b.cast("bigint")
+        for bit in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1).cast("bigint")),
+                    bit * len(nums) + i,
+                )
+            )
+    return z
+
+
 # Filter ops whose predicate can never be satisfied by a NULL value (SQL
 # three-valued logic): a run whose column has zero non-null values is
 # provably empty under any of these.
@@ -456,6 +515,7 @@ class SnapshotTable:
         run_id: str,
         cluster_by: "list[str] | None" = None,
         cluster_partitions: int | None = None,
+        zorder: bool = False,
     ) -> str:
         """Write df into the run's staging dir (overwrite = crash-safe
         re-run; an uncommitted dir is invisible to readers).
@@ -465,7 +525,21 @@ class SnapshotTable:
         then covers a near-disjoint slice of the cluster key, so the
         file-level zone maps collected at commit let a point/range read
         plan one file of N instead of the whole run — the write-side half
-        of data skipping (the read-side half is ``read(filters=...)``)."""
+        of data skipping (the read-side half is ``read(filters=...)``).
+
+        ``zorder=True`` (with >= 2 cluster columns) sorts on the Z-curve
+        interleaving of the columns instead of lexicographically.  A
+        lexicographic sort gives perfect pruning on the leading column and
+        NONE on the others; the Z-curve trades that for sublinear pruning
+        on EVERY clustered column (~N^(1-1/d) of N files for a point
+        filter on one of d dims) — Delta/Iceberg's OPTIMIZE ZORDER.  The
+        Z value orders the write only; it is never stored."""
+        if zorder and cluster_by and len(cluster_by) >= 2:
+            zcol = "__zorder_tmp"
+            df = df.withColumn(zcol, _zvalue(df, cluster_by))
+            cluster_by = [zcol]
+        else:
+            zcol = None
         if cluster_by:
             if cluster_partitions is not None:
                 n = cluster_partitions
@@ -482,6 +556,8 @@ class SnapshotTable:
             df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
                 *cluster_by
             )
+        if zcol is not None:
+            df = df.drop(zcol)  # projection only: file layout is kept
         path = self.staged_dir(run_id)
         df.write.mode("overwrite").parquet(path)
         return path
@@ -549,17 +625,21 @@ class SnapshotTable:
         spark: SparkSession,
         target_partitions: int = 1,
         cluster_by: "list[str] | None" = None,
+        zorder: bool = False,
     ) -> Snapshot:
         """Rewrite every committed run dir into one compacted run and commit
         a snapshot referencing only it (Iceberg rewrite_data_files).
 
-        ``cluster_by`` makes it a SORTED rewrite (Iceberg's sort/z-order
+        ``cluster_by`` makes it a SORTED rewrite (Iceberg's sort
         strategy): the compacted files carry near-disjoint ranges of the
         cluster key, so the file-level zone maps collected at commit turn
         an accumulation of unsorted micro-batch runs into a table where a
         point/range read plans one file of ``target_partitions`` — the
         nightly maintenance pass a streaming ingest needs to stay
-        queryable.
+        queryable.  ``zorder=True`` sorts on the Z-curve interleave of
+        the cluster columns instead (Iceberg/Delta's z-order strategy):
+        sublinear file pruning on every clustered column, not just the
+        leading one — see :meth:`stage`.
 
         A long-running bucketed/streaming job accumulates one run dir per
         bucket or micro-batch; at 100 TB that means small-file explosion
@@ -603,6 +683,7 @@ class SnapshotTable:
                     run_id,
                     cluster_by=cluster_by,
                     cluster_partitions=target_partitions,
+                    zorder=zorder,
                 )
             else:
                 self.stage(df.repartition(target_partitions), run_id)

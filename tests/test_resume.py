@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 import pytest
 
 from moira_spark.datagen import transcripts as tg
@@ -1015,3 +1016,98 @@ class TestRollback:
         assert t.rollback(3).version == 3  # no-op
         with pytest.raises(ValueError, match="does not exist"):
             t.rollback(9)
+
+
+class TestZOrderClustering:
+    """stage(zorder=True): Z-curve file clustering — sublinear file pruning
+    on EVERY clustered column, vs lexicographic's all-files scan on any
+    column but the leading one."""
+
+    def _files(self, spark, t, filters):
+        df = t.read(spark, filters=filters)
+        return (
+            df.select(F.input_file_name()).distinct().count(),
+            df.count(),
+        )
+
+    def _grid(self, spark):
+        return spark.createDataFrame(
+            [(x, y, x * 100 + y) for x in range(32) for y in range(32)],
+            "x int, y int, v int",
+        )
+
+    def test_prunes_both_dims_sublinearly(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "z"))
+        t.stage(self._grid(spark), "r1", cluster_by=["x", "y"],
+                cluster_partitions=16, zorder=True)
+        t.commit(spark, "r1")
+        fx, nx = self._files(spark, t, [("x", "==", 7)])
+        fy, ny = self._files(spark, t, [("y", "==", 7)])
+        # a point slice on either of 2 dims touches ~sqrt(16) files
+        assert nx == 32 and ny == 32  # correctness: all matching rows
+        assert fx <= 6 and fy <= 6, (fx, fy)
+
+    def test_lexicographic_baseline_cannot_prune_trailing_dim(
+        self, spark, tmp_path
+    ):
+        t = SnapshotTable(str(tmp_path / "lex"))
+        t.stage(self._grid(spark), "r1", cluster_by=["x", "y"],
+                cluster_partitions=16)
+        t.commit(spark, "r1")
+        fx, _ = self._files(spark, t, [("x", "==", 7)])
+        fy, _ = self._files(spark, t, [("y", "==", 7)])
+        assert fx == 1 and fy == 16  # the asymmetry z-order removes
+
+    def test_filtered_read_equals_full_filter(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "z"))
+        t.stage(self._grid(spark), "r1", cluster_by=["x", "y"],
+                cluster_partitions=16, zorder=True)
+        t.commit(spark, "r1")
+        got = sorted(
+            r.v for r in t.read(spark, filters=[("y", ">", 28)]).collect()
+        )
+        want = sorted(
+            r.v for r in t.read(spark).filter(F.col("y") > 28).collect()
+        )
+        assert got == want
+
+    def test_constant_and_temporal_columns(self, spark, tmp_path):
+        # a constant dim contributes nothing (no crash); timestamps bucket
+        # via unix_micros
+        df = spark.createDataFrame(
+            [(1, f"2024-01-{d:02d} 00:00:00") for d in range(1, 29)],
+            "k int, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(df, "r1", cluster_by=["k", "ts"], cluster_partitions=4,
+                zorder=True)
+        t.commit(spark, "r1")
+        assert t.read(spark).count() == 28
+
+    def test_rejects_non_orderable_columns(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, [1, 2])], "k int, a array<int>")
+        t = SnapshotTable(str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="not orderable"):
+            t.stage(df, "r1", cluster_by=["k", "a"], zorder=True)
+
+    def test_string_keys_bucket_by_prefix_ordinal(self, spark, tmp_path):
+        # strings z-order via their 8-byte-prefix ordinal; a point filter
+        # on the string dim must still prune files
+        df = spark.createDataFrame(
+            [(f"conv-{i:04d}", i % 16, i) for i in range(512)],
+            "cid string, part int, v int",
+        )
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(df, "r1", cluster_by=["cid", "part"],
+                cluster_partitions=8, zorder=True)
+        t.commit(spark, "r1")
+        got = t.read(spark, filters=[("cid", "==", "conv-0100")])
+        assert [r.v for r in got.collect()] == [100]
+        assert len(got.inputFiles()) < 8
+
+    def test_zorder_column_never_written(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "z"))
+        t.stage(self._grid(spark), "r1", cluster_by=["x", "y"],
+                cluster_partitions=4, zorder=True)
+        t.commit(spark, "r1")
+        assert t.read(spark).columns == ["x", "y", "v"]
