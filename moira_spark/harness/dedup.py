@@ -1565,6 +1565,7 @@ def incremental_flags(
     enriched: DataFrame,
     committed: DataFrame | None,
     committed_bands: DataFrame | None = None,
+    history_bloom: bool = True,
 ) -> DataFrame:
     """SHARED flag assembly for incremental dedup — the single definition
     both the batch query (dedup_incremental_minhash) and the streaming
@@ -1595,7 +1596,16 @@ def incremental_flags(
     (round 5; rounds 1-4 evaluated the shingle split over every committed
     row on the build side of the verify join, an O(|history|) per-batch
     cost at 10^12 docs — tests/test_plans.py pins the semi-join now feeds
-    the only _with_shingle_set call here)."""
+    the only _with_shingle_set call here).
+
+    ``history_bloom`` (round 5, sixth session): Bloom bitmaps built over
+    the BATCH's band keys and fingerprints (operators/bloom.py — two tiny
+    aggregate jobs over the batch) pre-filter the history scans inside
+    codegen, so the band equi-join and the fingerprint distinct shuffle
+    only history rows that might collide with THIS batch — the state
+    table's per-batch shuffle footprint becomes O(batch collisions), not
+    O(history).  Exact either way (the equi-joins remove the bitmap's
+    false positives); flags are identical with it off."""
     firsts = enriched.groupBy("fingerprint").agg(
         F.min("doc_id").alias("first_id")
     )
@@ -1643,13 +1653,35 @@ def incremental_flags(
             )
         )
 
-    fp = committed.select("fingerprint").distinct().withColumn(
-        "in_committed", F.lit(True)
-    )
+    committed_fp = committed
     old_bands = (
         committed_bands
         if committed_bands is not None
         else lsh_band_rows(committed)
+    )
+    if history_bloom:
+        from moira_spark.operators.bloom import (
+            bits_for,
+            build_bloom,
+            might_contain,
+        )
+
+        n_docs = enriched.count()  # cheap: callers persist/checkpoint it
+        band_key = F.xxhash64(F.col("band"), F.col("sig"))
+        bwords = build_bloom(
+            new_bands, band_key, num_bits=bits_for(n_docs * _LSH_BANDS)
+        )
+        old_bands = old_bands.filter(might_contain(band_key, bwords))
+        fwords = build_bloom(
+            enriched.select("fingerprint"),
+            "fingerprint",
+            num_bits=bits_for(n_docs),
+        )
+        committed_fp = committed.filter(
+            might_contain(F.col("fingerprint"), fwords)
+        )
+    fp = committed_fp.select("fingerprint").distinct().withColumn(
+        "in_committed", F.lit(True)
     )
     cand = (
         new_bands.alias("l")

@@ -36,10 +36,14 @@ from pyspark.sql import Column, DataFrame
 _WORD_BITS = 64
 
 
-def build_bloom(df: DataFrame, key: str, num_bits: int = 1 << 16,
+def build_bloom(df: DataFrame, key, num_bits: int = 1 << 16,
                 num_hashes: int = 5) -> list[int]:
     """Aggregate a Bloom bitmap over ``df[key]`` and return it as
     ``num_bits / 64`` int64 words (driver-side, a few KiB).
+
+    ``key`` is a column name or an arbitrary Column expression (composite
+    keys hash as e.g. ``F.xxhash64("a", "b")`` — build and probe must use
+    the same expression).
 
     One distributed pass: explode each key into its ``num_hashes`` bit
     positions, map-side-combine ``bit_or`` per word, collect the at most
@@ -48,14 +52,15 @@ def build_bloom(df: DataFrame, key: str, num_bits: int = 1 << 16,
     if num_bits % _WORD_BITS:
         raise ValueError("num_bits must be a multiple of 64")
     n_words = num_bits // _WORD_BITS
+    kc = F.col(key) if isinstance(key, str) else key
     pos = F.explode(
         F.array(*[
-            F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(num_bits))
+            F.pmod(F.xxhash64(kc, F.lit(s)), F.lit(num_bits))
             for s in range(num_hashes)
         ])
     ).alias("pos")
     words = (
-        df.filter(F.col(key).isNotNull())
+        df.filter(kc.isNotNull())
         .select(pos)
         .select(
             F.shiftright(F.col("pos"), 6).cast("int").alias("w"),
@@ -71,6 +76,17 @@ def build_bloom(df: DataFrame, key: str, num_bits: int = 1 << 16,
     for r in words:
         out[r["w"]] = r["bits"]
     return out
+
+
+def bits_for(n_keys: int, num_hashes: int = 5,
+             lo: int = 1 << 14, hi: int = 1 << 20) -> int:
+    """Bitmap size for ~<1% false positives at ``n_keys``: the next power
+    of two >= 2·k·n (fp ≈ (1-e^(-kn/m))^k ≈ 0.9% at m = 2kn, k = 5),
+    clamped so the plan literal stays between 2 KiB and 128 KiB.  Above
+    the clamp the filter degrades gracefully (more false positives reach
+    the exact join; never a wrong result)."""
+    want = max(lo, min(hi, 2 * num_hashes * max(n_keys, 1)))
+    return 1 << (want - 1).bit_length()
 
 
 def might_contain(key: Column, words: list[int],

@@ -76,3 +76,66 @@ class TestSemiJoin:
         assert "EvalPython" not in plan  # no Python in the hot path
         assert "*(1) Filter" in plan  # probe runs inside codegen stage 1
         assert "getbit(" in plan  # bitmap folded into the filter itself
+
+
+class TestIncrementalDedupBloom:
+    """history_bloom in incremental_flags: flags identical with the bloom
+    on or off (the equi-joins remove false positives), and the history
+    scans carry the folded bitmap probe."""
+
+    def _fixtures(self, spark):
+        from moira_spark.harness import dedup
+
+        docs = spark.createDataFrame(
+            [
+                (i, f"alpha bravo charlie delta echo foxtrot golf {i % 40}")
+                for i in range(200)
+            ],
+            "doc_id long, text string",
+        )
+        committed = dedup._with_signatures(docs).select(
+            "doc_id", "text", "fingerprint", "mh"
+        )
+        # batch: 5 exact copies of history, 5 fresh docs
+        batch_src = spark.createDataFrame(
+            [(1000 + i, f"alpha bravo charlie delta echo foxtrot golf {i % 40}")
+             for i in range(5)]
+            + [(2000 + i, f"november oscar papa quebec romeo sierra {i}")
+               for i in range(5)],
+            "doc_id long, text string",
+        )
+        batch = dedup._with_signatures(batch_src).select(
+            "doc_id", "s", "fingerprint", "mh"
+        )
+        return dedup, batch, committed
+
+    def test_flags_identical_with_and_without_bloom(self, spark):
+        dedup, batch, committed = self._fixtures(spark)
+        on = {
+            r["doc_id"]: (r["dup_exact"], r["dup_near"], r["survives"])
+            for r in dedup.incremental_flags(
+                batch, committed, history_bloom=True
+            ).collect()
+        }
+        off = {
+            r["doc_id"]: (r["dup_exact"], r["dup_near"], r["survives"])
+            for r in dedup.incremental_flags(
+                batch, committed, history_bloom=False
+            ).collect()
+        }
+        assert on == off
+        assert all(on[1000 + i][0] for i in range(5))  # copies flagged
+        # fresh docs are near-dups of each other (only the trailing token
+        # differs): none is an exact dup, min-id wins, the rest flag near
+        assert not any(on[2000 + i][0] for i in range(5))
+        assert on[2000][2] and all(on[2000 + i][1] for i in range(1, 5))
+
+    def test_history_scan_carries_the_bitmap_probe(self, spark):
+        dedup, batch, committed = self._fixtures(spark)
+        plan = (
+            dedup.incremental_flags(batch, committed, history_bloom=True)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("getbit(") >= 2  # band-key AND fingerprint probes
