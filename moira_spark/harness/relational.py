@@ -1181,11 +1181,7 @@ def events_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true matches that actually prunes (false-positive side), and no
     true match may be dropped (false-negative side — zero by construction,
     verified anyway)."""
-    from moira_spark.operators.bloom import (
-        bloom_prefiltered_semi_join,
-        build_bloom,
-        might_contain,
-    )
+    from moira_spark.operators.bloom import build_bloom, might_contain
 
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click")
@@ -1220,7 +1216,9 @@ def events_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     if false_neg:
         raise AssertionError(f"bloom dropped {false_neg} true matches")
 
-    out = bloom_prefiltered_semi_join(clicks, err_users, "user_id")
+    # reuse the bitmap + pre-filtered frame the invariants already built
+    # (bloom_prefiltered_semi_join would redundantly rebuild both)
+    out = passed.join(F.broadcast(err_users), on="user_id", how="left_semi")
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_clicks"),
         F.sum(F.round(F.col("value") * 1000).cast("bigint"))

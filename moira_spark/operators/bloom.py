@@ -98,7 +98,10 @@ def might_contain(key: Column, words: list[int],
     constant-folds into a single array literal, so the per-row work is
     ``num_hashes`` × (hash, shift, getbit) in whole-stage codegen."""
     num_bits = len(words) * _WORD_BITS
-    bits = F.lit(words)
+    # explicit bigint elements: F.lit infers array<int> when every word
+    # happens to fit 32 bits (e.g. an empty build side), and getbit on an
+    # int rejects bit positions >= 32 at runtime
+    bits = F.lit(words).cast("array<bigint>")
     cond = F.lit(True)
     for s in range(num_hashes):
         pos = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(num_bits))

@@ -265,7 +265,8 @@ def _collect_stats(df: DataFrame) -> tuple[int, dict, dict]:
     return rows, run_stats, file_stats
 
 
-_Z_BITS = 8  # 256 buckets per dimension; z fits a bigint for up to 8 dims
+_Z_BITS = 8  # 256 buckets/dim up to 7 dims; above that bits shrink so the
+# interleave never reaches bigint's sign bit (see the cap in _zvalue)
 
 
 def _zvalue(df: DataFrame, cols: "list[str]", bits: int = _Z_BITS):
@@ -298,6 +299,10 @@ def _zvalue(df: DataFrame, cols: "list[str]", bits: int = _Z_BITS):
                              "numerically; z-order needs scalar keys")
         else:
             nums.append(F.col(c).cast("double"))
+    # never interleave into bit 63: a set sign bit makes half the key
+    # space sort NEGATIVE under bigint ordering, silently inverting the
+    # Z curve — shrink per-dim resolution instead when dims are many
+    bits = min(bits, 63 // len(nums))
     aggs = []
     for i, e in enumerate(nums):
         aggs += [F.min(e).alias(f"mn{i}"), F.max(e).alias(f"mx{i}")]
@@ -534,12 +539,24 @@ class SnapshotTable:
         on EVERY clustered column (~N^(1-1/d) of N files for a point
         filter on one of d dims) — Delta/Iceberg's OPTIMIZE ZORDER.  The
         Z value orders the write only; it is never stored."""
-        if zorder and cluster_by and len(cluster_by) >= 2:
+        zcol = None
+        if zorder:
+            # refuse, don't silently no-op: the operator would believe the
+            # table is z-clustered while every read scans all files
+            if not cluster_by or len(cluster_by) < 2:
+                raise ValueError(
+                    "zorder=True needs >= 2 cluster_by columns (a single "
+                    "column is already optimally clustered by the plain "
+                    "sorted write)"
+                )
             zcol = "__zorder_tmp"
+            if zcol in df.columns:
+                raise ValueError(
+                    f"zorder: input already has a {zcol!r} column; rename "
+                    "it — the write would silently drop it"
+                )
             df = df.withColumn(zcol, _zvalue(df, cluster_by))
             cluster_by = [zcol]
-        else:
-            zcol = None
         if cluster_by:
             if cluster_partitions is not None:
                 n = cluster_partitions
@@ -657,6 +674,10 @@ class SnapshotTable:
         fresh snapshot so the newly appended rows are folded in rather
         than silently dropped.
         """
+        if zorder and (not cluster_by or len(cluster_by) < 2):
+            raise ValueError(
+                "compact(zorder=True) needs >= 2 cluster_by columns"
+            )
         for _ in range(_CAS_RETRIES):
             prev = self.latest_snapshot()
             if prev is None or not prev.run_ids:

@@ -139,3 +139,12 @@ class TestIncrementalDedupBloom:
             .toString()
         )
         assert plan.count("getbit(") >= 2  # band-key AND fingerprint probes
+
+
+def test_empty_build_side_matches_nothing_without_crashing(spark):
+    # an all-zero bitmap once inferred array<int> and getbit(int, 51) threw
+    # BIT_POSITION_RANGE at runtime; the cast to array<bigint> pins the fix
+    empty = spark.createDataFrame([], "k bigint")
+    words = build_bloom(empty, "k")
+    probes = spark.range(100).toDF("k")
+    assert probes.filter(might_contain(F.col("k"), words)).count() == 0

@@ -996,8 +996,6 @@ class TestRollback:
         ) == [8, 9]
 
     def test_rollback_restores_pre_evolution_schema(self, spark, tmp_path):
-        import pyspark.sql.functions as F
-
         t = SnapshotTable(str(tmp_path / "t"))
         t.stage(spark.range(3).toDF("x"), "r1")
         t.commit(spark, "r1")
@@ -1111,3 +1109,42 @@ class TestZOrderClustering:
                 cluster_partitions=4, zorder=True)
         t.commit(spark, "r1")
         assert t.read(spark).columns == ["x", "y", "v"]
+
+
+class TestZOrderEdgeGuards:
+    def test_zorder_without_enough_cluster_columns_raises(
+        self, spark, tmp_path
+    ):
+        df = spark.range(4).toDF("x")
+        t = SnapshotTable(str(tmp_path / "t"))
+        with pytest.raises(ValueError, match=">= 2 cluster_by"):
+            t.stage(df, "r1", cluster_by=["x"], zorder=True)
+        with pytest.raises(ValueError, match=">= 2 cluster_by"):
+            t.stage(df, "r1", zorder=True)
+        t.stage(df, "r1")
+        t.commit(spark, "r1")
+        with pytest.raises(ValueError, match=">= 2 cluster_by"):
+            t.compact(spark, zorder=True)
+
+    def test_zorder_rejects_colliding_temp_column(self, spark, tmp_path):
+        df = spark.range(4).toDF("a").withColumn(
+            "__zorder_tmp", F.col("a")
+        ).withColumn("b", F.col("a"))
+        t = SnapshotTable(str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="__zorder_tmp"):
+            t.stage(df, "r1", cluster_by=["a", "b"], zorder=True)
+
+    def test_eight_dims_never_reach_the_sign_bit(self, spark):
+        # at 8 dims the per-dim resolution shrinks so the interleave stays
+        # in bits [0, 63): a set sign bit would invert the curve's order
+        from moira_spark.sources.tableio import _zvalue
+
+        cols = [f"c{i}" for i in range(8)]
+        df = spark.createDataFrame(
+            [tuple(range(j, j + 8)) for j in range(64)],
+            ", ".join(f"{c} int" for c in cols),
+        )
+        mn = df.select(_zvalue(df, cols).alias("z")).agg(
+            F.min("z").alias("m")
+        ).collect()[0]["m"]
+        assert mn >= 0
