@@ -84,6 +84,14 @@ def parse_args(argv):
         "clustered column, not just the leading one)",
     )
     m.add_argument(
+        "--rollback-to",
+        type=int,
+        default=None,
+        help="metadata-only undo: commit a new snapshot equal to this "
+        "version's state (bad-ingest recovery; runs FIRST so a following "
+        "--compact/--vacuum operates on the restored state)",
+    )
+    m.add_argument(
         "--vacuum-retain",
         type=int,
         default=None,
@@ -201,6 +209,10 @@ def main(argv=None) -> int:
             )
             summary["exported_jsonl"] = kept
 
+    if args.rollback_to is not None:
+        snap = table.rollback(args.rollback_to)
+        summary["rolled_back_to"] = args.rollback_to
+        summary["rollback_version"] = snap.version
     if args.compact:
         cluster_by = (
             [s.strip() for s in args.compact_cluster_by.split(",") if s.strip()]

@@ -243,3 +243,41 @@ class TestDriverMaintenance:
                 ["--maintain-only", "--output", str(tmp_path / "none"),
                  "--run-id", "x", "--compact"]
             )
+
+    def test_maintain_only_rollback_undoes_a_bad_ingest(
+        self, spark, tmp_path, capsys
+    ):
+        import json as _json
+
+        import driver
+        from moira_spark.sources.tableio import SnapshotTable
+
+        out = str(tmp_path / "job")
+        rc = driver.main(
+            ["--synthetic-turns", "1000", "--output", out,
+             "--run-id", "good", "--buckets", "2"]
+        )
+        assert rc == 0
+        good = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        t = SnapshotTable(f"{out}/labels")
+        good_v = t.latest_snapshot().version
+
+        # a second (bad) ingest appends more runs...
+        rc = driver.main(
+            ["--synthetic-turns", "500", "--output", out,
+             "--run-id", "bad", "--buckets", "2"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        assert t.read(spark).count() > good["turns"]
+
+        # ...and the operator undoes it from the maintenance CLI
+        rc = driver.main(
+            ["--maintain-only", "--output", out, "--run-id", "undo",
+             "--rollback-to", str(good_v)]
+        )
+        assert rc == 0
+        m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert m["rolled_back_to"] == good_v
+        assert m["snapshot_version"] == m["rollback_version"] > good_v
+        assert t.read(spark).count() == good["turns"]
