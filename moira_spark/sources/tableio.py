@@ -269,11 +269,19 @@ _Z_BITS = 8  # 256 buckets/dim up to 7 dims; above that bits shrink so the
 # interleave never reaches bigint's sign bit (see the cap in _zvalue)
 
 
-def _zvalue(df: DataFrame, cols: "list[str]", bits: int = _Z_BITS):
+def _zvalue(df: DataFrame, cols: "list[str]", bits: int = _Z_BITS,
+            bounds: "dict[str, tuple] | None" = None):
     """Z-curve (Morton) ordering expression over ``cols``: bucket each
-    column uniformly into ``2^bits`` cells between its min and max (ONE
-    tiny aggregate job for the bounds), then bit-interleave the bucket
-    ids.  Pure JVM expressions — width_bucket + shifts inside codegen.
+    column uniformly into ``2^bits`` cells between its min and max, then
+    bit-interleave the bucket ids.  Pure JVM expressions — width_bucket +
+    shifts inside codegen.
+
+    Bounds come from ``bounds`` (``{col: (lo, hi)}`` floats in the same
+    numeric space as the probe — see ``_zbounds_from_snapshot``) when the
+    caller already knows them (compaction has the snapshot's column
+    stats); columns without provided bounds fall back to one min/max
+    aggregation — an output-tiny but INPUT-full scan, worth skipping on a
+    100 TB rewrite.
 
     Uniform cells, not quantiles: the z value only orders the write, so
     skew costs pruning selectivity on the hot range, never correctness.
@@ -303,14 +311,20 @@ def _zvalue(df: DataFrame, cols: "list[str]", bits: int = _Z_BITS):
     # space sort NEGATIVE under bigint ordering, silently inverting the
     # Z curve — shrink per-dim resolution instead when dims are many
     bits = min(bits, 63 // len(nums))
-    aggs = []
-    for i, e in enumerate(nums):
-        aggs += [F.min(e).alias(f"mn{i}"), F.max(e).alias(f"mx{i}")]
-    bounds = df.agg(*aggs).collect()[0]
+    have: dict = dict(bounds or {})
+    need = [i for i, c in enumerate(cols) if c not in have]
+    if need:
+        aggs = []
+        for i in need:
+            aggs += [F.min(nums[i]).alias(f"mn{i}"),
+                     F.max(nums[i]).alias(f"mx{i}")]
+        r = df.agg(*aggs).collect()[0]
+        for i in need:
+            have[cols[i]] = (r[f"mn{i}"], r[f"mx{i}"])
     nb = 1 << bits
     z = F.lit(0).cast("bigint")
     for i, e in enumerate(nums):
-        mn, mx = bounds[f"mn{i}"], bounds[f"mx{i}"]
+        mn, mx = have[cols[i]]
         if mn is None or mx is None or mx == mn:
             continue  # constant/empty dim contributes nothing to the order
         b = (
@@ -327,6 +341,44 @@ def _zvalue(df: DataFrame, cols: "list[str]", bits: int = _Z_BITS):
                 )
             )
     return z
+
+
+def _zbounds_from_snapshot(
+    snap: "Snapshot", cols: "list[str]"
+) -> "dict[str, tuple]":
+    """Fold a snapshot's per-run column stats into ``{col: (lo, hi)}`` in
+    _zvalue's probe space (floats; timestamps as unix micros; strings as
+    the 8-byte big-endian prefix ordinal).  Columns any run lacks stats
+    for are omitted — _zvalue falls back to aggregating just those."""
+    import datetime as _dt
+
+    def to_probe(v, ts: bool):
+        if v is None:
+            return None
+        if ts:
+            s = _iso_full(v)
+            d = _dt.datetime.fromisoformat(s)
+            return d.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6
+        if isinstance(v, str):
+            return float(int.from_bytes(v.encode("utf-8")[:8], "big"))
+        return float(v)
+
+    out: dict = {}
+    for c in cols:
+        lo = hi = None
+        ok = True
+        for r in snap.run_ids:
+            ent = (snap.column_stats.get(r) or {}).get(c)
+            if not ent or ent.get("u") or ent.get("min") is None:
+                ok = False
+                break
+            a = to_probe(ent["min"], ent.get("ts", False))
+            b = to_probe(ent["max"], ent.get("ts", False))
+            lo = a if lo is None else min(lo, a)
+            hi = b if hi is None else max(hi, b)
+        if ok and lo is not None:
+            out[c] = (lo, hi)
+    return out
 
 
 # Filter ops whose predicate can never be satisfied by a NULL value (SQL
@@ -521,6 +573,7 @@ class SnapshotTable:
         cluster_by: "list[str] | None" = None,
         cluster_partitions: int | None = None,
         zorder: bool = False,
+        zorder_bounds: "dict[str, tuple] | None" = None,
     ) -> str:
         """Write df into the run's staging dir (overwrite = crash-safe
         re-run; an uncommitted dir is invisible to readers).
@@ -555,7 +608,9 @@ class SnapshotTable:
                     f"zorder: input already has a {zcol!r} column; rename "
                     "it — the write would silently drop it"
                 )
-            df = df.withColumn(zcol, _zvalue(df, cluster_by))
+            df = df.withColumn(
+                zcol, _zvalue(df, cluster_by, bounds=zorder_bounds)
+            )
             cluster_by = [zcol]
         if cluster_by:
             if cluster_partitions is not None:
@@ -705,6 +760,13 @@ class SnapshotTable:
                     cluster_by=cluster_by,
                     cluster_partitions=target_partitions,
                     zorder=zorder,
+                    # the snapshot already knows every column's bounds: a
+                    # z-ordered rewrite must not pay an extra full scan
+                    zorder_bounds=(
+                        _zbounds_from_snapshot(prev, cluster_by)
+                        if zorder
+                        else None
+                    ),
                 )
             else:
                 self.stage(df.repartition(target_partitions), run_id)

@@ -1148,3 +1148,72 @@ class TestZOrderEdgeGuards:
             F.min("z").alias("m")
         ).collect()[0]["m"]
         assert mn >= 0
+
+
+class TestZOrderBoundsFromStats:
+    def test_compact_zorder_uses_snapshot_stats_not_a_scan(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A z-ordered compaction must derive the cell bounds from the
+        snapshot's column stats, never a fresh min/max scan of the data."""
+        from moira_spark.sources import tableio
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+        )
+        t.stage(grid, "r1")
+        t.commit(spark, "r1")
+
+        seen: list = []
+        real = tableio._zvalue
+
+        def spy(df, cols, bits=tableio._Z_BITS, bounds=None):
+            seen.append(bounds)
+            return real(df, cols, bits, bounds)
+
+        monkeypatch.setattr(tableio, "_zvalue", spy)
+        t.compact(spark, target_partitions=4, cluster_by=["x", "y"],
+                  zorder=True)
+        assert seen and set(seen[0]) == {"x", "y"}
+        assert seen[0]["x"] == (0.0, 15.0) and seen[0]["y"] == (0.0, 15.0)
+        # pruning works off the stats-derived layout
+        got = t.read(spark, filters=[("y", "==", 5)])
+        assert got.count() == 16 and len(got.inputFiles()) <= 3
+
+    def test_explicit_bounds_match_scanned_bounds_layout(self, spark):
+        from moira_spark.sources.tableio import _zvalue
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(32) for y in range(32)], "x int, y int"
+        )
+        a = df.select("x", "y", _zvalue(df, ["x", "y"]).alias("z"))
+        b = df.select(
+            "x", "y",
+            _zvalue(df, ["x", "y"],
+                    bounds={"x": (0.0, 31.0), "y": (0.0, 31.0)}).alias("z"),
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_string_and_ts_bounds_round_trip(self, spark, tmp_path):
+        from moira_spark.sources.tableio import _zbounds_from_snapshot
+
+        df = spark.createDataFrame(
+            [(f"c{i:03d}", f"2024-01-{(i % 27) + 1:02d} 00:00:00", i)
+             for i in range(54)],
+            "cid string, ts_s string, v int",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(df, "r1")
+        t.commit(spark, "r1")
+        bounds = _zbounds_from_snapshot(t.latest_snapshot(), ["cid", "ts"])
+        assert set(bounds) == {"cid", "ts"}
+        lo, hi = bounds["cid"]
+        assert lo == float(int.from_bytes(b"c000", "big"))
+        assert hi == float(int.from_bytes(b"c053", "big"))
+        tlo, thi = bounds["ts"]
+        assert thi - tlo == 26 * 86400 * 1e6  # 27 distinct days
+        # and a z-ordered compaction over those columns succeeds
+        t.compact(spark, target_partitions=4, cluster_by=["cid", "ts"],
+                  zorder=True)
+        assert t.read(spark).count() == 54
