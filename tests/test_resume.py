@@ -1217,3 +1217,76 @@ class TestZOrderBoundsFromStats:
         t.compact(spark, target_partitions=4, cluster_by=["cid", "ts"],
                   zorder=True)
         assert t.read(spark).count() == 54
+
+
+class TestRollbackInteractions:
+    """Rollback composed with the other table rewrites: compaction and
+    MERGE.  Both retire run dirs without deleting them, so rolling back
+    across either must restore the exact pre-rewrite state."""
+
+    def test_rollback_across_a_compaction(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        for i, (lo, hi) in enumerate([(0, 5), (5, 10)], start=1):
+            t.stage(spark.range(lo, hi).toDF("x"), f"r{i}")
+            t.commit(spark, f"r{i}")
+        t.compact(spark, target_partitions=1)  # v3: r1+r2 -> one run
+        assert len(t.latest_snapshot().run_ids) == 1
+        snap = t.rollback(2)  # undo the compaction
+        assert snap.operation == "rollback"
+        assert sorted(t.latest_snapshot().run_ids) == ["r1", "r2"]
+        assert sorted(r.x for r in t.read(spark).collect()) == list(range(10))
+        # the compacted run dir is now orphaned -> vacuumable
+        removed = t.vacuum(retain_last=1, min_age_seconds=0)
+        assert len(removed) == 1
+        assert t.read(spark).count() == 10
+
+    def test_rollback_across_a_merge_restores_pre_merge_rows(
+        self, spark, tmp_path
+    ):
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(
+            spark.createDataFrame([(i, i * 10) for i in range(6)],
+                                  "k long, v long"),
+            "r1",
+        )
+        t.commit(spark, "r1")  # v1
+        t.merge(
+            spark,
+            spark.createDataFrame([(2, 999), (9, 900)], "k long, v long"),
+            ["k"],
+            "m1",
+        )  # v2: k=2 updated, k=9 inserted
+        got = {r.k: r.v for r in t.read(spark).collect()}
+        assert got[2] == 999 and got[9] == 900
+        t.rollback(1)  # v3: the merge undone
+        back = {r.k: r.v for r in t.read(spark).collect()}
+        assert back == {i: i * 10 for i in range(6)}
+        # the merge is no longer applied, so re-merging works (new id)
+        t.merge(
+            spark,
+            spark.createDataFrame([(2, 777)], "k long, v long"),
+            ["k"],
+            "m2",
+        )
+        assert {r.k: r.v for r in t.read(spark).collect()}[2] == 777
+
+    def test_incremental_consumer_recovers_after_rollback(
+        self, spark, tmp_path
+    ):
+        """The CDC pattern an operator actually runs: consume increments,
+        hit a rollback, bootstrap once at the rollback version, resume
+        incremental from there."""
+        t = SnapshotTable(str(tmp_path / "t"))
+        for i, (lo, hi) in enumerate([(0, 4), (4, 8), (8, 12)], start=1):
+            t.stage(spark.range(lo, hi).toDF("x"), f"r{i}")
+            t.commit(spark, f"r{i}")
+        consumed = {r.x for r in t.read_changes(spark, 0, 2).collect()}
+        t.rollback(2)  # v4 drops r3's rows
+        with pytest.raises(ValueError, match="rollback"):
+            t.read_changes(spark, 2)  # crossing the rewrite refuses
+        # bootstrap at the rollback head, then resume incrementally
+        consumed = {r.x for r in t.read(spark, version=4).collect()}
+        t.stage(spark.range(20, 22).toDF("x"), "r4")
+        t.commit(spark, "r4")  # v5
+        consumed |= {r.x for r in t.read_changes(spark, 4, 5).collect()}
+        assert consumed == set(range(8)) | {20, 21}
