@@ -88,8 +88,10 @@ def parse_args(argv):
         type=int,
         default=None,
         help="metadata-only undo: commit a new snapshot equal to this "
-        "version's state (bad-ingest recovery; runs FIRST so a following "
-        "--compact/--vacuum operates on the restored state)",
+        "version's state (bad-ingest recovery; requires --maintain-only "
+        "— rolling back in the same invocation as an ingest would "
+        "silently discard the run the job just committed; runs before "
+        "--compact/--vacuum so they operate on the restored state)",
     )
     m.add_argument(
         "--vacuum-retain",
@@ -146,6 +148,14 @@ def parse_args(argv):
 
 def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.rollback_to is not None and not args.maintain_only:
+        # validate BEFORE the job: rolling back in the same invocation as
+        # an ingest would discard the run the job just committed
+        raise SystemExit(
+            "--rollback-to requires --maintain-only: rolling back in "
+            "the same invocation as an ingest would discard the run "
+            "this job just committed"
+        )
     from moira_spark import config
     from moira_spark.job import run_filter_job
     from moira_spark.session import build_session

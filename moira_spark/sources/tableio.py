@@ -293,10 +293,17 @@ def _zvalue(df: DataFrame, cols: "list[str]", bits: int = _Z_BITS,
         if t.startswith(("timestamp", "date")):
             nums.append(F.unix_micros(F.col(c).cast("timestamp")).cast("double"))
         elif t in ("string", "binary"):
-            # order-preserving 8-byte-prefix ordinal: the leading bytes as
-            # a big-endian unsigned integer ranks strings in (truncated)
-            # lexicographic byte order — enough locality to bucket on
-            b = F.substring(F.col(c).cast("binary"), 1, 8)
+            # order-preserving 8-byte-prefix ordinal: the leading bytes,
+            # ZERO-PADDED to exactly 8, as a big-endian unsigned integer.
+            # The padding is what makes it monotone: unpadded, 'aa' (2
+            # bytes = 24929) ranks above 'b' (1 byte = 98) even though
+            # 'aa' < 'b' lexicographically — equal widths make integer
+            # order equal byte-wise order.
+            b = F.rpad(
+                F.substring(F.col(c).cast("binary"), 1, 8),
+                8,
+                F.lit(bytes(1)),
+            )
             nums.append(
                 F.coalesce(
                     F.conv(F.hex(b), 16, 10).cast("double"), F.lit(0.0)
@@ -356,11 +363,17 @@ def _zbounds_from_snapshot(
         if v is None:
             return None
         if ts:
-            s = _iso_full(v)
-            d = _dt.datetime.fromisoformat(s)
-            return d.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6
+            # stored ISO bounds are the naive wall-clock strings collect()
+            # produced (datetime.fromtimestamp = host-LOCAL); .timestamp()
+            # on a naive datetime inverts exactly that, so the bound lands
+            # in the same unix-micros domain as the unix_micros probe on
+            # any host timezone
+            return _dt.datetime.fromisoformat(_iso_full(v)).timestamp() * 1e6
         if isinstance(v, str):
-            return float(int.from_bytes(v.encode("utf-8")[:8], "big"))
+            # must match the probe's ZERO-PADDED 8-byte prefix ordinal
+            return float(
+                int.from_bytes(v.encode("utf-8")[:8].ljust(8, b"\0"), "big")
+            )
         return float(v)
 
     out: dict = {}
@@ -369,9 +382,11 @@ def _zbounds_from_snapshot(
         ok = True
         for r in snap.run_ids:
             ent = (snap.column_stats.get(r) or {}).get(c)
-            if not ent or ent.get("u") or ent.get("min") is None:
-                ok = False
+            if not ent or ent.get("u"):
+                ok = False  # unknown bounds somewhere: fall back to a scan
                 break
+            if ent.get("min") is None:
+                continue  # all-NULL run: contributes no non-null values
             a = to_probe(ent["min"], ent.get("ts", False))
             b = to_probe(ent["max"], ent.get("ts", False))
             lo = a if lo is None else min(lo, a)

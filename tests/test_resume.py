@@ -1209,8 +1209,8 @@ class TestZOrderBoundsFromStats:
         bounds = _zbounds_from_snapshot(t.latest_snapshot(), ["cid", "ts"])
         assert set(bounds) == {"cid", "ts"}
         lo, hi = bounds["cid"]
-        assert lo == float(int.from_bytes(b"c000", "big"))
-        assert hi == float(int.from_bytes(b"c053", "big"))
+        assert lo == float(int.from_bytes(b"c000".ljust(8, b"\0"), "big"))
+        assert hi == float(int.from_bytes(b"c053".ljust(8, b"\0"), "big"))
         tlo, thi = bounds["ts"]
         assert thi - tlo == 26 * 86400 * 1e6  # 27 distinct days
         # and a z-ordered compaction over those columns succeeds
@@ -1290,3 +1290,95 @@ class TestRollbackInteractions:
         t.commit(spark, "r4")  # v5
         consumed |= {r.x for r in t.read_changes(spark, 4, 5).collect()}
         assert consumed == set(range(8)) | {20, 21}
+
+
+class TestZOrderReviewRegressions:
+    def test_variable_length_string_ordinal_is_monotone(self, spark, tmp_path):
+        """Unpadded prefixes rank 'aa' above 'b'; the zero-padded ordinal
+        must rank like the lexicographic order so stats-derived bounds
+        cover the data (lo <= probe <= hi)."""
+        from moira_spark.sources.tableio import (
+            _zbounds_from_snapshot,
+            _zvalue,
+        )
+
+        ids = ["b", "ab", "aaa", "zz", "a", "yx", "m", "aa"]
+        df = spark.createDataFrame(
+            [(s, i) for i, s in enumerate(ids)], "cid string, v int"
+        )
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(df, "r1")
+        t.commit(spark, "r1")
+        lo, hi = _zbounds_from_snapshot(t.latest_snapshot(), ["cid"])["cid"]
+        assert lo < hi
+        # the JVM probe must agree with the Python ordinal on every value
+        probe = [
+            r.o
+            for r in df.orderBy("cid").select(
+                F.conv(
+                    F.hex(
+                        F.rpad(
+                            F.substring(F.col("cid").cast("binary"), 1, 8),
+                            8,
+                            F.lit(bytes(1)),
+                        )
+                    ),
+                    16,
+                    10,
+                )
+                .cast("double")
+                .alias("o")
+            ).collect()
+        ]
+        assert probe == sorted(probe)  # monotone wrt lexicographic order
+        assert all(lo <= p <= hi for p in probe)
+        # and a z-ordered write over the mixed-length ids succeeds
+        t2 = SnapshotTable(str(tmp_path / "t2"))
+        t2.stage(df, "r1", cluster_by=["cid", "v"], cluster_partitions=2,
+                 zorder=True)
+        t2.commit(spark, "r1")
+        assert t2.read(spark).count() == len(ids)
+
+    def test_all_null_run_does_not_force_a_bounds_scan(self, spark, tmp_path):
+        from moira_spark.sources.tableio import _zbounds_from_snapshot
+
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(
+            spark.createDataFrame([(i, i * 2) for i in range(8)],
+                                  "a long, b long"), "r1")
+        t.commit(spark, "r1")
+        t.stage(
+            spark.createDataFrame([(None, 99)], "a long, b long"), "r2")
+        t.commit(spark, "r2")
+        bounds = _zbounds_from_snapshot(t.latest_snapshot(), ["a", "b"])
+        # the all-NULL run contributes nothing but must not drop column a
+        assert bounds["a"] == (0.0, 7.0)
+        assert bounds["b"] == (0.0, 99.0)
+
+    def test_ts_bounds_land_in_the_probe_domain(self, spark, tmp_path):
+        """Stored ISO bounds are host-local wall clock; to_probe must
+        invert exactly that, matching unix_micros regardless of host TZ."""
+        from moira_spark.sources.tableio import _zbounds_from_snapshot
+
+        df = spark.createDataFrame(
+            [("2024-03-05 06:07:08",), ("2024-09-01 00:00:00",)], "s string"
+        ).select(F.col("s").cast("timestamp").alias("ts"))
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(df, "r1")
+        t.commit(spark, "r1")
+        lo, hi = _zbounds_from_snapshot(t.latest_snapshot(), ["ts"])["ts"]
+        got = sorted(
+            r.m for r in df.select(F.unix_micros("ts").alias("m")).collect()
+        )
+        assert (lo, hi) == (float(got[0]), float(got[1]))
+
+
+class TestRollbackCLIGuard:
+    def test_rollback_with_ingest_refuses(self, tmp_path):
+        import driver
+
+        with pytest.raises(SystemExit, match="requires --maintain-only"):
+            driver.main(
+                ["--synthetic-turns", "100", "--output", str(tmp_path / "o"),
+                 "--run-id", "x", "--rollback-to", "1"]
+            )
