@@ -351,11 +351,69 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", F.round(ppl(F.col("text")), 6).alias("ppl"))
 
 
-@register("doc_winnow_fingerprint", None)
+def _winnow_oracle_sql() -> str:
+    """First-principles DuckDB recomputation of kernels/fingerprint.py:
+    per-char codes (the fixtures are pure ASCII at every sf, so character
+    code points equal the kernel's UTF-8 bytes — verified before this
+    oracle was registered), the same 8-term rolling polynomial mod 2^61
+    via stepwise HUGEINT arithmetic (numpy's int64 wrap-then-mask is
+    exactly mod 2^61 because 2^64 is a multiple of 2^61), 16-window
+    minima over full windows only, the kernel's m <= W single-min branch,
+    and the canonical comma-joined md5 digest."""
+    poly = "CAST(b0 AS HUGEINT)"
+    for j in range(1, 8):
+        poly = f"(({poly}) * 1000003 + b{j}) % {1 << 61}"
+    leads = ",\n        ".join(
+        f"LEAD(b,{j}) OVER w AS b{j}" for j in range(1, 8)
+    )
+    return f"""
+    WITH bvals AS (
+      SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS b
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents)
+    ),
+    lead8 AS (
+      SELECT doc_id, i, b AS b0,
+        {leads}
+      FROM bvals WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    poly AS (
+      SELECT doc_id, i, CAST({poly} AS BIGINT) AS code
+      FROM lead8 WHERE b7 IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id, code, i,
+        MIN(code) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+        COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM poly
+    ),
+    sel AS (
+      SELECT doc_id, MIN(code) AS h FROM poly
+      GROUP BY doc_id HAVING COUNT(*) <= 16
+      UNION ALL
+      SELECT DISTINCT doc_id, wmin AS h FROM wins WHERE m > 16 AND rn >= 16
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(s.n, 0) AS INT) AS n_fingerprints,
+      COALESCE(s.dg, md5('')) AS digest
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, COUNT(DISTINCT h) AS n,
+             md5(string_agg(DISTINCT CAST(h AS VARCHAR), ',' ORDER BY h)) AS dg
+      FROM sel GROUP BY doc_id
+    ) s USING (doc_id)
+    """
+
+
+@register("doc_winnow_fingerprint", _winnow_oracle_sql())
 def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (Schleimer et al.) per document
     — the near-dup fingerprinting bullet; vectorized k-gram codes + window
-    minima per Arrow batch (kernels/fingerprint.py)."""
+    minima per Arrow batch (kernels/fingerprint.py).  SQL-checked (round
+    5, sixth session): the DuckDB oracle recomputes the whole kernel from
+    first principles — see _winnow_oracle_sql."""
 
     @F.pandas_udf("n_fingerprints int, digest string")
     def fp(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:

@@ -41,7 +41,13 @@ def _kgram_codes(buffer: np.ndarray) -> np.ndarray:
 
 
 def fingerprint_batch(texts) -> tuple[list[int], list[str]]:
-    """-> (n_selected per text, hex digest of the sorted selected hashes)."""
+    """-> (n_selected per text, hex digest of the sorted selected hashes).
+
+    The digest is md5 of the comma-joined DECIMAL selected hashes in
+    ascending order — a canonical text form any engine can reproduce
+    (``md5(string_agg(DISTINCT h::VARCHAR, ',' ORDER BY h))``), which is
+    what lets the driver hash-check this kernel against a first-principles
+    SQL oracle instead of trusting the bytes-of-int64 layout."""
     buffer, lengths, offsets = hashing.pack_texts(texts)
     codes = _kgram_codes(buffer)
     n_out, digests = [], []
@@ -59,5 +65,6 @@ def fingerprint_batch(texts) -> tuple[list[int], list[str]]:
             win = np.lib.stride_tricks.sliding_window_view(c, W)
             selected = np.unique(win.min(axis=1))
         n_out.append(int(len(selected)))
-        digests.append(hashlib.md5(selected.tobytes()).hexdigest())
+        canon = ",".join(str(int(h)) for h in selected)
+        digests.append(hashlib.md5(canon.encode()).hexdigest())
     return n_out, digests
