@@ -1024,7 +1024,9 @@ class SnapshotTable:
         remove_orphan_files defaults to 3 days for the same race).  Time
         travel to expired snapshots stops working, exactly as with Iceberg
         snapshot expiry; the retained window is the operator's rollback
-        horizon.  Returns the removed directories.
+        horizon.  TAGGED versions are always retained (Iceberg ref
+        retention) — a published dataset pin survives maintenance until
+        the tag is dropped.  Returns the removed directories.
         """
         import shutil
         import time
@@ -1032,8 +1034,11 @@ class SnapshotTable:
         latest = self.latest_snapshot()
         if latest is None:
             return []
+        keep_versions = set(
+            range(max(1, latest.version - retain_last + 1), latest.version + 1)
+        ) | set(self.tags().values())
         keep_runs: set[str] = set()
-        for v in range(max(1, latest.version - retain_last + 1), latest.version + 1):
+        for v in sorted(keep_versions):
             snap = self.snapshot(v)
             if snap is not None:
                 keep_runs.update(snap.run_ids)
@@ -1050,6 +1055,59 @@ class SnapshotTable:
             shutil.rmtree(path)
             removed.append(path)
         return removed
+
+    # ----------------------------------------------------------------- tags
+    def _tags_dir(self) -> str:
+        d = os.path.join(self.table_dir, "_tags")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Iceberg-style named ref: pin ``name`` to a snapshot version
+        (default: latest).  The publish pointer of write-audit-publish —
+        readers address ``read(spark, tag="published")`` while writers
+        keep committing; flipping the tag is one atomic file replace, and
+        ``vacuum`` retains every tagged version's data beyond
+        ``retain_last`` (Iceberg ref retention), so a pinned dataset
+        release survives routine maintenance until the tag is dropped."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        snap = (
+            self.latest_snapshot() if version is None else self.snapshot(version)
+        )
+        if snap is None:
+            raise ValueError(
+                f"tag {name!r}: snapshot "
+                f"{'latest' if version is None else f'v{version}'} does not exist"
+            )
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": snap.version}, f)
+        os.replace(tmp, path)  # atomic flip (last-write-wins, like a ref)
+        return snap.version
+
+    def drop_tag(self, name: str) -> bool:
+        try:
+            os.remove(os.path.join(self._tags_dir(), f"{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def tags(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        d = self._tags_dir()
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out[fn[:-5]] = json.load(f)["version"]
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        v = self.tags().get(name)
+        if v is None:
+            raise ValueError(f"unknown tag {name!r}")
+        return v
 
     def rollback(self, to_version: int) -> Snapshot:
         """Iceberg's ``rollback_to_snapshot``: commit a NEW snapshot whose
@@ -1147,11 +1205,14 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         filters=None,
+        tag: str | None = None,
     ) -> DataFrame | None:
         """Read the committed table state (union of committed run dirs).
 
         ``version`` enables Iceberg-style time travel: the table as of that
-        snapshot.  Default: latest.
+        snapshot.  ``tag`` reads the version a named ref pins (see
+        :meth:`tag`); mutually exclusive with ``version``.  Default:
+        latest.
 
         ``filters`` (see :meth:`prune`) enables manifest-level file
         skipping: run dirs whose zone-map stats prove no row can match are
@@ -1162,6 +1223,10 @@ class SnapshotTable:
         push down into the surviving parquet scans), so the result is
         exactly ``read(...).filter(...)`` regardless of how much pruning
         the stats could prove."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("read: pass version OR tag, not both")
+            version = self.resolve_tag(tag)
         snap = self.latest_snapshot() if version is None else self.snapshot(version)
         if snap is None or not snap.run_ids:
             return None

@@ -1382,3 +1382,58 @@ class TestRollbackCLIGuard:
                 ["--synthetic-turns", "100", "--output", str(tmp_path / "o"),
                  "--run-id", "x", "--rollback-to", "1"]
             )
+
+
+class TestSnapshotTags:
+    """Named refs (Iceberg tags): the write-audit-publish pointer.
+    Readers address a tag; flipping it is atomic; vacuum retains tagged
+    versions beyond retain_last until the tag is dropped."""
+
+    def _table(self, spark, tmp_path):
+        t = SnapshotTable(str(tmp_path / "t"))
+        for i, (lo, hi) in enumerate([(0, 5), (5, 8), (8, 10)], start=1):
+            t.stage(spark.range(lo, hi).toDF("x"), f"r{i}")
+            t.commit(spark, f"r{i}")
+        return t
+
+    def test_tag_pins_a_version_for_readers(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        assert t.tag("published", 2) == 2
+        assert t.read(spark, tag="published").count() == 8
+        # writers keep committing; the tag does not move
+        t.stage(spark.range(10, 20).toDF("x"), "r4")
+        t.commit(spark, "r4")
+        assert t.read(spark).count() == 20
+        assert t.read(spark, tag="published").count() == 8
+        # atomic flip to the new state
+        assert t.tag("published") == 4  # default: latest
+        assert t.read(spark, tag="published").count() == 20
+        assert t.tags() == {"published": 4}
+
+    def test_vacuum_retains_tagged_versions(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.tag("release-1", 1)  # pin v1 (run r1 only)
+        t.compact(spark, target_partitions=1)  # v4 retires r1-r3
+        removed = t.vacuum(retain_last=1, min_age_seconds=0)
+        # r1 is pinned by the tag; only r2+r3 are collectable
+        assert sorted(os.path.basename(p) for p in removed) == [
+            "run_id=r2", "run_id=r3"
+        ]
+        assert t.read(spark, tag="release-1").count() == 5
+        # dropping the tag releases the pin
+        assert t.drop_tag("release-1")
+        removed = t.vacuum(retain_last=1, min_age_seconds=0)
+        assert [os.path.basename(p) for p in removed] == ["run_id=r1"]
+
+    def test_tag_validation(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="does not exist"):
+            t.tag("x", 99)
+        with pytest.raises(ValueError, match="invalid tag name"):
+            t.tag("a/b")
+        with pytest.raises(ValueError, match="unknown tag"):
+            t.read(spark, tag="nope")
+        t.tag("a", 1)
+        with pytest.raises(ValueError, match="not both"):
+            t.read(spark, version=1, tag="a")
+        assert not t.drop_tag("never-existed")
