@@ -94,6 +94,13 @@ def parse_args(argv):
         "--compact/--vacuum so they operate on the restored state)",
     )
     m.add_argument(
+        "--tag",
+        dest="publish_tag",
+        help="after the job (and any --compact), atomically point this "
+        "named ref at the latest snapshot — the publish pointer readers "
+        "address via read(tag=...); vacuum retains tagged versions",
+    )
+    m.add_argument(
         "--vacuum-retain",
         type=int,
         default=None,
@@ -237,6 +244,11 @@ def main(argv=None) -> int:
         )
         summary["compacted_version"] = snap.version
         summary["runs_folded"] = len(snap.retired_run_ids)
+    if args.publish_tag:
+        # after the job and any compaction, before vacuum — the tag pin
+        # is what makes the following vacuum safe for pinned readers
+        summary["tagged"] = args.publish_tag
+        summary["tagged_version"] = table.tag(args.publish_tag)
     if args.vacuum_retain is not None:
         removed = table.vacuum(
             retain_last=args.vacuum_retain,

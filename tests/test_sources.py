@@ -281,3 +281,22 @@ class TestDriverMaintenance:
         assert m["rolled_back_to"] == good_v
         assert m["snapshot_version"] == m["rollback_version"] > good_v
         assert t.read(spark).count() == good["turns"]
+
+    def test_job_tags_the_published_snapshot(self, spark, tmp_path, capsys):
+        import json as _json
+
+        import driver
+        from moira_spark.sources.tableio import SnapshotTable
+
+        out = str(tmp_path / "job")
+        rc = driver.main(
+            ["--synthetic-turns", "1000", "--output", out,
+             "--run-id", "n1", "--buckets", "2", "--compact",
+             "--compact-partitions", "1", "--tag", "published"]
+        )
+        assert rc == 0
+        m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        t = SnapshotTable(f"{out}/labels")
+        assert m["tagged"] == "published"
+        assert m["tagged_version"] == m["snapshot_version"]
+        assert t.read(spark, tag="published").count() == m["turns"]
