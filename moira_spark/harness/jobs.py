@@ -275,6 +275,18 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not all(roll.values()):
         raise AssertionError(f"rollback invariants violated: {roll}")
 
+    # tags (round 5): pin the rolled-back-over version as a published
+    # release, vacuum to the minimum window, and require the pinned read
+    # to survive — Iceberg ref retention, the WAP publish pointer
+    t2.tag("release", 2)
+    t2.vacuum(retain_last=1, min_age_seconds=0)
+    tag_ok = (
+        t2.read(spark, tag="release").count() == 110
+        and t2.tags() == {"release": 2}
+    )
+    if not tag_ok:
+        raise AssertionError("tagged version did not survive vacuum")
+
     row = {
         **zone,
         **fzone,
@@ -282,6 +294,7 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "incremental_scan_ok": inc_12 and inc_bootstrap,
         "incremental_rows_across_compact": inc_across_compact,
         "rollback_ok": all(roll.values()),
+        "tag_retention_ok": tag_ok,
         "rows_before": 10,
         "rows_after_compact_vacuum": after.count(),
         "sum_x": after.agg(F.sum("x").cast("long").alias("s")).collect()[0]["s"],
@@ -307,6 +320,7 @@ def table_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zorder_files_a int, zorder_files_b int, zorder_rows_ok boolean, "
             "incremental_scan_ok boolean, "
             "incremental_rows_across_compact long, rollback_ok boolean, "
+            "tag_retention_ok boolean, "
             "rows_before int, rows_after_compact_vacuum long, sum_x long, "
             "nulls_backfilled_in_new_col long, sum_new_col long, "
             "schema_after string, runs_retired int, "
