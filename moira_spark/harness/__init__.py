@@ -137,7 +137,7 @@ COVERED_BY_SIBLING: dict[str, str] = {
 # sf0.01 with the driver's exact compare; table_merge_upsert hard-fails
 # in-query and is pinned by tests/test_merge.py) and MUST be promoted into
 # the window in round 6 when the r5 first-timer seats free.
-# tests/test_registry.py caps this queue at 5 so it stays a queue, not a
+# tests/test_registry.py caps this queue at 7 so it stays a queue, not a
 # loophole; it MUST drain to zero in round 6.
 STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
     {
