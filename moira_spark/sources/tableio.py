@@ -1080,6 +1080,15 @@ class SnapshotTable:
                 f"tag {name!r}: snapshot "
                 f"{'latest' if version is None else f'v{version}'} does not exist"
             )
+        missing = [
+            r for r in snap.run_ids if not os.path.isdir(self.staged_dir(r))
+        ]
+        if missing:
+            raise ValueError(
+                f"tag {name!r}: {len(missing)} run dir(s) of v{snap.version} "
+                "were expired by vacuum; a tag cannot pin data that no "
+                "longer exists"
+            )
         path = os.path.join(self._tags_dir(), f"{name}.json")
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:

@@ -1437,3 +1437,12 @@ class TestSnapshotTags:
         with pytest.raises(ValueError, match="not both"):
             t.read(spark, version=1, tag="a")
         assert not t.drop_tag("never-existed")
+
+    def test_tagging_a_vacuumed_version_refuses(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.vacuum(retain_last=1, min_age_seconds=0)  # v1/v2-only data stays?
+        # v3 retains r1-r3; nothing removed. Compact then vacuum to expire.
+        t.compact(spark, target_partitions=1)
+        t.vacuum(retain_last=1, min_age_seconds=0)
+        with pytest.raises(ValueError, match="expired by vacuum"):
+            t.tag("late", 1)
