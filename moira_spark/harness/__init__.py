@@ -109,6 +109,12 @@ EXTERNALLY_PROVEN: frozenset[str] = frozenset(
         "streaming_windowed_counts", "streaming_dedupe_events",
         # corpus assembly: green r3 + r4
         "source_quality_filter", "training_mix_sample", "corpus_to_shards",
+        # r4+r5 first-timers that reached 2 green external rounds and rotated
+        # out in round 6 to drain the staged queue (CORRECTNESS_r04 + r05
+        # both hash-green for every name here)
+        "events_asof_join", "shard_packing", "dedup_jaccard_capped",
+        "dedup_incremental", "doc_span_dedup", "streaming_session_windows",
+        "corpus_near_dedup", "dedup_cluster_bigstar",
     }
 )
 
@@ -123,39 +129,25 @@ COVERED_BY_SIBLING: dict[str, str] = {
     # threshold prune on top (rotated out round 5, third session)
     "dedup_embedding_lsh": "embedding_ann_recall",
     "streaming_filter_labels": "streaming_conv_verdicts",
-    # media pair rotates each round: round 5 has image/audio in-window,
-    # resize/frames covered (round 4 was the reverse)
-    "media_resize_features": "media_image_features",
-    "media_frame_samples": "media_audio_features",
+    # media pair rotates each round: round 6 has resize/frames in-window,
+    # image/audio covered (round 5 was the reverse)
+    "media_image_features": "media_resize_features",
+    "media_audio_features": "media_frame_samples",
 }
 
-# Queries registered late in round 5, when the window held 50 unproven
-# first-timers that must collect their first external row this round and the
-# only rotation-eligible seat (first_event_per_user) is the deliberately
-# returned veteran.  Staged queries are fully checked locally every session
-# (scripts/check_correctness.py runs ALL oracle-backed queries at sf0.001 +
-# sf0.01 with the driver's exact compare; table_merge_upsert hard-fails
-# in-query and is pinned by tests/test_merge.py) and MUST be promoted into
-# the window in round 6 when the r5 first-timer seats free.
-# tests/test_registry.py caps this queue at 7 so it stays a queue, not a
-# loophole; it MUST drain to zero in round 6.
-STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
-    {
-        "table_merge_upsert",
-        "doc_tfidf_topterms",
-        "corpus_bigram_pmi",
-        "streaming_interval_join",
-        "bucketed_join_colocated",
-        # sixth session: both SQL-checked at sf0.001 + sf0.01 by the local
-        # driver mirror every session, like the five above.  Round 6 frees
-        # >= 6 window seats (r4/r5 first-timers reaching 2x external green:
-        # events_asof_join, shard_packing, dedup_jaccard_capped,
-        # dedup_incremental, doc_span_dedup, streaming_session_windows), so
-        # the whole queue still drains to zero in round 6 as contracted.
-        "events_bloom_prefilter",
-        "corpus_curriculum_buckets",
-    }
-)
+# Short explicit promotion queue for queries registered after the round's
+# window filled with unproven first-timers.  Staged queries are fully checked
+# locally every session (scripts/check_correctness.py runs ALL oracle-backed
+# queries at sf0.001 + sf0.01 with the driver's exact compare) and MUST be
+# promoted into the window the following round.  tests/test_registry.py caps
+# this queue at 7 so it stays a queue, not a loophole.
+#
+# Round 6 honored the round-5 contract: all 7 staged queries
+# (table_merge_upsert, doc_tfidf_topterms, corpus_bigram_pmi,
+# streaming_interval_join, bucketed_join_colocated, events_bloom_prefilter,
+# corpus_curriculum_buckets) drained into the window, seated by rotating out
+# the 2x-green r4/r5 first-timers now listed in EXTERNALLY_PROVEN.
+STAGED_NEXT_WINDOW: frozenset[str] = frozenset()
 
 _PRIORITY: tuple[str, ...] = (
     # flagship + spec acceptance gates (north_rule core)
@@ -177,22 +169,21 @@ _PRIORITY: tuple[str, ...] = (
     "doc_winnow_fingerprint",
     "job_resume_identity",
     "table_maintenance_lifecycle",
-    # scale-sensitive corpus assembly (shard_packing's first green was r4;
-    # source_quality_filter / training_mix_sample / corpus_to_shards rotated
-    # out in round 5 as 2x externally proven)
-    "shard_packing",
-    # returning veteran (round-5 rotation: no green query goes more than
-    # ~3 rounds without a fresh external row; doc_symbol_ratio and
-    # doc_length_rule — both 3x green r1-r3, EXTERNALLY_PROVEN — gave
-    # their seats back in the third session so every round-5 first-timer
-    # sits inside the window; first_event_per_user, last green r2 and so
-    # the stalest green row, keeps the veteran seat)
-    "first_event_per_user",
-    # event-time as-of join (new relational operator round 4; r5 makes the
-    # same-ts tie-break deterministic, so its second green is a fresh check)
-    # + ordered conversion funnel, day-granular cohort retention, and the
-    # bucketed temporal proximity join (all new round 5)
-    "events_asof_join",
+    # round-6 staged-queue drain: all 7 queries registered late in round 5
+    # take their first external row this round, seated by rotating out the
+    # 2x-green r4/r5 first-timers (events_asof_join, shard_packing,
+    # dedup_jaccard_capped, dedup_incremental, doc_span_dedup,
+    # streaming_session_windows — all hash-green r4+r5, now in
+    # EXTERNALLY_PROVEN) plus the 3x-green veteran first_event_per_user
+    "table_merge_upsert",
+    "doc_tfidf_topterms",
+    "corpus_bigram_pmi",
+    "streaming_interval_join",
+    "bucketed_join_colocated",
+    "events_bloom_prefilter",
+    "corpus_curriculum_buckets",
+    # ordered conversion funnel, day-granular cohort retention, and the
+    # bucketed temporal proximity join (all new round 5, second green due)
     "events_funnel",
     "events_retention_cohorts",
     "events_proximity_join",
@@ -226,7 +217,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "training_mix_temperature",
-    "dedup_jaccard_capped",
+    # (dedup_jaccard_capped rotated out round 6: 2x green r4+r5)
     "dedup_minhash_lsh",
     # (dedup_embedding_lsh rotated out in the third session under sibling
     # cover: embedding_ann_recall — in-window, floor-gated — exercises the
@@ -234,11 +225,12 @@ _PRIORITY: tuple[str, ...] = (
     # (dedup_cluster_representatives rotated out late round 5: 3x green
     # r2-r4, and the in-window bigstar twin is checked against the SAME
     # DuckDB recursive-CTE closure oracle)
+    # (dedup_incremental + doc_span_dedup rotated out round 6: 2x green
+    # r4+r5; dedup_cluster_bigstar and corpus_near_dedup are equally proven
+    # but hold seats until the two new round-6 queries land)
     "dedup_cluster_bigstar",
     "corpus_near_dedup",
-    "dedup_incremental",
     "dedup_incremental_minhash",
-    "doc_span_dedup",
     # similarity tier (ann_recall's hard floor runs both LSH and IVF paths)
     # (embedding_label_centroids rotated out late round 5: 3x green r2-r4,
     # and the centroid machinery now has TWO in-window exercisers —
@@ -247,16 +239,14 @@ _PRIORITY: tuple[str, ...] = (
     # session: 4x green r1-r4, the longest-proven rows in the registry)
     "embedding_ann_recall",
     "embedding_kmeans",
-    # streaming tier (dedupe_events + windowed_counts rotated out: both 2x
-    # externally green; session_windows carries the SQL-checked streaming
-    # row and incremental_dedup the cross-batch state property this round)
+    # streaming tier (session_windows rotated out round 6: 2x green r4+r5;
+    # the SQL-checked streaming row is now streaming_interval_join)
     "streaming_conv_verdicts",
-    "streaming_session_windows",
     "streaming_incremental_dedup",
     # multimodal tier (decoders env-gated; pair rotates each round —
-    # round 5: image/audio in, resize/frames covered-by-sibling)
-    "media_image_features",
-    "media_audio_features",
+    # round 6: resize/frames in, image/audio covered-by-sibling)
+    "media_resize_features",
+    "media_frame_samples",
 )
 
 

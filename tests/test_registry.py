@@ -20,7 +20,9 @@ DRIVER_WINDOW = 50
 # carries 2 green external rounds (r3+r4) and rotated out under the
 # EXTERNALLY_PROVEN policy to seat returning veterans; read_revcomp /
 # read_collapse followed in the round-5 second session — 3x green r2-r4 —
-# to seat doc_repetition_stats / corpus_quality_budget / dedup_semantic.)
+# to seat doc_repetition_stats / corpus_quality_budget / dedup_semantic;
+# shard_packing left in round 6 — 2x green r4+r5 — to seat the staged-queue
+# drain.)
 MUST_BE_IN_WINDOW = [
     "transcripts_pipeline",
     "pipeline_f1_vs_reference",
@@ -33,7 +35,14 @@ MUST_BE_IN_WINDOW = [
     "read_expected_errors",
     "read_expected_errors_bootstrap",
     "job_resume_identity",
-    "shard_packing",
+    # round-5 staged queue, drained into the round-6 window as contracted
+    "table_merge_upsert",
+    "doc_tfidf_topterms",
+    "corpus_bigram_pmi",
+    "streaming_interval_join",
+    "bucketed_join_colocated",
+    "events_bloom_prefilter",
+    "corpus_curriculum_buckets",
 ]
 
 
