@@ -202,9 +202,12 @@ def _jaccard_pairs_from(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     jac = F.col("i").cast("double") / (
         F.col("sa.sz") + F.col("sb.sz") - F.col("i")
     ).cast("double")
+    # NO broadcast hint on `sizes`: it has one row per document (corpus
+    # cardinality), so at web scale it cannot fit a broadcast.  Plain
+    # equi-joins shuffle fine, and AQE still broadcasts when it IS small.
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -355,9 +358,11 @@ def containment_flags(corpus: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     containment = F.col("i").cast("double") / F.col("sa.sz").cast("double")
+    # per-doc `sizes` is corpus-sized: never hint it broadcast (see
+    # _jaccard_pairs_from) — AQE promotes the join when it is small.
     contained = (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(
             (containment >= threshold)
             & (
@@ -790,6 +795,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     corpus = e.unionAll(dup).select("vec_id", _dbl("embedding").alias("v"))
+    # Correctness-scale gate: this baseline broadcasts one full side and
+    # compares all pairs — by design it must never run on a corpus-sized
+    # input (the LSH twin is the scale path).  Refuse loudly rather than
+    # OOM an executor at 100x.
+    n = corpus.count()
+    if n > 200_000:
+        raise ValueError(
+            f"dedup_embedding_cosine is the O(n^2) verification baseline; "
+            f"refusing all-pairs join over {n} vectors — run "
+            f"dedup_embedding_lsh for the bucketed scale path"
+        )
     a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
@@ -999,9 +1015,13 @@ def intra_cluster_prune(
     pair_cos = F.round(
         _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
+    # NO broadcast hint: `b` is every clustered vector with its embedding —
+    # the full corpus side.  The pair join is an equi-join on
+    # (cluster, sub), so a shuffle hash/sort-merge join is the scale plan;
+    # AQE still broadcasts when the frame is genuinely small.
     dups = (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a_cl") == F.col("b_cl"))
             & (F.col("a_sub") == F.col("b_sub"))
             & (F.col("a_id") < F.col("b_id")),
@@ -1179,8 +1199,10 @@ def _cluster_output(comp):
     row per doc with its component, representative flag (min doc_id wins),
     and component size.  Single definition for both closure algorithms so
     the representative-selection rule can never diverge between them."""
+    # component count approaches corpus cardinality when duplication is
+    # sparse — equi-join unhinted, AQE broadcasts when actually small
     csize = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
-    return comp.join(F.broadcast(csize), "comp").select(
+    return comp.join(csize, "comp").select(
         F.col("id").alias("doc_id"),
         F.col("comp").alias("component"),
         (F.col("id") == F.col("comp")).alias("is_representative"),

@@ -224,6 +224,39 @@ def test_pipeline_uses_one_python_runtime_per_stage(spark):
     assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in plan"
 
 
+# Round-6 (verdict item 2): no broadcast HINT may sit on a corpus-derived
+# frame — per-doc shingle sizes, the clustered vector corpus, component
+# sizes.  At 10^12 docs none of those fit a broadcast; the joins are plain
+# equi-joins, so the unhinted plan shuffles at scale while AQE (or the
+# static estimator, as at this sf) still broadcasts genuinely small sides.
+# The pin is the ResolvedHint count in the ANALYZED plan: every remaining
+# hint must be a bounded-cardinality frame (dedup_semantic's 3 are the
+# k-row centroids and the hot-cluster list).  Re-adding a corpus-side
+# F.broadcast bumps the count and fails here.
+HINT_BUDGET = {
+    "dedup_jaccard_3gram": 0,
+    "dedup_jaccard_capped": 0,
+    "dedup_containment": 0,
+    "corpus_near_dedup": 0,
+    "dedup_cluster_bigstar": 0,
+    "dedup_cluster_representatives": 0,
+    "dedup_semantic": 3,
+    "dedup_semantic_kmeans": 0,
+}
+
+
+@pytest.mark.parametrize("name,budget", sorted(HINT_BUDGET.items()))
+def test_no_corpus_sized_broadcast_hints(spark, name, budget):
+    df = harness.queries()[name](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    spark.catalog.clearCache()
+    hints = analyzed.count("ResolvedHint")
+    assert hints <= budget, (
+        f"{name}: {hints} broadcast hints (budget {budget}) — a corpus-"
+        f"sized frame regained a broadcast hint\n{analyzed}"
+    )
+
+
 def test_pmi_topk_is_take_ordered(spark):
     # corpus_bigram_pmi's global top-20 must run as per-partition heaps
     # merged on the driver, not a full sort over a gathered partition.
