@@ -2030,14 +2030,15 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 5) MUST be flagged dup_near via the intra-batch pass.  Floor
     precondition: the plant appends THREE tokens (' extra trailing token'),
     so a W-word source gives Jaccard (W-2)/(W+1) over distinct 3-gram sets
-    (W-2 shared grams of W+1 in the copy), >= 0.5 for W >= 5 — the
-    documents fixtures are >= 10 words throughout (J >= 8/13 ~ 0.62), and
-    at that similarity a 16-band x 4-row collision has per-doc miss
-    probability (1 - J^4)^16 — up to ~8% for the shortest docs, far lower
-    for typical lengths — so the floor is REPRODUCIBLE under the fixed
-    seeds (it passes deterministically on this data), not guaranteed for
-    arbitrary corpora; if a fixture refresh ever trips it, measure band
-    collision before suspecting the operator.
+    (W-2 shared grams of W+1 in the copy), >= 0.5 for W >= 5, and the
+    16-band x 4-row per-doc miss probability is (1 - J^4)^16 — up to ~8%
+    for the shortest docs but < 3e-8 once the PLANT is >= 33 words
+    (source >= 30, J >= 28/31).  The intra-near floor is therefore split
+    (ADVICE r5: a fixture/seed refresh must not flip the query red on a
+    probabilistic non-bug): plants long enough that a band collision is
+    statistically certain hard-fail on ANY miss, while the short tail
+    carries a documented miss budget of 20% (observed misses on the fixed
+    fixtures: zero; the budget only absorbs refresh noise).
 
     Flag assembly is the SHARED ``incremental_flags`` helper — the same
     definition the streaming twin executes per micro-batch.
@@ -2055,8 +2056,17 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     # hard floor: planted recall must be perfect, or the query refuses to
-    # return rows (driver-visible failure without an oracle)
-    gate = out.agg(
+    # return rows (driver-visible failure without an oracle).  The
+    # intra-batch NEAR floor is length-gated (see docstring): >= 33-word
+    # plants are statistically certain to band-collide and fail on any
+    # miss; shorter plants carry a 20% budget.
+    wc = b2.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("_wc"),
+    )
+    intra_near_long = (F.col("doc_id") >= 8000000) & (F.col("_wc") >= 33)
+    intra_near_short = (F.col("doc_id") >= 8000000) & (F.col("_wc") < 33)
+    gate = out.join(wc, "doc_id", "left").agg(
         F.sum(
             F.when(
                 (F.col("doc_id") >= 5000000)
@@ -2082,23 +2092,29 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("missed_intra"),
         F.sum(
-            F.when(
-                (F.col("doc_id") >= 8000000) & ~F.col("dup_near"), 1
-            ).otherwise(0)
+            F.when(intra_near_long & ~F.col("dup_near"), 1).otherwise(0)
         ).alias("missed_intra_near"),
+        F.sum(
+            F.when(intra_near_short & ~F.col("dup_near"), 1).otherwise(0)
+        ).alias("missed_intra_near_short"),
+        F.sum(F.when(intra_near_short, 1).otherwise(0)).alias("n_short"),
     ).collect()[0]
     committed.unpersist()
     b2s.unpersist()
+    short_budget = max(1, (gate["n_short"] or 0) // 5)  # 20%, documented
     if (
         gate["missed_exact"]
         or gate["missed_near"]
         or gate["missed_intra"]
         or gate["missed_intra_near"]
+        or (gate["missed_intra_near_short"] or 0) > short_budget
     ):
         raise AssertionError(
             "incremental MinHash dedup missed planted duplicates: "
             f"exact={gate['missed_exact']} near={gate['missed_near']} "
             f"intra={gate['missed_intra']} "
-            f"intra_near={gate['missed_intra_near']}"
+            f"intra_near={gate['missed_intra_near']} "
+            f"intra_near_short={gate['missed_intra_near_short']}"
+            f"/{gate['n_short']} (budget {short_budget})"
         )
     return out

@@ -1181,7 +1181,7 @@ def events_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true matches that actually prunes (false-positive side), and no
     true match may be dropped (false-negative side — zero by construction,
     verified anyway)."""
-    from moira_spark.operators.bloom import build_bloom, might_contain
+    from moira_spark.operators.bloom import bits_for, build_bloom, might_contain
 
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click")
@@ -1189,7 +1189,11 @@ def events_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "error").select("user_id").distinct()
     )
 
-    words = build_bloom(err_users, "user_id")
+    # size the bitmap to the build side (ADVICE r5: the fixed 2^16 default
+    # drifts past ~1% fp beyond ~9k distinct keys, which can hard-fail the
+    # pruning-power gate below at larger sf even though results stay exact)
+    n_err = err_users.count()
+    words = build_bloom(err_users, "user_id", num_bits=bits_for(n_err))
     passed = clicks.filter(might_contain(F.col("user_id"), words))
     exact = clicks.join(F.broadcast(err_users), on="user_id", how="left_semi")
 

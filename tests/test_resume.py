@@ -775,13 +775,21 @@ class TestTemporalZoneMaps:
         return t
 
     def test_commit_records_iso_bounds(self, spark, tmp_path):
+        import datetime as dt
+
         t = self._table(spark, tmp_path)
         st = t.latest_snapshot().column_stats
+        us = lambda *a: int(  # noqa: E731
+            dt.datetime(*a, tzinfo=dt.timezone.utc).timestamp() * 1e6
+        )
         assert st["r1"]["ev_ts"] == {
             "min": "2024-01-01T12:30:00",
             "max": "2024-01-03T12:30:00",
             "nulls": 0,
             "ts": True,
+            # JVM-side epoch-micros twin (UTC session): the z-order probe
+            # domain, recorded at commit so no host-tz round-trip exists
+            "us": [us(2024, 1, 1, 12, 30), us(2024, 1, 3, 12, 30)],
         }
 
     def test_prune_with_datetime_literals(self, spark, tmp_path):
@@ -1356,8 +1364,8 @@ class TestZOrderReviewRegressions:
         assert bounds["b"] == (0.0, 99.0)
 
     def test_ts_bounds_land_in_the_probe_domain(self, spark, tmp_path):
-        """Stored ISO bounds are host-local wall clock; to_probe must
-        invert exactly that, matching unix_micros regardless of host TZ."""
+        """ts stats carry JVM-computed epoch micros ("us") so z bounds sit
+        in EXACTLY the unix_micros probe domain on any host timezone."""
         from moira_spark.sources.tableio import _zbounds_from_snapshot
 
         df = spark.createDataFrame(
@@ -1366,11 +1374,41 @@ class TestZOrderReviewRegressions:
         t = SnapshotTable(str(tmp_path / "t"))
         t.stage(df, "r1")
         t.commit(spark, "r1")
-        lo, hi = _zbounds_from_snapshot(t.latest_snapshot(), ["ts"])["ts"]
+        snap = t.latest_snapshot()
+        ent = snap.column_stats["r1"]["ts"]
         got = sorted(
             r.m for r in df.select(F.unix_micros("ts").alias("m")).collect()
         )
+        assert ent["us"] == [got[0], got[1]]  # exact, committed JVM-side
+        lo, hi = _zbounds_from_snapshot(snap, ["ts"])["ts"]
         assert (lo, hi) == (float(got[0]), float(got[1]))
+
+    def test_ts_bounds_fallback_is_utc_anchored(self, spark, tmp_path):
+        """Pre-"us" snapshots (no epoch twin) must interpret the stored
+        naive wall clock as UTC — the unix_micros convention under the
+        UTC-pinned session — never the compacting host's local timezone
+        (ADVICE r5: a tz flip between commit and compact silently shifted
+        bucket bounds by the UTC offset)."""
+        import datetime as dt
+
+        from moira_spark.sources.tableio import _zbounds_from_snapshot
+
+        df = spark.createDataFrame(
+            [("2024-03-05 06:07:08",), ("2024-09-01 00:00:00",)], "s string"
+        ).select(F.col("s").cast("timestamp").alias("ts"))
+        t = SnapshotTable(str(tmp_path / "t"))
+        t.stage(df, "r1")
+        t.commit(spark, "r1")
+        snap = t.latest_snapshot()
+        snap.column_stats["r1"]["ts"].pop("us")  # simulate a legacy snapshot
+        lo, hi = _zbounds_from_snapshot(snap, ["ts"])["ts"]
+        want_lo = dt.datetime(
+            2024, 3, 5, 6, 7, 8, tzinfo=dt.timezone.utc
+        ).timestamp() * 1e6
+        want_hi = dt.datetime(
+            2024, 9, 1, tzinfo=dt.timezone.utc
+        ).timestamp() * 1e6
+        assert (lo, hi) == (want_lo, want_hi)
 
 
 class TestRollbackCLIGuard:
