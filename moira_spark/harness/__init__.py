@@ -225,11 +225,13 @@ _PRIORITY: tuple[str, ...] = (
     # (dedup_cluster_representatives rotated out late round 5: 3x green
     # r2-r4, and the in-window bigstar twin is checked against the SAME
     # DuckDB recursive-CTE closure oracle)
-    # (dedup_incremental + doc_span_dedup rotated out round 6: 2x green
-    # r4+r5; dedup_cluster_bigstar and corpus_near_dedup are equally proven
-    # but hold seats until the two new round-6 queries land)
-    "dedup_cluster_bigstar",
-    "corpus_near_dedup",
+    # (dedup_incremental, doc_span_dedup, dedup_cluster_bigstar and
+    # corpus_near_dedup rotated out round 6: all 2x green r4+r5.  The last
+    # two seats go to the new round-6 queries: the batch->MERGE->changelog
+    # CDC round trip, SQL-checked against a DuckDB-computed diff, and the
+    # full lifecycle composition chain, hard-fail rows-only)
+    "table_changes_cdc",
+    "table_lifecycle_compose",
     "dedup_incremental_minhash",
     # similarity tier (ann_recall's hard floor runs both LSH and IVF paths)
     # (embedding_label_centroids rotated out late round 5: 3x green r2-r4,

@@ -398,3 +398,254 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "data_dirs int"
         ),
     )
+
+
+# --------------------------------------------------------------- round 6
+# The DuckDB oracle computes the EXPECTED changelog purely from the static
+# documents table: deletes = the pre-merge values of every matched key
+# (updates and delete-rows alike), inserts = every non-delete update row.
+# The Spark side produces the same rows by actually committing the base
+# batch, MERGING the updates, and reading the row-level changelog back —
+# so the value hash checks the whole batch -> merge -> read_changelog
+# round trip, not a reimplementation of it.
+_CDC_SQL = """
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    upd_keys AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 11 = 0 AND doc_id % 7 <> 0
+    )
+    SELECT b.doc_id,
+           b.text,
+           'delete' AS _change_type,
+           2 AS _change_version
+    FROM base b JOIN upd_keys u USING (doc_id)
+    UNION ALL
+    SELECT doc_id,
+           'REDACTED ' || text AS text,
+           'insert' AS _change_type,
+           2 AS _change_version
+    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           text,
+           'insert' AS _change_type,
+           2 AS _change_version
+    FROM documents WHERE doc_id % 13 = 0 AND doc_id % 3 <> 0
+"""
+
+
+@register("table_changes_cdc", _CDC_SQL)
+def table_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch -> MERGE -> read_changelog round trip, value-checked against a
+    DuckDB-computed diff (round-6 verdict item 3).
+
+    Sequence: commit the %3 documents slice as v1, MERGE a deterministic
+    redaction batch (updates: %21 keys get 'REDACTED ' prefixed text;
+    deletes: %33 keys not already updated; inserts: fresh +2e6 keys) as
+    v2, then read the row-level changelog over (1, 2].  The changelog
+    must emit exactly: one delete per matched key carrying the PRE-merge
+    value, one insert per update with the post-merge value, one insert
+    per fresh key — and nothing for the survivors, which appear
+    identically in the rewritten and replacement files and cancel in the
+    EXCEPT ALL diff.  The oracle computes that exact multiset from the
+    static table, so any drift in merge row handling, changelog diffing,
+    or version tagging is a driver-red hash mismatch."""
+    from moira_spark.harness import load
+    from moira_spark.sources.tableio import SnapshotTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="moira_cdc_check_")
+    try:
+        t = SnapshotTable(f"{work}/t")
+        t.stage(docs.filter(F.col("doc_id") % 3 == 0), "base")
+        t.commit(spark, "base")  # v1
+
+        updates = (
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 == 0))
+            .select(
+                "doc_id",
+                F.concat(F.lit("REDACTED "), F.col("text")).alias("text"),
+                F.lit(False).alias("is_del"),
+            )
+            .unionByName(
+                docs.filter(
+                    (F.col("doc_id") % 3 == 0)
+                    & (F.col("doc_id") % 11 == 0)
+                    & (F.col("doc_id") % 7 != 0)
+                ).select(
+                    "doc_id",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(True).alias("is_del"),
+                )
+            )
+            .unionByName(
+                docs.filter(
+                    (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 3 != 0)
+                ).select(
+                    (F.col("doc_id") + 2000000).alias("doc_id"),
+                    "text",
+                    F.lit(False).alias("is_del"),
+                )
+            )
+        )
+        t.merge(spark, updates, ["doc_id"], merge_id="cdc-1", delete_col="is_del")
+
+        out = t.read_changelog(spark, 1).select(
+            "doc_id", "text", "_change_type", "_change_version"
+        )
+        # materialize before the workdir is removed (the driver collects
+        # AFTER this function returns)
+        return spark.createDataFrame(
+            out.collect(),
+            schema=(
+                "doc_id long, text string, _change_type string, "
+                "_change_version int"
+            ),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register("table_lifecycle_compose", None)
+def table_lifecycle_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table-lifecycle COMPOSITION under the driver harness (round-6
+    verdict item 8): ingest -> redaction MERGE -> changelog consumption ->
+    Z-order compaction -> tag publish -> rollback -> vacuum, value-checked
+    at every seam on ONE table.  The pieces each have their own query
+    (table_maintenance_lifecycle, table_merge_upsert, table_changes_cdc);
+    composition is where table bugs hide — a merge that poisons
+    compaction's stats, a rollback that breaks tag retention, a vacuum
+    that eats a tagged post-merge version.  Hard-fails in-query on any
+    invariant, so the rows-only driver row is meaningful."""
+    import os
+
+    from moira_spark.sources.tableio import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="moira_compose_check_")
+    try:
+        t = SnapshotTable(f"{work}/t")
+        mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+            F.col("id").alias("k"),
+            (F.col("id") % 16).alias("g"),
+            F.concat(F.lit("text-"), F.col("id")).alias("txt"),
+        )
+        t.stage(mk(0, 100), "r1")
+        t.commit(spark, "r1")  # v1
+        t.stage(mk(100, 200), "r2")
+        t.commit(spark, "r2")  # v2
+
+        # redaction merge: update every %10 key, delete every %17 key
+        # (disjoint from the updates), insert 10 fresh keys
+        upd = (
+            mk(0, 200)
+            .filter((F.col("k") % 10 == 0))
+            .select("k", "g", F.lit("[REDACTED]").alias("txt"),
+                    F.lit(False).alias("is_del"))
+            .unionByName(
+                mk(0, 200)
+                .filter((F.col("k") % 17 == 0) & (F.col("k") % 10 != 0))
+                .select("k", "g", F.lit(None).cast("string").alias("txt"),
+                        F.lit(True).alias("is_del"))
+            )
+            .unionByName(
+                # fresh keys INSIDE the existing key range: out-of-range
+                # inserts would stretch the z domain and (correctly,
+                # uniform cells are not quantiles) wreck k-slice pruning
+                mk(200, 210).select(
+                    "k", "g", "txt", F.lit(False).alias("is_del"))
+            )
+        )
+        merged = t.merge(spark, upd, ["k"], merge_id="redact", delete_col="is_del")
+        n_del = 10  # 12 %17-keys in [0,200) minus the %10 overlaps (0, 170)
+        n_upd, n_ins = 20, 10
+        rows_v3 = 200 - n_del + n_ins
+        got_v3 = t.read(spark).count()
+        if not (merged.version == 3 and got_v3 == rows_v3):
+            raise AssertionError(
+                f"merge state wrong: v{merged.version}, {got_v3} rows "
+                f"(want {rows_v3})"
+            )
+
+        # changelog over the merge reconstructs v3 from v2 exactly
+        state = {
+            r["k"]: r["txt"] for r in t.read(spark, version=2).collect()
+        }
+        log = t.read_changelog(spark, 2, 3).collect()
+        for r in sorted(log, key=lambda r: r["_change_type"] == "insert"):
+            if r["_change_type"] == "delete":
+                if state.pop(r["k"]) != r["txt"]:
+                    raise AssertionError("changelog delete carries wrong value")
+            else:
+                state[r["k"]] = r["txt"]
+        truth = {r["k"]: r["txt"] for r in t.read(spark).collect()}
+        if state != truth:
+            raise AssertionError("changelog replay diverged from the table")
+        n_changes = len(log)
+        if n_changes != n_del + 2 * n_upd + n_ins:
+            raise AssertionError(
+                f"changelog emitted {n_changes} rows, want "
+                f"{n_del + 2 * n_upd + n_ins}"
+            )
+
+        # Z-order compaction AFTER the merge: data identical, both dims
+        # prune files sublinearly using the snapshot's own column stats
+        pre = sorted((r["k"], r["txt"]) for r in t.read(spark).collect())
+        zsnap = t.compact(spark, target_partitions=4,
+                          cluster_by=["k", "g"], zorder=True)  # v4
+        post = sorted((r["k"], r["txt"]) for r in t.read(spark).collect())
+        if pre != post:
+            raise AssertionError("z-order compaction changed table contents")
+        files_k = len(t.read(spark, filters=[("k", "between", (40, 60))])
+                      .inputFiles())
+        files_g = len(t.read(spark, filters=[("g", "==", 3)]).inputFiles())
+        n_files = len(zsnap.file_stats[zsnap.run_ids[0]])
+        if not (n_files == 4 and files_k < n_files and files_g < n_files):
+            raise AssertionError(
+                f"z-order pruning weak after merge: k={files_k}, "
+                f"g={files_g} of {n_files}"
+            )
+
+        # publish the compacted version, keep ingesting, then undo
+        t.tag("published", zsnap.version)
+        t.stage(mk(300, 350), "r3")
+        t.commit(spark, "r3")  # v5
+        rb = t.rollback(zsnap.version)  # v6
+        if t.is_committed("r3") or t.read(spark).count() != rows_v3:
+            raise AssertionError("rollback did not cleanly undo the append")
+
+        # vacuum to the minimum window: the tagged publish must survive,
+        # the rolled-back run dir and the merge-retired dirs must go
+        removed = t.vacuum(retain_last=1, min_age_seconds=0)
+        tag_read = t.read(spark, tag="published").count()
+        if tag_read != rows_v3:
+            raise AssertionError("tagged publish did not survive vacuum")
+        final = t.read(spark)
+        n_final = final.count()
+        sum_k = final.agg(F.sum("k").cast("long").alias("s")).collect()[0]["s"]
+        row = {
+            "versions": rb.version,
+            "rows_final": n_final,
+            "sum_k_final": sum_k,
+            "changelog_rows": n_changes,
+            "zorder_files_k": files_k,
+            "zorder_files_g": files_g,
+            "dirs_vacuumed": len(removed),
+            "tag_rows": tag_read,
+            "data_dirs_left": sum(
+                1 for e in os.listdir(t.data_dir) if e.startswith("run_id=")
+            ),
+        }
+        return spark.createDataFrame(
+            [row],
+            schema=(
+                "versions int, rows_final long, sum_k_final long, "
+                "changelog_rows int, zorder_files_k int, zorder_files_g int, "
+                "dirs_vacuumed int, tag_rows long, data_dirs_left int"
+            ),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -97,6 +97,7 @@ HARD_FLOOR_QUERIES = [
     "streaming_incremental_dedup",
     "transcripts_structure_lint",
     "table_merge_upsert",
+    "table_lifecycle_compose",
 ]
 
 
