@@ -53,8 +53,8 @@ def main() -> None:
     for n_tables, occ, nflip in (
         (8, 8, 0),
         (8, 8, 2),
-        (12, 8, 2),  # the default
-        (16, 8, 1),
+        (12, 8, 2),  # the r5 default
+        (16, 8, None),  # the round-6 default (flips=bits//2, rerank=n/13)
     ):
         stats: dict = {}
         rows = sim.embedding_ann_lsh(
@@ -69,15 +69,16 @@ def main() -> None:
         frac = stats["n_candidates"] / denom
         exact_frac = stats["n_exact"] / denom
         print(
-            f"lsh T={n_tables:<3} occ={occ:<3} flip={nflip:<2}    | "
+            f"lsh T={n_tables:<3} occ={occ:<3} flip={str(nflip):<4}| "
             f"{recall_of(truth, rows):8.3f} | {frac:12.3f} | {exact_frac:.3f}"
         )
     for cells_k, a, nprobe, rr in (
         (16, 1, 4, 500),
         (32, 1, 8, 500),
-        (32, 2, 8, 50),
+        (32, 2, 8, 50),   # the r5 default
         (32, 2, 8, 100),
         (64, 2, 16, 50),
+        (None, 3, None, None),  # the round-6 occupancy-adaptive default
     ):
         stats = {}
         rows = sim.embedding_ann_ivf(
@@ -93,7 +94,7 @@ def main() -> None:
         adc_frac = stats["n_candidates"] / denom
         exact_frac = stats["n_exact"] / denom
         print(
-            f"ivf k={cells_k:<3} a={a} np={nprobe:<3} R={rr:<4}| "
+            f"ivf k={str(cells_k):<4} a={a} np={str(nprobe):<4} R={str(rr):<4}| "
             f"{recall_of(truth, rows):8.3f} | {adc_frac:12.3f} | "
             f"{exact_frac:.3f}"
         )

@@ -533,25 +533,34 @@ from int8 codes, "exact" = full-precision re-ranked rows, both /
 |---|---|---|---|
 | brute force | 1.000 | — | 1.000 |
 | r2 LSH T=8/occ8, no probes (for reference) | 0.460 | — | 0.131 |
-| LSH T=12, flips=bits//2, rerank 50 (default) | 0.840 | 0.54 | 0.100 |
-| IVF k=32, assign=2, nprobe=8, rerank 50 (default) | 0.860 | 0.44 | 0.100 |
+| LSH T=12, flips=bits//2, rerank 50 (r5 default) | 0.840 | 0.54 | 0.100 |
+| IVF k=32, assign=2, nprobe=8, rerank 50 (r5 default) | 0.860 | 0.44 | 0.100 |
 
-Cross-scale (same defaults; flips scale with signature width):
+Round 6 scaled the remaining fixed knobs with the corpus, the same
+principle occupancy-targeted signature width already used: ANN-only
+T=16 tables, IVF cells at ~24 vectors/cell with nprobe ~ cells/6 and
+assign=3, re-rank width min(500, max(50, n/13)).  Cross-scale with the
+round-6 defaults (flips still scale with signature width):
 
-| scale | LSH recall@5 | IVF recall@5 | exact-scanned |
-|---|---|---|---|
-| sf0.001 (500 vecs) | 0.80 | 0.88 | 0.100 |
-| sf0.01 (500 vecs)  | 0.84 | 0.86 | 0.100 |
-| sf0.1 (2000 vecs)  | 0.76 | 0.78 | 0.025 |
+| scale | LSH recall@5 | IVF recall@5 | ADC-scanned (L/I) | exact-scanned |
+|---|---|---|---|---|
+| sf0.001 (500 vecs) | 0.88 | 0.98 | 0.63 / 0.67 | 0.100 |
+| sf0.01 (500 vecs)  | 0.90 | 0.94 | 0.63 / 0.67 | 0.100 |
+| sf0.1 (2000 vecs)  | 0.88 | 0.98 | 0.29 / 0.39 | 0.077 |
+
+The scanned FRACTIONS fall as the corpus grows (the fixed-occupancy
+index sharpens), which is the scaling direction that matters; the
+recall floor no longer needs a scale carve-out.  Cost: ann_lsh best
+0.894 -> ~1.19 s, ann_ivf 0.873 -> ~1.26 s at sf0.1/32 cores — the
+price of +0.12/+0.20 recall, well inside the 2x bench red line.
 
 The ADC pass reads 8x fewer bytes than full vectors and exact work per
 query is bounded by the re-rank width regardless of bucket fan-out; on
 real embedding corpora, which cluster heavily, the same operators sit far
 above this floor.  All knobs are query parameters, and
-embedding_ann_recall hard-fails below 0.8 macro recall at the driver's
-correctness scales (<= 1k vectors; 0.6 beyond, where the uniform-sphere
-fixture legitimately degrades fixed-rerank recall — see cross-scale table)
-while reporting both scanned fractions on its summary rows.
+embedding_ann_recall hard-fails below 0.8 macro recall at EVERY scale
+(round 6; the old 0.6 large-scale carve-out is gone) while reporting both
+scanned fractions on its summary rows.
 
 Raw JSON: {json.dumps({k: {str(c): round(v, 1) for c, v in d.items()} for k, d in results.items()})}
 """
