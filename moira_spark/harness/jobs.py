@@ -346,6 +346,14 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run retiring (still replay-recognized), idempotency, or pre-merge
     time travel.  tests/test_merge.py pins the same surface plus CAS
     races and schema evolution.
+
+    Round 6 adds the MERGE-ON-READ leg on a second table: a small-key
+    mode="mor" merge must write ONE equality-delete keys file (zone-map
+    scoped to the runs that can match) plus ONE insert run — no run-dir
+    rewrite, nothing retired — read back correct through the anti-join,
+    and compact() must fold the deletes away data-identically.  That is
+    the O(keys) mutation path a high-churn 100 TB table needs between
+    compactions.
     """
     import os
 
@@ -385,6 +393,46 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 for e in os.listdir(t.data_dir) if e.startswith("run_id=")
         ),
     }
+
+    # merge-on-read leg (round 6): small-key merge = delete file + insert
+    # run, zero rewrites; compaction folds the deletes data-identically
+    t2 = SnapshotTable(f"{work}/t2")
+    for i in range(4):
+        t2.stage(
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{i * 10 + j}") for j in range(10)],
+                "k long, v string",
+            ),
+            f"m{i}",
+        )
+        t2.commit(spark, f"m{i}")
+    upd2 = spark.createDataFrame(
+        [(7, "U7", False), (23, None, True)], "k long, v string, is_delete boolean"
+    )
+    msnap = t2.merge(
+        spark, upd2, ["k"], merge_id="mor1", delete_col="is_delete", mode="mor"
+    )
+    mor_rows = sorted((r["k"], r["v"]) for r in t2.read(spark).collect())
+    want = sorted(
+        [(k, f"v{k}") for k in range(40) if k not in (7, 23)] + [(7, "U7")]
+    )
+    csnap = t2.compact(spark)
+    after_compact = sorted((r["k"], r["v"]) for r in t2.read(spark).collect())
+    row.update(
+        {
+            "mor_no_rewrite": len(msnap.run_ids) == 5
+            and msnap.retired_run_ids == [],
+            # the update-key BOUNDING BOX is [7, 23]: zone-map scoping must
+            # keep m3 (keys 30-39, provably outside) out of the reader's
+            # anti-join while m0-m2 (ranges overlapping the box) stay in
+            "mor_delete_scoped": len(msnap.delete_files) == 1
+            and sorted(msnap.delete_files[0]["applies_to"])
+            == ["m0", "m1", "m2"],
+            "mor_read_ok": mor_rows == want,
+            "mor_compact_folds": csnap.delete_files == []
+            and after_compact == want,
+        }
+    )
     shutil.rmtree(work, ignore_errors=True)
     bad = [k for k, v in row.items() if v is False]
     if bad:
@@ -395,7 +443,8 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_rows int, merged_ok boolean, untouched_run_kept boolean, "
             "matched_run_retired boolean, retired_still_committed boolean, "
             "rerun_idempotent boolean, time_travel_pre_merge boolean, "
-            "data_dirs int"
+            "data_dirs int, mor_no_rewrite boolean, mor_delete_scoped "
+            "boolean, mor_read_ok boolean, mor_compact_folds boolean"
         ),
     )
 

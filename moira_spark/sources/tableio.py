@@ -79,6 +79,15 @@ class Snapshot:
     # read back with NULLs in the new column and no footer-merge scan ever
     # happens (mergeSchema=true reads every file's footer — wrong at 100 TB).
     schema_json: str | None = None
+    # Iceberg-style EQUALITY-DELETE files (merge-on-read): each entry is
+    # {"run": <delete-run-id>, "key_cols": [...], "applies_to": [run_ids]}.
+    # The delete run dir holds only the key tuples; readers anti-join it
+    # against exactly the runs listed in applies_to (the data files that
+    # existed when the delete was written — Iceberg's sequence-number
+    # scoping, made explicit).  compact() folds deletes into a rewrite and
+    # clears this list; a MOR merge is O(update keys), never an
+    # O(run-dir) rewrite.
+    delete_files: list[dict] = field(default_factory=list)
     # What produced this snapshot: "append" (commit), "compact"
     # (data-identical rewrite), "merge" (logical rewrite).  Drives
     # read_changes(): Iceberg's incremental scan consumes appends, skips
@@ -99,6 +108,7 @@ class Snapshot:
                 "column_stats": self.column_stats,
                 "file_stats": self.file_stats,
                 "operation": self.operation,
+                "delete_files": self.delete_files,
             }
         )
 
@@ -115,6 +125,7 @@ class Snapshot:
             column_stats=d.get("column_stats", {}),
             file_stats=d.get("file_stats", {}),
             operation=d.get("operation"),
+            delete_files=d.get("delete_files", []),
         )
 
 
@@ -730,6 +741,9 @@ class SnapshotTable:
                     **(prev.file_stats if prev else {}),
                     run_id: run_fstats,
                 },
+                # outstanding equality deletes apply to PRIOR runs only
+                # (applies_to pins them), so an append carries them as-is
+                delete_files=list(prev.delete_files) if prev else [],
             )
             try:
                 self._write_snapshot(snap)
@@ -794,15 +808,13 @@ class SnapshotTable:
             # The loser's orphaned dir is reclaimed by vacuum() (min-age
             # guarded) like any other uncommitted staging dir.
             run_id = f"compact-v{prev.version + 1}-{os.urandom(4).hex()}"
-            prev_paths = [self.staged_dir(r) for r in prev.run_ids]
-            if prev.schema_json is not None:
-                from pyspark.sql.types import StructType
-
-                df = spark.read.schema(
-                    StructType.fromJson(json.loads(prev.schema_json))
-                ).parquet(*prev_paths)
-            else:
-                df = spark.read.parquet(*prev_paths)
+            # read() applies the snapshot schema AND any outstanding
+            # equality-delete files, so a compaction after MOR merges
+            # FOLDS the deletes into the rewrite (Iceberg: rewrite_data_
+            # files drops the delete files it applies) — the new snapshot
+            # carries no delete_files and readers stop paying the
+            # anti-joins
+            df = self.read(spark, version=prev.version)
             if cluster_by:
                 self.stage(
                     df,
@@ -823,10 +835,17 @@ class SnapshotTable:
             rows, run_stats, run_fstats = _collect_stats(
                 spark.read.parquet(self.staged_dir(run_id))
             )
-            if rows != sum(prev.row_counts.values()):
+            # with outstanding equality deletes the run row-counts are an
+            # overcount (deleted rows still sit in their files), so the
+            # identity check recounts the MOR-applied source instead
+            expected = (
+                df.count()
+                if prev.delete_files
+                else sum(prev.row_counts.get(r, 0) for r in prev.run_ids)
+            )
+            if rows != expected:
                 raise RuntimeError(
-                    f"compaction row mismatch: {rows} != "
-                    f"{sum(prev.row_counts.values())}"
+                    f"compaction row mismatch: {rows} != {expected}"
                 )
             snap = Snapshot(
                 version=prev.version + 1,
@@ -858,11 +877,26 @@ class SnapshotTable:
         key_cols: list[str],
         merge_id: str,
         delete_col: str | None = None,
+        mode: str = "cow",
     ) -> Snapshot:
         """Iceberg-style MERGE (copy-on-write with data-file pruning):
         rows of ``updates`` replace committed rows sharing their key,
         unmatched update rows are inserted, and update rows whose
         ``delete_col`` is true delete their match instead.
+
+        ``mode="mor"`` is the merge-on-read path (Iceberg v2 equality
+        deletes): instead of rewriting matched run dirs, the merge writes
+        ONE delete-keys file (every update key, scoped by ``applies_to``
+        to the runs that existed at merge time — Iceberg's
+        sequence-number scoping made explicit) plus ONE insert run with
+        the upsert rows.  Write cost is O(update keys), never O(run-dir
+        rewrite) — the right shape for a small redaction on a high-churn
+        100 TB table; readers pay a (typically broadcast) anti-join per
+        outstanding delete file until compact() folds them away, which
+        stays copy-on-write's job.  A COW merge while equality deletes
+        are outstanding is refused (its survivor scan would resurrect
+        deleted rows) — compact first, exactly like Iceberg's
+        rewrite_data_files before strategy changes.
 
         The scale property this implements deliberately: only run dirs
         that actually CONTAIN a matched key are rewritten — every other
@@ -941,10 +975,22 @@ class SnapshotTable:
             upserts = updates.filter(
                 ~F.coalesce(F.col(delete_col), F.lit(False))
             ).drop(delete_col)
+        if mode == "mor":
+            return self._merge_mor(
+                spark, key, merge_id, upd_keys, upserts, key_cols, key_filters
+            )
+        if mode != "cow":
+            raise ValueError(f"merge: unknown mode {mode!r} (cow | mor)")
         for _ in range(_CAS_RETRIES):
             prev = self.latest_snapshot()
             if prev is not None and key in prev.committed_keys:
                 return prev  # idempotent re-merge
+            if prev is not None and prev.delete_files:
+                raise ValueError(
+                    "copy-on-write MERGE with outstanding equality deletes "
+                    "would resurrect deleted rows from its survivor scan; "
+                    "compact() first, or keep using mode='mor'"
+                )
             # zone-map prune BEFORE any scan: a run whose committed key
             # range provably misses every update key cannot contain a match
             # and stays referenced untouched, unread (at 100 TB a merge
@@ -1035,6 +1081,9 @@ class SnapshotTable:
                     run_id: run_fstats,
                 },
                 operation="merge",
+                # empty by the outstanding-deletes guard above; explicit so
+                # a future guard relaxation cannot silently drop deletes
+                delete_files=list(prev.delete_files) if prev else [],
             )
             try:
                 self._write_snapshot(snap)
@@ -1043,6 +1092,83 @@ class SnapshotTable:
                 continue  # restart from the fresh snapshot
         raise SnapshotConflictError(
             f"merge {merge_id!r} lost {_CAS_RETRIES} CAS races; "
+            "a writer is livelocking this table"
+        )
+
+    def _merge_mor(
+        self,
+        spark: SparkSession,
+        key: str,
+        merge_id: str,
+        upd_keys: DataFrame,
+        upserts: DataFrame,
+        key_cols: list[str],
+        key_filters: list,
+    ) -> Snapshot:
+        """merge(mode="mor") body: one equality-delete keys file + one
+        insert run, no data-file rewrite (see merge() docstring).  The
+        delete entry's ``applies_to`` is zone-map pruned at write time —
+        a run whose committed key range provably misses every update key
+        is not even listed, so readers never anti-join against it."""
+        for _ in range(_CAS_RETRIES):
+            prev = self.latest_snapshot()
+            if prev is not None and key in prev.committed_keys:
+                return prev  # idempotent re-merge
+            version = (prev.version + 1) if prev else 1
+            nonce = os.urandom(4).hex()
+            ins_run = f"merge-{merge_id}-v{version}-{nonce}"
+            applies_to = [
+                r
+                for r in (prev.run_ids if prev else [])
+                if not _run_provably_empty(
+                    prev.column_stats.get(r), key_filters
+                )
+            ]
+            del_entry = None
+            if applies_to:
+                del_run = f"eqdel-{merge_id}-v{version}-{nonce}"
+                self.stage(upd_keys, del_run)
+                del_entry = {
+                    "run": del_run,
+                    "key_cols": list(key_cols),
+                    "applies_to": applies_to,
+                }
+            self.stage(upserts, ins_run)
+            staged = spark.read.parquet(self.staged_dir(ins_run))
+            rows, run_stats, run_fstats = _collect_stats(staged)
+            snap = Snapshot(
+                version=version,
+                run_ids=(prev.run_ids if prev else []) + [ins_run],
+                committed_keys=sorted(
+                    set(prev.committed_keys if prev else []) | {key}
+                ),
+                row_counts={
+                    **(prev.row_counts if prev else {}),
+                    ins_run: rows,
+                },
+                retired_run_ids=list(prev.retired_run_ids) if prev else [],
+                schema_json=_evolve_schema(
+                    prev.schema_json if prev else None, staged.schema
+                ),
+                column_stats={
+                    **(prev.column_stats if prev else {}),
+                    ins_run: run_stats,
+                },
+                file_stats={
+                    **(prev.file_stats if prev else {}),
+                    ins_run: run_fstats,
+                },
+                operation="merge",
+                delete_files=(list(prev.delete_files) if prev else [])
+                + ([del_entry] if del_entry else []),
+            )
+            try:
+                self._write_snapshot(snap)
+                return snap
+            except SnapshotConflictError:
+                continue
+        raise SnapshotConflictError(
+            f"merge {merge_id!r} (mor) lost {_CAS_RETRIES} CAS races; "
             "a writer is livelocking this table"
         )
 
@@ -1077,6 +1203,9 @@ class SnapshotTable:
             snap = self.snapshot(v)
             if snap is not None:
                 keep_runs.update(snap.run_ids)
+                # equality-delete key files are part of a snapshot's read
+                # state: expiring one would resurrect deleted rows
+                keep_runs.update(d["run"] for d in snap.delete_files)
         now = time.time()
         removed = []
         for entry in sorted(os.listdir(self.data_dir)):
@@ -1185,7 +1314,10 @@ class SnapshotTable:
             )
         missing = [
             r
-            for r in target.run_ids
+            for r in (
+                list(target.run_ids)
+                + [d["run"] for d in target.delete_files]
+            )
             if not os.path.isdir(self.staged_dir(r))
         ]
         if missing:
@@ -1208,6 +1340,7 @@ class SnapshotTable:
                 column_stats=dict(target.column_stats),
                 file_stats=dict(target.file_stats),
                 operation="rollback",
+                delete_files=[dict(d) for d in target.delete_files],
             )
             try:
                 self._write_snapshot(snap)
@@ -1282,21 +1415,21 @@ class SnapshotTable:
             if snap.schema_json is not None
             else None
         )
-        paths = []
+        run_paths: dict[str, list[str]] = {}
         for r in run_ids:
             fstats = snap.file_stats.get(r)
             if filters and fstats:
                 # file-level manifest pruning within the kept run: plan only
                 # the files whose zone maps can match (with cluster_by
                 # writes, one file of N for a point/range query)
-                paths.extend(
+                run_paths[r] = [
                     os.path.join(self.staged_dir(r), fn)
                     for fn, st in sorted(fstats.items())
                     if not _run_provably_empty(st, filters)
-                )
+                ]
             else:
-                paths.append(self.staged_dir(r))
-        if not paths:
+                run_paths[r] = [self.staged_dir(r)]
+        if not any(run_paths.values()):
             # everything pruned: an empty frame in the snapshot schema
             # (schema_json is recorded by every stats-writing commit)
             if schema is None:
@@ -1304,13 +1437,41 @@ class SnapshotTable:
                     *[self.staged_dir(r) for r in snap.run_ids]
                 ).schema
             return spark.createDataFrame([], schema)
-        if schema is not None:
+
+        def _scan(paths: list[str]) -> DataFrame:
             # schema from snapshot metadata, Iceberg-style: runs written
             # before a column existed read back with NULLs there, and no
             # per-file footer merge (mergeSchema) is ever needed
-            df = spark.read.schema(schema).parquet(*paths)
-        else:
-            df = spark.read.parquet(*paths)
+            if schema is not None:
+                return spark.read.schema(schema).parquet(*paths)
+            return spark.read.parquet(*paths)
+
+        # merge-on-read: group runs by WHICH equality-delete files apply
+        # (Iceberg sequence-number scoping via each entry's applies_to),
+        # scan each group once, anti-join its delete-key files, union.
+        # Delete files are small by MOR design, so the anti-joins plan as
+        # broadcasts; a table with no outstanding deletes takes the single
+        # one-scan path unchanged.
+        groups: dict[tuple, list[str]] = {}
+        for r, ps in run_paths.items():
+            if not ps:
+                continue
+            applicable = tuple(
+                i
+                for i, d in enumerate(snap.delete_files)
+                if r in d["applies_to"]
+            )
+            groups.setdefault(applicable, []).extend(ps)
+        df = None
+        for applicable, paths in sorted(groups.items()):
+            part = _scan(paths)
+            for i in applicable:
+                d = snap.delete_files[i]
+                keys = spark.read.parquet(
+                    self.staged_dir(d["run"])
+                ).select(*d["key_cols"]).distinct()
+                part = part.join(keys, d["key_cols"], "left_anti")
+            df = part if df is None else df.unionByName(part)
         if filters:
             df = df.filter(_filters_to_expr(filters))
         return df
@@ -1464,11 +1625,25 @@ class SnapshotTable:
             set(base.run_ids) | set(base.retired_run_ids) if base else set()
         )
         prev_retired = set(base.retired_run_ids) if base else set()
+        prev_n_dels = len(base.delete_files) if base else 0
         schema = (
             StructType.fromJson(json.loads(to_snap.schema_json))
             if to_snap.schema_json is not None
             else None
         )
+
+        def _conform(df: DataFrame) -> DataFrame:
+            # rows read under an earlier snapshot's schema: backfill NULL
+            # in later-added columns so every piece is union-compatible
+            if schema is None:
+                return df
+            have = set(df.columns)
+            return df.select(*[
+                F.col(f0.name)
+                if f0.name in have
+                else F.lit(None).cast(f0.dataType).alias(f0.name)
+                for f0 in schema.fields
+            ])
 
         def _read(runs: list[str], what: str, v: int) -> DataFrame:
             paths = [self.staged_dir(r) for r in runs]
@@ -1510,11 +1685,39 @@ class SnapshotTable:
             elif op == "merge":
                 old_runs = sorted(set(s.retired_run_ids) - prev_retired)
                 new_runs = [r for r in s.run_ids if r not in prev_runs]
-                if old_runs and new_runs:
+                new_dels = s.delete_files[prev_n_dels:]
+                if old_runs and new_runs:  # copy-on-write: value-level diff
                     old_df = _read(old_runs, "merge-retired", v)
                     new_df = _read(new_runs, "merge-output", v)
                     pieces.append(_tag(old_df.exceptAll(new_df), "delete", v))
                     pieces.append(_tag(new_df.exceptAll(old_df), "insert", v))
+                elif new_dels:
+                    # merge-on-read: the pre-image of every deleted key is
+                    # the prior version's MOR-applied read semi-joined on
+                    # the delete-key file (matched keys only — an update
+                    # key that matched nothing emits no delete), inserts
+                    # are the merge's insert run verbatim
+                    pre = self.read(spark, version=v - 1)
+                    for d in new_dels:
+                        if not os.path.isdir(self.staged_dir(d["run"])):
+                            raise ValueError(
+                                f"read_changelog: the equality-delete file "
+                                f"at v{v} was expired by vacuum; bootstrap "
+                                "from a full read() at the target version "
+                                "instead"
+                            )
+                        keys = spark.read.parquet(
+                            self.staged_dir(d["run"])
+                        ).select(*d["key_cols"]).distinct()
+                        pieces.append(_tag(
+                            _conform(pre.join(keys, d["key_cols"],
+                                              "left_semi")),
+                            "delete", v,
+                        ))
+                    if new_runs:
+                        pieces.append(_tag(
+                            _read(new_runs, "merge-output", v), "insert", v
+                        ))
                 elif new_runs:  # merge into an empty match set: pure insert
                     pieces.append(
                         _tag(_read(new_runs, "merge-output", v), "insert", v)
@@ -1527,6 +1730,7 @@ class SnapshotTable:
                 )
             prev_runs |= set(s.run_ids) | set(s.retired_run_ids)
             prev_retired = set(s.retired_run_ids)
+            prev_n_dels = len(s.delete_files)
         if not pieces:
             if schema is None:
                 schema = spark.read.parquet(

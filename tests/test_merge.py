@@ -331,3 +331,168 @@ class TestReadChangelog:
         df = t.read_changelog(spark, 1)
         assert df.count() == 0
         assert "_change_type" in df.columns and "k" in df.columns
+
+
+class TestMergeOnRead:
+    """mode='mor' equality deletes (round-6 verdict item 5): a small-key
+    merge writes ONE delete-keys file + ONE insert run — O(keys), never an
+    O(run-dir) rewrite; readers anti-join until compact() folds deletes."""
+
+    def _sixteen_run_table(self, spark, tmp_path):
+        return _table(
+            spark, tmp_path,
+            [(f"r{i:02d}", [(i * 10 + j, f"v{i * 10 + j}") for j in range(10)])
+             for i in range(16)],
+        )
+
+    def test_small_merge_writes_delete_file_only(self, spark, tmp_path):
+        import os
+
+        t = self._sixteen_run_table(spark, tmp_path)
+        pre_dirs = set(os.listdir(t.data_dir))
+        upd = spark.createDataFrame(
+            [(i * 16 + 3, f"U{i}") for i in range(10)], "k long, v string"
+        )
+        snap = t.merge(spark, upd, ["k"], merge_id="m1", mode="mor")
+        # every original run dir still referenced, none rewritten/retired
+        assert all(f"r{i:02d}" in snap.run_ids for i in range(16))
+        assert snap.retired_run_ids == []
+        new_dirs = set(os.listdir(t.data_dir)) - pre_dirs
+        # exactly two new dirs: the delete-keys file and the insert run
+        kinds = sorted(d.split("=")[1].split("-")[0] for d in new_dirs)
+        assert kinds == ["eqdel", "merge"], new_dirs
+        assert len(snap.delete_files) == 1
+        assert snap.delete_files[0]["key_cols"] == ["k"]
+        # reads apply the equality deletes: updated keys carry new values
+        rows = _rows(spark, t)
+        assert len(rows) == 160
+        for i in range(10):
+            assert rows[i * 16 + 3] == f"U{i}"
+
+    def test_applies_to_is_zone_map_pruned(self, spark, tmp_path):
+        t = self._sixteen_run_table(spark, tmp_path)
+        upd = spark.createDataFrame([(5, "U5")], "k long, v string")
+        snap = t.merge(spark, upd, ["k"], merge_id="m1", mode="mor")
+        # key 5 lives in r00's range only: the delete entry must not make
+        # readers anti-join the other 15 runs
+        assert snap.delete_files[0]["applies_to"] == ["r00"]
+        assert _rows(spark, t)[5] == "U5"
+
+    def test_delete_clause_and_insert(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        upd = spark.createDataFrame(
+            [(1, None, True), (9, "new", False)],
+            "k long, v string, is_del boolean",
+        )
+        t.merge(spark, upd, ["k"], merge_id="m1", delete_col="is_del",
+                mode="mor")
+        assert _rows(spark, t) == {2: "b", 9: "new"}
+
+    def test_compaction_folds_deletes_away(self, spark, tmp_path):
+        t = self._sixteen_run_table(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(i * 16 + 3, f"U{i}") for i in range(10)], "k long, v string"
+        )
+        t.merge(spark, upd, ["k"], merge_id="m1", mode="mor")
+        before = _rows(spark, t)
+        snap = t.compact(spark)
+        assert snap.delete_files == []
+        assert len(snap.run_ids) == 1
+        assert _rows(spark, t) == before
+
+    def test_time_travel_and_rollback_preserve_deletes(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        upd = spark.createDataFrame([(1, "A")], "k long, v string")
+        t.merge(spark, upd, ["k"], merge_id="m1", mode="mor")  # v2
+        t.stage(spark.createDataFrame([(3, "c")], "k long, v string"), "r2")
+        t.commit(spark, "r2")  # v3: append must CARRY the delete file
+        assert _rows(spark, t) == {1: "A", 2: "b", 3: "c"}
+        assert _rows(spark, t, version=1) == {1: "a", 2: "b"}
+        assert _rows(spark, t, version=2) == {1: "A", 2: "b"}
+        rb = t.rollback(2)
+        assert _rows(spark, t) == {1: "A", 2: "b"}
+        assert len(rb.delete_files) == 1
+
+    def test_mor_then_mor_sequences_correctly(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        t.merge(spark, spark.createDataFrame([(1, "A")], "k long, v string"),
+                ["k"], merge_id="m1", mode="mor")
+        # the second merge updates the FIRST merge's insert row: its delete
+        # file must apply to the first insert run, not just r1
+        t.merge(spark, spark.createDataFrame([(1, "AA")], "k long, v string"),
+                ["k"], merge_id="m2", mode="mor")
+        assert _rows(spark, t) == {1: "AA", 2: "b"}
+
+    def test_cow_refused_while_deletes_outstanding(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        t.merge(spark, spark.createDataFrame([(1, "A")], "k long, v string"),
+                ["k"], merge_id="m1", mode="mor")
+        with pytest.raises(ValueError, match="outstanding equality deletes"):
+            t.merge(spark,
+                    spark.createDataFrame([(2, "B")], "k long, v string"),
+                    ["k"], merge_id="m2")  # default cow
+        t.compact(spark)
+        t.merge(spark, spark.createDataFrame([(2, "B")], "k long, v string"),
+                ["k"], merge_id="m2")
+        assert _rows(spark, t) == {1: "A", 2: "B"}
+
+    def test_idempotent_rerun(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a")])])
+        upd = spark.createDataFrame([(1, "A")], "k long, v string")
+        s1 = t.merge(spark, upd, ["k"], merge_id="m1", mode="mor")
+        s2 = t.merge(spark, upd, ["k"], merge_id="m1", mode="mor")
+        assert s1.version == s2.version
+        assert len(t.latest_snapshot().delete_files) == 1
+
+    def test_vacuum_keeps_delete_files_of_retained_snapshots(
+        self, spark, tmp_path
+    ):
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        t.merge(spark, spark.createDataFrame([(1, "A")], "k long, v string"),
+                ["k"], merge_id="m1", mode="mor")
+        t.vacuum(retain_last=1, min_age_seconds=0)
+        # the latest snapshot's delete file survives; reads stay correct
+        assert _rows(spark, t) == {1: "A", 2: "b"}
+
+    def test_changelog_over_mor_merge(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a"), (2, "b")])])
+        upd = spark.createDataFrame(
+            [(1, "A", False), (2, None, True), (9, "new", False)],
+            "k long, v string, is_del boolean",
+        )
+        t.merge(spark, upd, ["k"], merge_id="m1", delete_col="is_del",
+                mode="mor")
+        got = sorted(
+            (r["_change_version"], r["_change_type"], r["k"], r["v"])
+            for r in t.read_changelog(spark, 1).collect()
+        )
+        assert got == [
+            (2, "delete", 1, "a"),
+            (2, "delete", 2, "b"),
+            (2, "insert", 1, "A"),
+            (2, "insert", 9, "new"),
+        ]
+
+    def test_read_filters_compose_with_deletes(self, spark, tmp_path):
+        t = self._sixteen_run_table(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(3, None, True), (7, "U7", False)],
+            "k long, v string, is_del boolean",
+        )
+        t.merge(spark, upd, ["k"], merge_id="m1", delete_col="is_del",
+                mode="mor")
+        got = sorted(
+            r["k"] for r in t.read(spark, filters=[("k", "<", 10)]).collect()
+        )
+        assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+        vals = {r["k"]: r["v"]
+                for r in t.read(spark, filters=[("k", "=", 7)]).collect()}
+        assert vals == {7: "U7"}
+
+    def test_schema_evolution_via_mor_insert(self, spark, tmp_path):
+        t = _table(spark, tmp_path, [("r1", [(1, "a")])])
+        upd = spark.createDataFrame([(1, "A", 7)], "k long, v string, extra long")
+        t.merge(spark, upd, ["k"], merge_id="m1", mode="mor")
+        rows = {r["k"]: (r["v"], r["extra"])
+                for r in t.read(spark).collect()}
+        assert rows == {1: ("A", 7)}
