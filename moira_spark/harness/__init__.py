@@ -147,7 +147,18 @@ COVERED_BY_SIBLING: dict[str, str] = {
 # streaming_interval_join, bucketed_join_colocated, events_bloom_prefilter,
 # corpus_curriculum_buckets) drained into the window, seated by rotating out
 # the 2x-green r4/r5 first-timers now listed in EXTERNALLY_PROVEN.
-STAGED_NEXT_WINDOW: frozenset[str] = frozenset()
+#
+# Staged late in round 6, after the window filled with the drain + the two
+# new in-window queries (table_changes_cdc, table_lifecycle_compose); both
+# SQL-checked at sf0.001 + sf0.01 by the local driver mirror every session.
+# Round 7 frees ample seats (the r5 first-timers reach 2x green), so the
+# queue drains to zero in round 7 as contracted.
+STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
+    {
+        "doc_heavy_hitters",
+        "table_cdc_matview",
+    }
+)
 
 _PRIORITY: tuple[str, ...] = (
     # flagship + spec acceptance gates (north_rule core)

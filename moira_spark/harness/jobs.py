@@ -698,3 +698,130 @@ def table_lifecycle_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# The oracle computes the FINAL per-source stats from the same
+# deterministic mutation plan the Spark side executes as real table
+# operations: base = the %3 slice, a merge-on-read redaction (updates %21
+# keys to n_chars+1000, deletes %33-not-%7 keys, inserts fresh %13 keys),
+# then an append of the %3==1 slice.  The Spark side never aggregates the
+# table — it folds the CDC changelog's signed deltas, so the hash match
+# proves changelog-driven materialized-view maintenance converges to the
+# table's truth.
+_MATVIEW_SQL = """
+    WITH state AS (
+      SELECT doc_id,
+             doc_id % 5 AS src,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE doc_id % 3 = 0 AND NOT (doc_id % 11 = 0 AND doc_id % 7 <> 0)
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, doc_id % 5 AS src, n_chars
+      FROM documents WHERE doc_id % 13 = 0 AND doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id, doc_id % 5 AS src, n_chars
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT src,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM state GROUP BY src
+"""
+
+
+@register("table_cdc_matview", _MATVIEW_SQL)
+def table_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-driven MATERIALIZED-VIEW maintenance (round 6): the
+    downstream consumer read_changelog exists for.  A per-source stats
+    view is maintained purely from CDC delete/insert rows — one signed
+    aggregation over the changelog, never a rescan of the table — across
+    an append, a MERGE-ON-READ redaction (update + delete + insert via an
+    equality-delete file), and a second append.
+
+    Because count/sum are linear, folding the signed deltas of the whole
+    range IS incremental maintenance (per-batch folding composes the same
+    way); the in-query gate additionally hard-fails unless the folded
+    view is row-identical to a direct aggregate of the final table, and
+    the DuckDB oracle value-checks the result against fixture math."""
+    from moira_spark.harness import load
+    from moira_spark.sources.tableio import SnapshotTable
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 5).alias("src"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    work = tempfile.mkdtemp(prefix="moira_matview_check_")
+    try:
+        t = SnapshotTable(f"{work}/t")
+        t.stage(docs.filter(F.col("doc_id") % 3 == 0), "base")
+        t.commit(spark, "base")  # v1
+
+        updates = (
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 == 0))
+            .select(
+                "doc_id", "src",
+                (F.col("n_chars") + 1000).alias("n_chars"),
+                F.lit(False).alias("is_del"),
+            )
+            .unionByName(
+                docs.filter(
+                    (F.col("doc_id") % 3 == 0)
+                    & (F.col("doc_id") % 11 == 0)
+                    & (F.col("doc_id") % 7 != 0)
+                ).select(
+                    "doc_id", "src",
+                    F.lit(None).cast("long").alias("n_chars"),
+                    F.lit(True).alias("is_del"),
+                )
+            )
+            .unionByName(
+                docs.filter(
+                    (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 3 != 0)
+                ).select(
+                    (F.col("doc_id") + 2000000).alias("doc_id"),
+                    "src", "n_chars", F.lit(False).alias("is_del"),
+                )
+            )
+        )
+        t.merge(spark, updates, ["doc_id"], merge_id="redact",
+                delete_col="is_del", mode="mor")  # v2
+        t.stage(docs.filter(F.col("doc_id") % 3 == 1), "late")
+        t.commit(spark, "late")  # v3
+
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        mv = (
+            t.read_changelog(spark, 0)
+            .groupBy("src")
+            .agg(
+                F.sum(sign).cast("bigint").alias("n_docs"),
+                F.sum(sign * F.col("n_chars")).cast("bigint").alias("sum_chars"),
+            )
+            # a source whose inserts and deletes cancel completely leaves
+            # the view (matches the direct aggregate, which never saw it)
+            .filter(F.col("n_docs") > 0)
+        )
+        direct = (
+            t.read(spark)
+            .groupBy("src")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+        )
+        drift = (
+            mv.exceptAll(direct).count() + direct.exceptAll(mv).count()
+        )
+        if drift:
+            raise AssertionError(
+                f"changelog-maintained view drifted from the table by "
+                f"{drift} rows"
+            )
+        return spark.createDataFrame(
+            mv.collect(), "src bigint, n_docs bigint, sum_chars bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1918,3 +1918,86 @@ def corpus_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# --------------------------------------------- heavy hitters (round 6)
+_HH_K = 20
+_HH_CAP = 1024  # Misra-Gries counters per partition
+
+
+@register(
+    "doc_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != ''))
+             AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT {_HH_K}
+    """,
+)
+def doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROVABLY-EXACT top-k tokens via bounded-state Misra-Gries sketches
+    plus an exact recount — the heavy-hitters pattern for streams whose
+    distinct-token cardinality dwarfs memory.
+
+    Why not just groupBy(token).count()?  Map-side combine already makes
+    the shuffle per-DISTINCT-token — but at web scale the distinct
+    vocabulary itself (URLs, hashes, typos) is the explosion: the shuffle
+    and the final agg hold every distinct key.  Misra-Gries bounds state
+    to ``cap`` counters per partition with total undercount <= N/(cap+1),
+    so the merged summary provably contains every token with true count
+    above that bar.  Stages:
+
+    1. one JVM explode -> per-partition MG summaries via mapInPandas —
+       VECTORIZED batch variant (value_counts + one nlargest/subtract
+       prune per batch; Python work is per distinct surviving token,
+       never per row);
+    2. candidates = union of survivors (<= cap x partitions rows);
+    3. exact recount of candidates only (explode again, broadcast
+       semi-join on the candidate set, groupBy) -> top-k with (n DESC,
+       token) tiebreak;
+    4. PROOF gate, hard-fail: the k-th recounted candidate must exceed
+       N/(cap+1) — every non-candidate is below it, so the top-k over
+       candidates IS the global top-k, and the DuckDB oracle checks the
+       values exactly.
+    """
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_words_col()).alias("token"))
+
+    def mg(batches):
+        counts = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = counts.add(pdf["token"].value_counts(), fill_value=0)
+            if len(counts) > _HH_CAP:
+                d = counts.nlargest(_HH_CAP + 1).iloc[-1]
+                counts = counts - d
+                counts = counts[counts > 0]
+        yield pd.DataFrame({"token": counts.index})
+
+    cand = (
+        toks.mapInPandas(mg, "token string")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; recount + gate reuse it
+    )
+    exact = (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    top = exact.orderBy(F.col("n").desc(), "token").limit(_HH_K).collect()
+    n_total = toks.count()
+    bar = n_total / (_HH_CAP + 1)
+    if len(top) < _HH_K or top[-1]["n"] <= bar:
+        raise AssertionError(
+            f"heavy-hitters proof failed: k-th candidate count "
+            f"{top[-1]['n'] if top else 0} <= N/(cap+1) = {bar:.1f} — "
+            "raise the MG capacity; the top-k is not provably exact"
+        )
+    return spark.createDataFrame(
+        [(r["token"], r["n"]) for r in top], "token string, n bigint"
+    )
