@@ -94,6 +94,37 @@ def parse_args(argv):
         "--compact/--vacuum so they operate on the restored state)",
     )
     m.add_argument(
+        "--redact",
+        help="parquet dir of update rows keyed (conv_id, turn_idx): "
+        "matching turns are replaced (or dropped where a _delete column "
+        "is true), applied as an Iceberg-style MERGE on the labels table; "
+        "runs after --rollback-to and before --compact, so a compaction "
+        "in the same invocation folds the merge's equality deletes",
+    )
+    m.add_argument(
+        "--redact-mode",
+        choices=["mor", "cow"],
+        default="mor",
+        help="mor (default) writes one equality-delete keys file + one "
+        "insert run — O(update keys), no data-file rewrite; cow rewrites "
+        "only the run dirs containing a matched key",
+    )
+    m.add_argument(
+        "--merge-id",
+        default=None,
+        help="idempotency key for --redact (default: redact-<run-id>; a "
+        "crash-and-rerun with the same id is a metadata no-op)",
+    )
+    m.add_argument(
+        "--export-changelog",
+        help="write the row-level CDC changelog (rows tagged "
+        "_change_type insert|delete and _change_version) for the range "
+        "(--changes-from, --changes-to] to this parquet dir; runs before "
+        "--vacuum so the range's data dirs still exist",
+    )
+    m.add_argument("--changes-from", type=int, default=0)
+    m.add_argument("--changes-to", type=int, default=None)
+    m.add_argument(
         "--tag",
         dest="publish_tag",
         help="after the job (and any --compact), atomically point this "
@@ -230,6 +261,18 @@ def main(argv=None) -> int:
         snap = table.rollback(args.rollback_to)
         summary["rolled_back_to"] = args.rollback_to
         summary["rollback_version"] = snap.version
+    if args.redact:
+        upd = spark.read.parquet(args.redact)
+        snap = table.merge(
+            spark,
+            upd,
+            ["conv_id", "turn_idx"],
+            merge_id=args.merge_id or f"redact-{args.run_id}",
+            delete_col="_delete" if "_delete" in upd.columns else None,
+            mode=args.redact_mode,
+        )
+        summary["redacted_version"] = snap.version
+        summary["redact_mode"] = args.redact_mode
     if args.compact:
         cluster_by = (
             [s.strip() for s in args.compact_cluster_by.split(",") if s.strip()]
@@ -249,6 +292,14 @@ def main(argv=None) -> int:
         # is what makes the following vacuum safe for pinned readers
         summary["tagged"] = args.publish_tag
         summary["tagged_version"] = table.tag(args.publish_tag)
+    if args.export_changelog:
+        log = table.read_changelog(
+            spark, args.changes_from, args.changes_to
+        )
+        log.write.mode("overwrite").parquet(args.export_changelog)
+        summary["changelog_rows"] = spark.read.parquet(
+            args.export_changelog
+        ).count()
     if args.vacuum_retain is not None:
         removed = table.vacuum(
             retain_last=args.vacuum_retain,

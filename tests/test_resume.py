@@ -1422,6 +1422,73 @@ class TestRollbackCLIGuard:
             )
 
 
+class TestRedactCLI:
+    def test_ingest_then_redact_then_changelog_export(self, spark, tmp_path):
+        """driver.py --redact (MOR merge) + --export-changelog end to end:
+        ingest synthetic turns, redact one turn's scrubbed_text via a
+        parquet update file, export the CDC changelog, and verify the
+        table and the export agree (round-6 north-rule CLI surface:
+        redaction without a full rewrite, plus the incremental export a
+        downstream consumer reads)."""
+        import driver
+
+        out = tmp_path / "o"
+        assert (
+            driver.main(
+                ["--synthetic-turns", "300", "--output", str(out),
+                 "--run-id", "j1", "--buckets", "2"]
+            )
+            == 0
+        )
+        table = SnapshotTable(str(out / "labels"))
+        victim = table.read(spark).limit(1).collect()[0]
+        upd = spark.createDataFrame(
+            [(victim["conv_id"], victim["turn_idx"], "[GONE]")],
+            "conv_id string, turn_idx int, scrubbed_text string",
+        )
+        upd.write.mode("overwrite").parquet(str(tmp_path / "upd"))
+        pre_version = table.latest_snapshot().version
+
+        export = tmp_path / "cdc"
+        assert (
+            driver.main(
+                ["--maintain-only", "--output", str(out), "--run-id", "j2",
+                 "--redact", str(tmp_path / "upd"),
+                 "--export-changelog", str(export),
+                 "--changes-from", str(pre_version)]
+            )
+            == 0
+        )
+        snap = table.latest_snapshot()
+        assert len(snap.delete_files) == 1  # mor default: no rewrite
+        got = table.read(spark).filter(
+            (F.col("conv_id") == victim["conv_id"])
+            & (F.col("turn_idx") == victim["turn_idx"])
+        ).collect()
+        assert [r["scrubbed_text"] for r in got] == ["[GONE]"]
+        log = spark.read.parquet(str(export)).collect()
+        kinds = sorted(r["_change_type"] for r in log)
+        assert kinds == ["delete", "insert"]
+        # idempotent re-run: same default merge-id -> metadata no-op
+        assert (
+            driver.main(
+                ["--maintain-only", "--output", str(out), "--run-id", "j2",
+                 "--redact", str(tmp_path / "upd")]
+            )
+            == 0
+        )
+        assert table.latest_snapshot().version == snap.version
+        # and a compaction folds the equality delete away
+        assert (
+            driver.main(
+                ["--maintain-only", "--output", str(out), "--run-id", "j3",
+                 "--compact"]
+            )
+            == 0
+        )
+        assert table.latest_snapshot().delete_files == []
+
+
 class TestSnapshotTags:
     """Named refs (Iceberg tags): the write-audit-publish pointer.
     Readers address a tag; flipping it is atomic; vacuum retains tagged
