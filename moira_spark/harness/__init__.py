@@ -157,6 +157,7 @@ STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
     {
         "doc_heavy_hitters",
         "table_cdc_matview",
+        "lm_bigram_kn",
     }
 )
 

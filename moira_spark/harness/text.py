@@ -2001,3 +2001,109 @@ def doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r["token"], r["n"]) for r in top], "token string, n bigint"
     )
+
+
+# ------------------------------------ Kneser-Ney bigram LM (round 6)
+_KN_D = 0.75
+_KN_TOP = 30
+
+
+@register(
+    "lm_bigram_kn",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i])) AS w1,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i + 1])) AS w2
+      FROM docs
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM pairs GROUP BY w1, w2
+    ),
+    lft AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1l
+      FROM bi GROUP BY w1
+    ),
+    rgt AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM bi GROUP BY w2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM bi)
+    SELECT bi.w1 || ' ' || bi.w2 AS bigram,
+           bi.c12, lft.c1, lft.n1l, rgt.n1r,
+           CAST(ROUND((GREATEST(bi.c12 - {_KN_D}, 0.0) / lft.c1
+                       + (({_KN_D} * lft.n1l) / lft.c1) * (rgt.n1r / tot.b))
+                      * 1000000) AS BIGINT) AS p_kn_fp
+    FROM bi
+    JOIN lft ON bi.w1 = lft.w1
+    JOIN rgt ON bi.w2 = rgt.w2
+    CROSS JOIN tot
+    ORDER BY bi.c12 DESC, bigram LIMIT {_KN_TOP}
+    """,
+)
+def lm_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Kneser-Ney-smoothed bigram LM training — the count
+    tables and interpolated probabilities behind an n-gram perplexity
+    scorer, built at corpus scale instead of driver-side:
+
+        P_kn(w2|w1) = max(c12 - D, 0)/c1 + (D * N1+(w1,.)/c1) * Pcont(w2)
+        Pcont(w2)   = N1+(., w2) / N1+(., .)      (D = 0.75)
+
+    Scale shape: ONE bigram explode -> groupBy(w1, w2) with map-side
+    combine gives the bigram-TYPE frame; every other statistic (left
+    continuation counts, right continuation counts, the distinct-bigram
+    total) is a small aggregation OVER that frame, never a second pass
+    over raw text; the join-backs key on single terms (broadcastable at
+    this scale, term-keyed shuffles at web scale — either is correct);
+    the top-k output is orderBy + limit = TakeOrderedAndProject.
+
+    Cross-engine float discipline (the PMI/TF-IDF precedent): all counts
+    exact bigints, the probability is assembled with an IDENTICAL
+    operation tree on both engines, fixed-pointed to 1e-6; the top-k cut
+    is total-ordered by (c12 DESC, bigram)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.select(_words_col().alias("w"))
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(w, 1, greatest(size(w) - 1, 0))"),
+                F.expr("slice(w, 2, greatest(size(w) - 1, 0))"),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .localCheckpoint(eager=True)  # three aggregations + the join-backs
+        # read this frame; recomputing the raw-text explode 4x loses the
+        # recompute-vs-persist A/B that holds for SINGLE-reuse frames
+    )
+    lft = bi.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1l"),
+    )
+    rgt = bi.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1r")
+    )
+    b_total = float(bi.count())
+    p_kn = (
+        F.greatest(F.col("c12") - F.lit(_KN_D), F.lit(0.0)) / F.col("c1")
+        + ((F.lit(_KN_D) * F.col("n1l")) / F.col("c1"))
+        * (F.col("n1r") / F.lit(b_total))
+    )
+    return (
+        bi.join(lft, "w1")
+        .join(rgt, "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c12", "c1", "n1l", "n1r",
+            F.round(p_kn * 1000000).cast("bigint").alias("p_kn_fp"),
+        )
+        .orderBy(F.col("c12").desc(), "bigram")
+        .limit(_KN_TOP)
+    )

@@ -139,6 +139,9 @@ CASES = [
     # the scan-side Filter (zero Python), the exact semi join broadcasts,
     # and the click filter reaches the parquet scan
     ("events_bloom_prefilter", 0, 0, 1, 1),
+    # round 6: KN bigram LM — checkpointed bigram-type frame feeds three
+    # aggregations + term-keyed join-backs; top-k must be TakeOrdered
+    ("lm_bigram_kn", 0, 0, 0, 0),
 ]
 
 
@@ -257,8 +260,9 @@ def test_no_corpus_sized_broadcast_hints(spark, name, budget):
     )
 
 
-def test_pmi_topk_is_take_ordered(spark):
-    # corpus_bigram_pmi's global top-20 must run as per-partition heaps
-    # merged on the driver, not a full sort over a gathered partition.
-    plan = _plan(spark, "corpus_bigram_pmi")
+@pytest.mark.parametrize("name", ["corpus_bigram_pmi", "lm_bigram_kn"])
+def test_global_topk_is_take_ordered(spark, name):
+    # a global top-k must run as per-partition heaps merged on the
+    # driver, not a full sort over a gathered partition.
+    plan = _plan(spark, name)
     assert "TakeOrderedAndProject" in plan, plan
