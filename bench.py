@@ -70,6 +70,8 @@ HEADLINE = [
     "doc_unigram_entropy",
     "doc_tfidf_topterms",
     "corpus_bigram_pmi",
+    "lm_bigram_kn",
+    "doc_heavy_hitters",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",
