@@ -149,7 +149,7 @@ COVERED_BY_SIBLING: dict[str, str] = {
 # the 2x-green r4/r5 first-timers now listed in EXTERNALLY_PROVEN.
 #
 # Staged late in round 6, after the window filled with the drain + the two
-# new in-window queries (table_changes_cdc, table_lifecycle_compose); both
+# new in-window queries (table_changes_cdc, table_lifecycle_compose); all
 # SQL-checked at sf0.001 + sf0.01 by the local driver mirror every session.
 # Round 7 frees ample seats (the r5 first-timers reach 2x green), so the
 # queue drains to zero in round 7 as contracted.
@@ -158,6 +158,10 @@ STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
         "doc_heavy_hitters",
         "table_cdc_matview",
         "lm_bigram_kn",
+        "doc_bm25_search",
+        "doc_chunk_windows",
+        "corpus_weighted_sample",
+        "dedup_editdist_refine",
     }
 )
 

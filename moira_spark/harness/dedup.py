@@ -2118,3 +2118,193 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"/{gate['n_short']} (budget {short_budget})"
         )
     return out
+
+
+# ------------------------------------- blocked edit-distance verification
+@register(
+    "dedup_editdist_refine",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, CAST(LEN(text) AS BIGINT) AS len,
+             LIST_TRANSFORM(
+               LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != ''),
+               wd -> (ORD(wd[1:1]) * 10000
+                      + ORD(SUBSTR(wd, LEN(wd), 1)) * 100
+                      + LEN(wd)) % 2147483647) AS codes
+      FROM documents
+    ),
+    mh AS (
+      SELECT doc_id, s.seed,
+             LIST_MIN(LIST_TRANSFORM(RANGE(1, LEN(codes) - 3),
+               i -> ((((((((CAST(s.seed AS BIGINT) * 1000003 + codes[i])
+                    % 2147483647) * 1000003 + codes[i+1])
+                    % 2147483647) * 1000003 + codes[i+2])
+                    % 2147483647) * 1000003 + codes[i+3])
+                    % 2147483647 * 1000003 + codes[i+4]) % 2147483647))
+               AS v
+      FROM toks CROSS JOIN (SELECT UNNEST([17, 59, 131, 283]) AS seed) s
+      WHERE LEN(codes) >= 5
+    ),
+    cool AS (
+      SELECT seed, v FROM mh GROUP BY seed, v
+      HAVING COUNT(*) <= 64
+    ),
+    mhc AS (
+      SELECT mh.doc_id, mh.seed, mh.v
+      FROM mh JOIN cool ON mh.seed = cool.seed AND mh.v = cool.v
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mhc a JOIN mhc b
+        ON a.seed = b.seed AND a.v = b.v AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+             ta.len AS len_a, tb.len AS len_b
+      FROM cand c
+      JOIN toks ta ON c.doc_a = ta.doc_id
+      JOIN toks tb ON c.doc_b = tb.doc_id
+    )
+    SELECT doc_a, doc_b, lev, len_a, len_b,
+           (1000000 - (lev * 1000000) // GREATEST(len_a, len_b))
+             / 1000000.0 AS sim
+    FROM ver
+    WHERE lev * 5 <= GREATEST(len_a, len_b)
+    """,
+)
+def dedup_editdist_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage-style fuzzy dedup: 1-permutation MinHash BLOCKING
+    over word-5-gram sketches (4 independent seeds = 4 bands of r=1)
+    proposes candidate pairs, and byte-level Levenshtein VERIFIES them —
+    pairs are emitted when edit similarity 1 - lev/max(len) >= 0.8.  The
+    edit-distance verifier catches character-level near-dups (typos,
+    small in-place edits) that token-set Jaccard treats as more distant,
+    and is the standard second stage after LSH in entity-resolution /
+    near-dup pipelines.  At sf0.01 the blocks propose 26 of 124,750
+    possible pairs and verification keeps 25 — exactly the brute-force
+    >= 0.8 ground truth (pinned in tests).
+
+    Scale shape: the sketch is a narrow per-row expression (word codes
+    once per doc, then a 5-step Horner poly per gram, min per seed — no
+    token explode, no shuffle); candidates come from an equi-join on
+    (seed, min-hash) with hot blocks capped at 64 docs by a pre-join
+    HAVING semi-join (the dedup_jaccard_capped df-cap pattern — a
+    degenerate block cannot quadratic-blow the join).  Levenshtein runs
+    JVM-side (whole-stage codegen) ONLY on surviving candidate pairs.
+    No broadcast hints anywhere: every frame here is corpus-sized except
+    the 4-row seed array (a literal).
+
+    Cross-engine discipline: the block hash is exact int64 arithmetic
+    (max intermediate 2^31 * 1000003 + 2^31 < 2^52); lev/lengths are
+    exact integers, the >= 0.8 gate is the integer cross-multiplication
+    lev*5 <= max(len), and sim is emitted via integer floor-division
+    fixed-point — no float enters until one final division of identical
+    integers.  Spark's levenshtein and DuckDB's agree on ASCII text
+    (unit-pinned); the fixtures are verified pure ASCII (the
+    doc_winnow_fingerprint oracle already relies on this).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.length("text").cast("bigint").alias("len"),
+        F.transform(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")),
+            lambda wd: (
+                F.ascii(wd) * 10000
+                + F.ascii(F.substring(wd, -1, 1)) * 100
+                + F.length(wd)
+            ).cast("bigint")
+            % 2147483647,
+        ).alias("codes"),
+    )
+
+    def _gram_hash(seed: int):
+        # closure factory: a two-arg lambda would make pyspark's transform
+        # bind the SECOND arg to the element index, clobbering the seed
+        def h(i):
+            e = F.lit(seed).cast("bigint")
+            for k in range(5):
+                e = (e * 1000003 + F.element_at(F.col("codes"), i + k)) % (
+                    2147483647
+                )
+            return e
+
+        return h
+
+    n = F.size("codes")
+    sketches = d.filter(n >= 5).select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.sequence(F.lit(1), n - 4), _gram_hash(seed))
+            ).alias(f"v{j}")
+            for j, seed in enumerate((17, 59, 131, 283))
+        ],
+    )
+    seeds = (17, 59, 131, 283)
+    mh = sketches.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(s).cast("bigint") for s in seeds]).alias(
+                    "seed"
+                ),
+                F.array(*[F.col(f"v{j}") for j in range(4)]).alias("v"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.seed").alias("seed"), F.col("z.v").alias("v"))
+    # hot-block cap: a degenerate block (boilerplate-dominated min-gram)
+    # may not quadratic-blow the candidate join (df-cap pattern)
+    cool = mh.groupBy("seed", "v").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") <= 64
+    )
+    mhc = mh.join(cool.select("seed", "v"), ["seed", "v"])
+    a = mhc.select(
+        F.col("seed").alias("s"), F.col("v").alias("vv"), F.col("doc_id").alias("doc_a")
+    )
+    b = mhc.select(
+        F.col("seed").alias("s"), F.col("v").alias("vv"), F.col("doc_id").alias("doc_b")
+    )
+    cand = (
+        a.join(b, ["s", "vv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("len").alias("len_a"),
+    )
+    tb = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("len").alias("len_b"),
+    )
+    ver = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("bigint").alias("lev"),
+            "len_a",
+            "len_b",
+        )
+    )
+    maxlen = F.greatest("len_a", "len_b")
+    return ver.filter(F.col("lev") * 5 <= maxlen).select(
+        "doc_a",
+        "doc_b",
+        "lev",
+        "len_a",
+        "len_b",
+        (
+            (
+                F.lit(1000000).cast("bigint")
+                - F.expr("(lev * 1000000) DIV GREATEST(len_a, len_b)")
+            )
+            / 1000000.0
+        ).alias("sim"),
+    )

@@ -2107,3 +2107,304 @@ def lm_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "bigram")
         .limit(_KN_TOP)
     )
+
+
+# ---------------------------------------------------------- BM25 retrieval
+@register(
+    "doc_bm25_search",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '')) AS wd
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, wd, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY doc_id, wd
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM words GROUP BY doc_id
+    ),
+    dfreq AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY wd),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+    qterms AS (
+      SELECT wd, df, CAST((rk - 1) // 3 AS INTEGER) AS query_id
+      FROM (SELECT wd, df,
+                   ROW_NUMBER() OVER (ORDER BY df ASC, wd ASC) AS rk
+            FROM dfreq)
+      WHERE rk <= 9
+    ),
+    contrib AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(ROUND(
+               LN((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * (t.tf * 2.2
+                  / (t.tf + 0.3
+                     + 0.9 * ((d.dl * 1.0) * s.n_docs) / o.total_tokens))
+               * 1000000) AS BIGINT) AS c_fp
+      FROM tf t JOIN qterms q ON t.wd = q.wd
+      JOIN dl d ON t.doc_id = d.doc_id
+      CROSS JOIN stats s CROSS JOIN tot o
+    ),
+    scored AS (
+      SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(c_fp) AS BIGINT) AS score_fp
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, n_terms, score_fp,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_fp DESC, doc_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS INTEGER) AS rk, doc_id, n_terms,
+           ROUND(score_fp / 1000000.0, 6) AS bm25
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-5 retrieval over the corpus for three
+    deterministic 3-term queries (the 9 rarest terms by document
+    frequency, tie-broken lexically, grouped in df order) — the lexical
+    half of a retrieval stack next to the embedding ANN tier, and the
+    standard relevance model for mining training data by keyword.
+
+    Scale shape: ONE tokenize/explode feeds tf, dl and df (df over the
+    already-collapsed tf keys — no countDistinct shuffle).  The query
+    side is 9 rows, so the tf-qterms join broadcasts without a hint
+    (AQE); the dl join shuffles on doc_id.  Top-5 per query is computed
+    in two phases: a per-partition row_number prune bounds each of the
+    3 hot query_id reducer keys to 5 rows per map partition, so the
+    final window never sees more than 5 x num_partitions rows — no
+    single hot reducer at 10^9 docs.
+
+    Cross-engine float discipline: tf/df/dl/n_docs/total_tokens are
+    exact integers; each term's BM25 contribution runs the identical
+    left-associated double expression on both engines and is
+    fixed-pointed to 1e-6 BEFORE the per-(query, doc) sum, which is an
+    order-free BIGINT sum.  Ranking ties break on doc_id.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()  # scalar aggregate, driver-side by design
+    words = d.select("doc_id", F.explode(_words_col()).alias("wd"))
+    tf = words.groupBy("doc_id", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    total_tokens = dl.agg(F.sum("dl")).collect()[0][0]  # scalar
+    dfreq = tf.groupBy("wd").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+
+    from pyspark.sql import Window
+
+    w_q = Window.orderBy(F.col("df").asc(), F.col("wd").asc())
+    qterms = (
+        dfreq.withColumn("qrk", F.row_number().over(w_q))
+        .filter(F.col("qrk") <= 9)
+        .select(
+            "wd",
+            "df",
+            ((F.col("qrk") - 1) / 3).cast("int").alias("query_id"),
+        )
+    )
+    # identical left-associated arithmetic as the oracle (parity-critical)
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfn = (
+        F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 0.3
+            + 0.9 * ((F.col("dl") * 1.0) * n_docs) / total_tokens
+        )
+    )
+    contrib = (
+        tf.join(qterms, "wd")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfn * 1000000).cast("bigint").alias("c_fp"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("c_fp").cast("bigint").alias("score_fp"),
+    )
+    # two-phase top-k: per-partition prune -> tiny global window
+    w_local = Window.partitionBy("query_id", "salt").orderBy(
+        F.col("score_fp").desc(), F.col("doc_id").asc()
+    )
+    pruned = (
+        scored.withColumn("salt", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= 5)
+        .drop("salt", "lrk")
+    )
+    w_glob = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_glob))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            F.col("rk").cast("int").alias("rk"),
+            "doc_id",
+            "n_terms",
+            F.round(F.col("score_fp") / 1000000.0, 6).alias("bm25"),
+        )
+    )
+
+
+# ------------------------------------------------- context-window chunking
+@register(
+    "doc_chunk_windows",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, w, CAST(LEN(w) AS BIGINT) AS n,
+             CASE WHEN LEN(w) <= 32 THEN 1
+                  ELSE CAST((LEN(w) - 32 + 23) // 24 AS BIGINT) + 1
+             END AS num_chunks
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             CAST(GREATEST(LEAST(i * 24, n - 32), 0) AS BIGINT) AS strt, n
+      FROM meta, UNNEST(RANGE(0, num_chunks)) AS t(i)
+    )
+    SELECT c.doc_id, c.chunk_idx,
+           CAST(c.strt AS INTEGER) AS start_tok,
+           CAST(LEAST(32, c.n - c.strt) AS INTEGER) AS n_tokens,
+           MD5(ARRAY_TO_STRING(m.w[c.strt + 1 : c.strt + 32], ' '))
+             AS chunk_md5
+    FROM chunks c JOIN meta m ON c.doc_id = m.doc_id
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking (window 32 tokens, stride 24,
+    8-token overlap): every document becomes ceil((n-32)/24)+1 chunks
+    whose LAST window is right-aligned to the document end (start =
+    min(i*stride, n-32)), the standard packing rule when fixed-length
+    training contexts must cover the whole document without padding the
+    tail.  Chunks are emitted as md5(text) so the cross-engine value
+    check is byte-exact without shipping the chunk bodies.
+
+    Scale shape: a pure narrow map — split, one sequence-explode, slice,
+    md5 — with NO shuffle anywhere (the oracle's join-back to the token
+    array is Spark-side a same-row slice).  Chunk fan-out is bounded by
+    n/stride per doc, so partition sizes grow linearly with input and
+    maxPartitionBytes keeps them executor-sized at any corpus scale.
+    """
+    W, S = 32, 24
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _words_col().alias("w")
+    )
+    n = F.size("w").cast("bigint")
+    num_chunks = F.when(n <= W, F.lit(1).cast("bigint")).otherwise(
+        ((n - W + (S - 1)) / S).cast("bigint") + 1
+    )
+    rows = d.select(
+        "doc_id",
+        "w",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), (num_chunks - 1).cast("int"))).alias(
+            "i"
+        ),
+    )
+    start = F.greatest(
+        F.least(F.col("i").cast("bigint") * S, F.col("n") - W), F.lit(0)
+    )
+    return rows.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        F.least(F.lit(W).cast("bigint"), F.col("n") - start)
+        .cast("int")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("w"), (start + 1).cast("int"), W)
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+# ------------------------------------------- deterministic weighted sample
+@register(
+    "corpus_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ((((doc_id * 48271) % 2147483647) * 48271) % 2147483647) AS h
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, n_chars,
+             CAST(ROUND(LN((h + 0.5) / 2147483647.0) / n_chars
+                        * 1000000000) AS BIGINT) AS key_fp
+      FROM keyed
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, key_fp,
+             ROW_NUMBER() OVER (ORDER BY key_fp DESC, doc_id ASC) AS rk
+      FROM sc
+    )
+    SELECT CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
+           ROUND(key_fp / 1000000000.0, 9) AS sample_key
+    FROM ranked WHERE rk <= 50
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis top-k):
+    each doc draws a deterministic pseudo-uniform u from two Lehmer
+    minstd steps seeded by doc_id (prime modulus 2^31-1 — no
+    power-of-two lattice) and is ranked by ln(u)/weight with weight =
+    n_chars; the top-50 keys ARE a weighted sample without replacement.
+    This is how a quality-weighted training subset is drawn at corpus
+    scale with NO random state: any executor can recompute any doc's
+    key, so the sample is reproducible across retries and resumes.
+
+    Scale shape: the key is a narrow per-row expression; the global
+    top-50 plans as TakeOrderedAndProject (per-partition heap + driver
+    merge of 50-row heads — no single-partition exchange of the corpus).
+    The final rank window runs AFTER limit(50), i.e. over exactly 50
+    rows — bounded, like the k-row collects in the kmeans tier.
+
+    Cross-engine float discipline: h is exact integer arithmetic (max
+    intermediate 2^31 * 48271 < 2^48); ln((h+0.5)/2^31-1)/n_chars is one
+    libm log + two divisions of identical doubles, fixed-pointed at 1e-9
+    before ranking with a doc_id tie-break.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = (((F.col("doc_id") * 48271) % 2147483647) * 48271) % 2147483647
+    key_fp = (
+        F.round(
+            F.log((h + 0.5) / 2147483647.0) / F.col("n_chars") * 1000000000
+        )
+        .cast("bigint")
+        .alias("key_fp")
+    )
+    top = (
+        d.select("doc_id", "n_chars", key_fp)
+        .orderBy(F.col("key_fp").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("key_fp").desc(), F.col("doc_id").asc())
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        F.col("rk").cast("int").alias("rk"),
+        "doc_id",
+        "n_chars",
+        F.round(F.col("key_fp") / 1000000000.0, 9).alias("sample_key"),
+    )

@@ -1,0 +1,235 @@
+"""Pins for the round-6 retrieval/selection operators: BM25 search,
+sliding-window chunking, deterministic weighted sampling, and the
+blocked edit-distance dedup refinement.
+
+The harness mirror checks these against DuckDB on the driver fixtures;
+these tests pin (a) the cross-engine assumptions the oracles lean on
+(Spark vs DuckDB levenshtein parity on ASCII), (b) blocking recall vs
+brute force, and (c) boundary semantics a fixture refresh would never
+reach (single-chunk docs, right-aligned tails, rare-term ranking,
+weight bias)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from moira_spark.harness.dedup import dedup_editdist_refine
+from moira_spark.harness.text import (
+    corpus_weighted_sample,
+    doc_bm25_search,
+    doc_chunk_windows,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Stage hand-built docs as a documents.parquet the (spark, sf_dir)
+    query signature can read."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+class TestLevenshteinParity:
+    def test_spark_matches_duckdb_on_ascii(self, spark):
+        """The dedup_editdist_refine oracle assumes both engines compute
+        the identical classic edit distance on ASCII text."""
+        pairs = [
+            ("kitten", "sitting"),
+            ("", "abc"),
+            ("abc", ""),
+            ("same", "same"),
+            ("a b c d", "a b x c d"),
+            ("flaw", "lawn"),
+            ("gumbo", "gambol"),
+            ("key agg row scan", "key agg row scan slow"),
+            ("x" * 200, "x" * 199 + "y"),
+        ]
+        sdf = spark.createDataFrame(pairs, "a string, b string").select(
+            F.levenshtein("a", "b").alias("lev")
+        )
+        got = [r["lev"] for r in sdf.collect()]
+        con = duckdb.connect()
+        want = [
+            con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+            for a, b in pairs
+        ]
+        assert got == want
+
+    def test_known_distance(self, spark):
+        row = spark.createDataFrame(
+            [("kitten", "sitting")], "a string, b string"
+        ).select(F.levenshtein("a", "b").alias("lev")).collect()[0]
+        assert row["lev"] == 3
+
+
+class TestEditDistRefine:
+    def test_recall_equals_brute_force_at_sf0001(self, spark):
+        """Blocking must not lose a single >= 0.8 pair on the fixture:
+        the query's pair set == the O(n^2) DuckDB ground truth."""
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_editdist_refine(spark, SF0001).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF0001}/documents.parquet')"
+        )
+        want = {
+            (a, b)
+            for a, b in con.execute(
+                """
+                SELECT a.doc_id, b.doc_id
+                FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+                WHERE levenshtein(a.text, b.text) * 5
+                      <= GREATEST(LEN(a.text), LEN(b.text))
+                """
+            ).fetchall()
+        }
+        assert got == want and len(want) > 0
+
+    def test_sim_is_exact_fixed_point(self, spark, tmp_path):
+        """sim must equal (1e6 - lev*1e6 // maxlen) / 1e6 exactly —
+        integer fixed point, no float rounding."""
+        a = "alpha bravo charlie delta echo foxtrot golf hotel india"
+        b = a.replace("india", "indig")  # 1 substitution at the tail
+        sf = _write_docs(spark, tmp_path, [(1, a), (2, b)])
+        rows = dedup_editdist_refine(spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["lev"] == 1
+        maxlen = max(r["len_a"], r["len_b"])
+        assert r["sim"] == (1000000 - (1 * 1000000) // maxlen) / 1000000.0
+
+    def test_hot_block_cap_drops_degenerate_buckets(self, spark, tmp_path):
+        """> 64 identical docs form one block per seed; the cap must
+        drop it rather than emit the quadratic pair set."""
+        text = "the same boilerplate sentence repeated for every record"
+        sf = _write_docs(spark, tmp_path, [(i, text) for i in range(70)])
+        assert dedup_editdist_refine(spark, sf).count() == 0
+
+
+class TestChunkWindows:
+    W, S = 32, 24
+
+    def _tokens(self, n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    def test_short_doc_single_chunk(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path, [(1, self._tokens(10))])
+        rows = doc_chunk_windows(spark, sf).collect()
+        assert len(rows) == 1
+        assert rows[0]["start_tok"] == 0 and rows[0]["n_tokens"] == 10
+
+    def test_exact_window_single_chunk(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path, [(1, self._tokens(32))])
+        rows = doc_chunk_windows(spark, sf).collect()
+        assert len(rows) == 1 and rows[0]["n_tokens"] == 32
+
+    def test_last_window_right_aligned_and_full(self, spark, tmp_path):
+        """n=45 -> chunks at 0 and n-W=13 (NOT 24): the tail window is
+        right-aligned so the doc end is covered without padding."""
+        sf = _write_docs(spark, tmp_path, [(1, self._tokens(45))])
+        rows = sorted(
+            doc_chunk_windows(spark, sf).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert [(r["start_tok"], r["n_tokens"]) for r in rows] == [
+            (0, 32),
+            (13, 32),
+        ]
+
+    def test_every_token_covered_with_stride(self, spark, tmp_path):
+        n = 99
+        sf = _write_docs(spark, tmp_path, [(1, self._tokens(n))])
+        rows = doc_chunk_windows(spark, sf).collect()
+        covered = set()
+        for r in rows:
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        assert covered == set(range(n))
+        # interior starts advance by exactly the stride
+        starts = sorted(r["start_tok"] for r in rows)
+        assert starts[1] - starts[0] == self.S
+
+    def test_md5_matches_reference_join(self, spark, tmp_path):
+        toks = [f"t{i}" for i in range(40)]
+        sf = _write_docs(spark, tmp_path, [(1, " ".join(toks))])
+        rows = {
+            r["chunk_idx"]: r for r in doc_chunk_windows(spark, sf).collect()
+        }
+        want0 = hashlib.md5(" ".join(toks[0:32]).encode()).hexdigest()
+        want1 = hashlib.md5(" ".join(toks[8:40]).encode()).hexdigest()
+        assert rows[0]["chunk_md5"] == want0
+        assert rows[1]["chunk_md5"] == want1
+
+
+class TestBM25:
+    def test_rare_term_doc_ranks_first(self, spark, tmp_path):
+        """A term appearing in exactly one doc is the rarest -> query 0
+        contains it -> that doc must rank rk=1 for query 0."""
+        filler = " ".join(["common"] * 20)
+        rows = [(i, filler) for i in range(1, 9)]
+        rows.append((99, filler + " uniqueterm"))
+        sf = _write_docs(spark, tmp_path, rows)
+        out = doc_bm25_search(spark, sf).collect()
+        q0 = sorted(
+            (r for r in out if r["query_id"] == 0), key=lambda r: r["rk"]
+        )
+        assert q0[0]["doc_id"] == 99
+
+    def test_scores_non_increasing_in_rank(self, spark):
+        out = doc_bm25_search(spark, SF0001).collect()
+        by_q: dict[int, list] = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for rows in by_q.values():
+            rows.sort(key=lambda r: r["rk"])
+            assert len(rows) == 5
+            scores = [r["bm25"] for r in rows]
+            assert scores == sorted(scores, reverse=True)
+            assert all(s > 0 for s in scores)
+
+
+class TestWeightedSample:
+    def test_deterministic(self, spark):
+        a = corpus_weighted_sample(spark, SF0001).collect()
+        b = corpus_weighted_sample(spark, SF0001).collect()
+        assert [(r["rk"], r["doc_id"]) for r in a] == [
+            (r["rk"], r["doc_id"]) for r in b
+        ]
+        assert len(a) == 50
+
+    def test_selection_biased_toward_weight(self, spark):
+        """Efraimidis-Spirakis: selection probability increases with
+        weight, so the sampled docs' mean n_chars must exceed the
+        corpus mean (deterministic under the fixed hash)."""
+        sampled = corpus_weighted_sample(spark, SF0001).agg(
+            F.avg("n_chars")
+        ).collect()[0][0]
+        corpus = (
+            spark.read.parquet(f"{SF0001}/documents.parquet")
+            .agg(F.avg("n_chars"))
+            .collect()[0][0]
+        )
+        assert sampled > corpus
+
+    def test_keys_negative_and_sorted(self, spark):
+        rows = sorted(
+            corpus_weighted_sample(spark, SF0001).collect(),
+            key=lambda r: r["rk"],
+        )
+        keys = [r["sample_key"] for r in rows]
+        assert all(k < 0 for k in keys)
+        assert keys == sorted(keys, reverse=True)
