@@ -72,6 +72,10 @@ HEADLINE = [
     "corpus_bigram_pmi",
     "lm_bigram_kn",
     "doc_heavy_hitters",
+    "doc_bm25_search",
+    "doc_chunk_windows",
+    "corpus_weighted_sample",
+    "dedup_editdist_refine",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",

@@ -2173,11 +2173,12 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE tokenize/explode feeds tf, dl and df (df over the
     already-collapsed tf keys — no countDistinct shuffle).  The query
     side is 9 rows, so the tf-qterms join broadcasts without a hint
-    (AQE); the dl join shuffles on doc_id.  Top-5 per query is computed
-    in two phases: a per-partition row_number prune bounds each of the
-    3 hot query_id reducer keys to 5 rows per map partition, so the
-    final window never sees more than 5 x num_partitions rows — no
-    single hot reducer at 10^9 docs.
+    (AQE); the dl join shuffles on doc_id.  BOTH global top-k's run in
+    two phases (per-partition row_number prune -> tiny global window):
+    the rarest-9 term ranking never gathers the vocab-sized df frame
+    (10^8 terms at web scale) and the top-5-per-query window never sees
+    more than 5 x num_partitions rows per query_id — no hot reducer at
+    10^9 docs.
 
     Cross-engine float discipline: tf/df/dl/n_docs/total_tokens are
     exact integers; each term's BM25 contribution runs the identical
@@ -2199,9 +2200,22 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    # two-phase rarest-9: per-partition prune bounds the global ranking
+    # window's input to 9 x num_partitions rows — the SinglePartition
+    # exchange never sees the vocab-sized frame (web-scale vocabularies
+    # run to 10^8 terms)
+    w_ql = Window.partitionBy("qsalt").orderBy(
+        F.col("df").asc(), F.col("wd").asc()
+    )
+    dfreq_pruned = (
+        dfreq.withColumn("qsalt", F.spark_partition_id())
+        .withColumn("qlrk", F.row_number().over(w_ql))
+        .filter(F.col("qlrk") <= 9)
+        .drop("qsalt", "qlrk")
+    )
     w_q = Window.orderBy(F.col("df").asc(), F.col("wd").asc())
     qterms = (
-        dfreq.withColumn("qrk", F.row_number().over(w_q))
+        dfreq_pruned.withColumn("qrk", F.row_number().over(w_q))
         .filter(F.col("qrk") <= 9)
         .select(
             "wd",

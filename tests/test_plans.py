@@ -142,6 +142,23 @@ CASES = [
     # round 6: KN bigram LM — checkpointed bigram-type frame feeds three
     # aggregations + term-keyed join-backs; top-k must be TakeOrdered
     ("lm_bigram_kn", 0, 0, 0, 0),
+    # round 6: context chunking — a pure narrow map (split, sequence
+    # explode, slice, md5): zero exchanges of ANY kind, zero Python
+    ("doc_chunk_windows", 0, 0, 0, 0),
+    # round 6: BM25 — the ONE SinglePartition is the query-term ranking
+    # window over the VOCAB-sized df frame (bounded by vocabulary, not
+    # corpus); the 9-row query side joins back as a broadcast; doc-side
+    # top-5 is the two-phase salted prune, never a global sort
+    ("doc_bm25_search", 1, 0, 1, 0),
+    # round 6: weighted sample — global top-50 must be per-partition
+    # heaps (TakeOrderedAndProject, pinned below); the ONE
+    # SinglePartition is the rank window AFTER limit(50) — 50 rows
+    ("corpus_weighted_sample", 1, 0, 0, 0),
+    # round 6: edit-distance refine — sketch is a narrow per-row expr
+    # (no token explode); candidate/cap/verify joins are corpus-sized
+    # equi-joins (AQE may broadcast at this fixture scale), levenshtein
+    # runs in codegen: zero Python, zero global exchange
+    ("dedup_editdist_refine", 0, 0, 0, 0),
 ]
 
 
@@ -245,6 +262,7 @@ HINT_BUDGET = {
     "dedup_cluster_representatives": 0,
     "dedup_semantic": 3,
     "dedup_semantic_kmeans": 0,
+    "dedup_editdist_refine": 0,
 }
 
 
@@ -260,7 +278,9 @@ def test_no_corpus_sized_broadcast_hints(spark, name, budget):
     )
 
 
-@pytest.mark.parametrize("name", ["corpus_bigram_pmi", "lm_bigram_kn"])
+@pytest.mark.parametrize(
+    "name", ["corpus_bigram_pmi", "lm_bigram_kn", "corpus_weighted_sample"]
+)
 def test_global_topk_is_take_ordered(spark, name):
     # a global top-k must run as per-partition heaps merged on the
     # driver, not a full sort over a gathered partition.
