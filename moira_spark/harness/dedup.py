@@ -2145,13 +2145,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks CROSS JOIN (SELECT UNNEST([17, 59, 131, 283]) AS seed) s
       WHERE LEN(codes) >= 5
     ),
-    cool AS (
-      SELECT seed, v FROM mh GROUP BY seed, v
-      HAVING COUNT(*) <= 64
-    ),
     mhc AS (
-      SELECT mh.doc_id, mh.seed, mh.v
-      FROM mh JOIN cool ON mh.seed = cool.seed AND mh.v = cool.v
+      SELECT doc_id, seed, v FROM (
+        SELECT doc_id, seed, v,
+               COUNT(*) OVER (PARTITION BY seed, v) AS bsz
+        FROM mh
+      ) WHERE bsz <= 64
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2255,11 +2254,18 @@ def dedup_editdist_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
     ).select("doc_id", F.col("z.seed").alias("seed"), F.col("z.v").alias("v"))
     # hot-block cap: a degenerate block (boilerplate-dominated min-gram)
-    # may not quadratic-blow the candidate join (df-cap pattern)
-    cool = mh.groupBy("seed", "v").agg(F.count(F.lit(1)).alias("bsz")).filter(
-        F.col("bsz") <= 64
+    # may not quadratic-blow the candidate join (df-cap pattern).  One
+    # window count over (seed, v) instead of groupBy + join-back — the
+    # same shuffle key the candidate self-join needs next, one exchange
+    # fewer on the corpus-sized sketch frame
+    from pyspark.sql import Window
+
+    w_blk = Window.partitionBy("seed", "v")
+    mhc = (
+        mh.withColumn("bsz", F.count(F.lit(1)).over(w_blk))
+        .filter(F.col("bsz") <= 64)
+        .drop("bsz")
     )
-    mhc = mh.join(cool.select("seed", "v"), ["seed", "v"])
     a = mhc.select(
         F.col("seed").alias("s"), F.col("v").alias("vv"), F.col("doc_id").alias("doc_a")
     )
