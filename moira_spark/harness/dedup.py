@@ -2288,19 +2288,31 @@ def dedup_editdist_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("text_b"),
         F.col("len").alias("len_b"),
     )
+    # banded Levenshtein: the >= 0.8 gate means lev <= floor(maxlen/5),
+    # so pass that as the threshold — Spark's bounded DP early-exits and
+    # runs O(len x threshold) instead of O(len^2) (a 5x+ cut on long
+    # documents), returning -1 (filtered) past the band and the EXACT
+    # distance inside it, so kept rows match the oracle's full lev
     ver = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("text_a", "text_b").cast("bigint").alias("lev"),
+            F.expr(
+                "levenshtein(text_a, text_b,"
+                " CAST(GREATEST(len_a, len_b) DIV 5 AS INT))"
+            )
+            .cast("bigint")
+            .alias("lev"),
             "len_a",
             "len_b",
         )
     )
     maxlen = F.greatest("len_a", "len_b")
-    return ver.filter(F.col("lev") * 5 <= maxlen).select(
+    return ver.filter(
+        (F.col("lev") >= 0) & (F.col("lev") * 5 <= maxlen)
+    ).select(
         "doc_a",
         "doc_b",
         "lev",
