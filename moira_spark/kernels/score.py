@@ -32,6 +32,28 @@ _TOX_PREFIX_CODES = np.array(
     dtype=np.int64,
 )
 
+# 256-entry lookup marking bytes that can START a lexicon prefix (both
+# cases for letters): the window code is only worth computing at these
+# positions, which cuts the rolling-code work from every buffer byte to the
+# ~2-5% of bytes that match a first letter.
+_TOX_FIRST_BYTE = np.zeros(256, dtype=bool)
+for _c in _TOX_PREFIX_CODES:
+    _b0 = int(_c) >> 24
+    _TOX_FIRST_BYTE[_b0] = True
+    if ord("a") <= _b0 <= ord("z"):
+        _TOX_FIRST_BYTE[_b0 - 32] = True
+
+
+def _any_per_segment(pos: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-text 'any hit position inside the segment' from SORTED hit
+    positions — no per-byte float conversion, just one searchsorted."""
+    idx = np.searchsorted(pos, offsets)
+    return idx[1:] > idx[:-1]
+
+
+def _fold(x: np.ndarray) -> np.ndarray:
+    return np.where((x >= 65) & (x <= 90), x + 32, x)
+
 
 def _candidate_masks(buffer, lengths, offsets):
     """(pii_candidate, tox_candidate) boolean arrays per text."""
@@ -39,24 +61,22 @@ def _candidate_masks(buffer, lengths, offsets):
     interesting = ((buffer >= ord("0")) & (buffer <= ord("9"))) | (
         buffer == ord("@")
     )
-    pii = (
-        hashing.segment_sums(interesting.astype(np.float64), lengths, offsets, 1)
-        > 0
-    )
-    # toxicity requires a case-folded 4-byte lexicon prefix somewhere
-    b = buffer.astype(np.int64)
-    lower = np.where((b >= 65) & (b <= 90), b + 32, b)
-    if len(lower) >= 4:
-        code = np.zeros(len(lower), dtype=np.int64)
-        code[:-3] = (
-            (lower[:-3] << 24) | (lower[1:-2] << 16) | (lower[2:-1] << 8) | lower[3:]
+    pii = _any_per_segment(np.flatnonzero(interesting), offsets)
+    # toxicity requires a case-folded 4-byte lexicon prefix somewhere;
+    # compute the code only where the first byte can match the lexicon
+    cand = np.flatnonzero(_TOX_FIRST_BYTE[buffer])
+    cand = cand[cand <= len(buffer) - 4]
+    if cand.size:
+        code = (
+            (_fold(buffer[cand].astype(np.int64)) << 24)
+            | (_fold(buffer[cand + 1].astype(np.int64)) << 16)
+            | (_fold(buffer[cand + 2].astype(np.int64)) << 8)
+            | _fold(buffer[cand + 3].astype(np.int64))
         )
-        hit = np.isin(code, _TOX_PREFIX_CODES)
+        hit_pos = cand[np.isin(code, _TOX_PREFIX_CODES)]
     else:
-        hit = np.zeros(len(lower), dtype=bool)
-    tox = (
-        hashing.segment_sums(hit.astype(np.float64), lengths, offsets, 1) > 0
-    )
+        hit_pos = np.empty(0, dtype=np.int64)
+    tox = _any_per_segment(hit_pos, offsets)
     return pii, tox
 
 
