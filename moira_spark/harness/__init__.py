@@ -44,6 +44,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Import for registration side effects.
 from moira_spark.harness import (  # noqa: E402,F401
     dedup,
+    graph,
     jobs,
     multimodal,
     relational,
@@ -151,8 +152,13 @@ COVERED_BY_SIBLING: dict[str, str] = {
 # Staged late in round 6, after the window filled with the drain + the two
 # new in-window queries (table_changes_cdc, table_lifecycle_compose); all
 # SQL-checked at sf0.001 + sf0.01 by the local driver mirror every session.
-# Round 7 frees ample seats (the r5 first-timers reach 2x green), so the
-# queue drains to zero in round 7 as contracted.
+# Round 7 frees ample seats, so the queue drains to zero in round 7 as
+# contracted: >= 13 in-window r5 first-timers reach their 2nd green round
+# in r6 and become rotation-eligible (events_funnel/retention/proximity,
+# doc_repetition_stats, doc_unigram_entropy, events_anomaly,
+# dedup_containment, doc_decontaminate, source_percentile_gate,
+# corpus_quality_budget, doc_dsir_weight, dedup_semantic[_kmeans],
+# training_mix_temperature) — only 10 seats are needed.
 STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
     {
         "doc_heavy_hitters",
@@ -162,6 +168,10 @@ STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
         "doc_chunk_windows",
         "corpus_weighted_sample",
         "dedup_editdist_refine",
+        # third-session additions, same local-mirror discipline
+        "doc_substring_dedup",
+        "graph_pagerank",
+        "corpus_split_leakage",
     }
 )
 

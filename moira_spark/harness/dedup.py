@@ -1308,6 +1308,105 @@ def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unclustered.unionAll(reps)
 
 
+# ------------------------------------- leakage-safe train/val/test split
+@register(
+    "corpus_split_leakage",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    cnodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM cnodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS grp FROM reach GROUP BY src),
+    assign AS (
+      SELECT c.doc_id, COALESCE(m.grp, c.doc_id) AS grp
+      FROM corpus c LEFT JOIN comp m USING (doc_id)
+    ),
+    labeled AS (
+      SELECT doc_id, grp,
+             CASE WHEN grp % 10 <= 7 THEN 'train'
+                  WHEN grp % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assign
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM labeled GROUP BY split
+    """,
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: assign every document to a split
+    by its NEAR-DUP GROUP, not its own id, so two near-identical documents
+    can never land on opposite sides of the train/eval boundary — the
+    document-level 80/10/10 hash split every naive pipeline starts with
+    silently places a train doc's near-copy in the test set and inflates
+    every downstream eval.  Group = connected component of the Jaccard>=0.5
+    pair graph (the same planted-near corpus and closure the cluster
+    queries check); split = min-doc-id representative mod 10 (0-7 train,
+    8 val, 9 test); singletons are their own group.
+
+    Scale shape: pair generation is the bucketed shingle join, closure is
+    the O(log n) big-star algorithm, and the assignment is one left join —
+    all shapes already proven at the dedup tier; the split adds only a
+    projection.  In-query hard-fails: (a) ZERO groups straddle a split
+    (computed from the assignment frame, not assumed), and (b) the planted
+    near-pairs actually exercise the guarantee (>= 2 multi-member groups),
+    otherwise the leakage check would pass vacuously.
+    """
+    from moira_spark.operators.components import connected_components_bigstar
+
+    corpus = _planted_near(spark, sf_dir)
+    pairs = dedup_jaccard_3gram(spark, sf_dir)
+    comp = connected_components_bigstar(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    assign = (
+        corpus.select("doc_id")
+        .join(comp.select(F.col("id").alias("doc_id"), "comp"), "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("grp"))
+    )
+    bucket = F.col("grp") % 10
+    labeled = assign.select(
+        "doc_id",
+        "grp",
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).localCheckpoint(eager=True)  # reused by both hard-fails + the result
+
+    per_group = labeled.groupBy("grp").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    leaky = per_group.filter(F.col("n_splits") > 1).count()
+    if leaky:
+        raise AssertionError(
+            f"leakage-safe split leaked: {leaky} near-dup groups straddle "
+            "a train/val/test boundary"
+        )
+    multi = per_group.filter(F.col("n_members") > 1).count()
+    if multi < 2:
+        raise AssertionError(
+            f"leakage check is vacuous: only {multi} multi-member groups "
+            "— the planted near-dups did not cluster"
+        )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("grp").cast("bigint").alias("n_groups"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
 # --------------------------------------------- span-level (C4-style) dedup
 @register(
     "doc_span_dedup",
@@ -1410,6 +1509,181 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spans",
             F.coalesce("n_kept_spans", F.lit(0)).alias("n_kept_spans"),
             F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+        )
+    )
+
+
+# ------------------------------ exact-substring (ExactSubstr-style) dedup
+_SUBSTR_K = 8
+_SUBSTR_BOILER = (
+    "to unsubscribe from this newsletter click the link at the bottom of"
+    " every page"
+)
+
+
+@register(
+    "doc_substring_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' {_SUBSTR_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM corpus
+    ),
+    wins AS (
+      -- slice OUTSIDE the lambda: a list slice inside a struct literal in
+      -- a correlated LIST_TRANSFORM trips DuckDB 1.0's struct-pack binder
+      SELECT doc_id, s, ARRAY_TO_STRING(w[s:s + {_SUBSTR_K} - 1], ' ') AS g
+      FROM (SELECT doc_id, w,
+                   UNNEST(RANGE(1, LEN(w) - {_SUBSTR_K} + 2)) AS s
+            FROM toks)
+    ),
+    firsts AS (
+      SELECT g, MIN(doc_id * 1000 + s) AS first_key FROM wins GROUP BY g
+    ),
+    dups AS (
+      SELECT w.doc_id, w.s
+      FROM wins w JOIN firsts f
+        ON w.g = f.g AND w.doc_id * 1000 + w.s != f.first_key
+    ),
+    gaps AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS ps
+      FROM dups
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+             CAST(SUM(CASE WHEN ps IS NULL THEN {_SUBSTR_K}
+                           ELSE LEAST({_SUBSTR_K}, s - ps) END) AS BIGINT)
+               AS n_removed_tokens,
+             CAST(1 + SUM(CASE WHEN ps IS NOT NULL AND s - ps > {_SUBSTR_K}
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM gaps GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(LEN(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(a.n_removed_tokens, 0) AS BIGINT) AS n_removed_tokens,
+           CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-SUBSTRING dedup (the ExactSubstr pass of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    {_SUBSTR_K}-token window whose token sequence occurs elsewhere in the
+    corpus is removed UNLESS it is the globally first occurrence (min
+    (doc_id, position) key), and overlapping removed windows merge into
+    maximal spans — the pass that strips repeated boilerplate *fragments*
+    (cookie banners, unsubscribe footers) that neither doc-level nor
+    sentence-span dedup can touch because the surrounding text is unique.
+    Planted: a 13-token unsubscribe footer appended to every fifth
+    document; only doc 0 keeps it.
+
+    Scale shape: the reference algorithm builds a corpus-wide suffix
+    array — inherently single-machine.  The distributed transposition is
+    window-hash first-occurrence selection: one JVM explode of k-token
+    windows, a groupBy-MIN over the window string (algebraic, map-side
+    combined — the skew from a footer shared by 20% of the corpus
+    collapses in the partial agg), one equi-join back, and a per-doc
+    O(windows) fold that merges overlapping removals (all intervals have
+    the same length k, so union size folds as sum(min(k, gap))).  No
+    suffix array, no window functions over corpus-sized partitions, no
+    Python.  The synthetic first-key doc_id*1000+s keeps MIN total-ordered
+    on both engines (docs are < 1000 tokens at every tested scale; the
+    fold below hard-fails if a position ever exceeds it).
+    """
+    k = _SUBSTR_K
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    toks = corpus.select("doc_id", w.alias("w"))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (k - 1)),
+        lambda i: F.struct(
+            i.alias("s"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("w"), i + j) for j in range(k)]
+            ).alias("g"),
+        ),
+    )
+    wins = (
+        toks.filter(F.size("w") >= k)
+        .select("doc_id", F.explode(gram).alias("u"))
+        .select("doc_id", F.col("u.s").alias("s"), F.col("u.g").alias("g"))
+    )
+    if wins.filter(F.col("s") >= 1000).limit(1).count():
+        raise AssertionError(
+            "substring-dedup first-key overflow: a window position "
+            "exceeds the doc_id*1000 ordering bound"
+        )
+    key = F.col("doc_id") * 1000 + F.col("s")
+    firsts = wins.groupBy("g").agg(F.min(key).alias("first_key"))
+    dups = (
+        wins.join(firsts, "g")
+        .filter(key != F.col("first_key"))
+        .select("doc_id", "s")
+    )
+    # per-doc interval union: fold the sorted start list once — prev starts
+    # far negative so the first window contributes a full k tokens / 1 span
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cov"),
+        F.lit(0).cast("long").alias("spans"),
+        F.lit(-1000000).cast("long").alias("prev"),
+    )
+    folded = (
+        dups.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            "doc_id",
+            F.size("ss").cast("bigint").alias("n_dup_windows"),
+            F.aggregate(
+                "ss",
+                zero,
+                lambda acc, s: F.struct(
+                    (acc["cov"] + F.least(F.lit(k), s - acc["prev"])).alias(
+                        "cov"
+                    ),
+                    (
+                        acc["spans"]
+                        + F.when(s - acc["prev"] > k, 1).otherwise(0)
+                    ).alias("spans"),
+                    s.cast("long").alias("prev"),
+                ),
+            ).alias("acc"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_windows",
+            F.col("acc.cov").alias("n_removed_tokens"),
+            F.col("acc.spans").alias("n_dup_spans"),
+        )
+    )
+    return (
+        toks.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+        .join(folded, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_removed_tokens", F.lit(0)).alias(
+                "n_removed_tokens"
+            ),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
         )
     )
 
