@@ -376,7 +376,11 @@ ran the shared-bus slow mode; round-5 SECOND session 47,596 -> 84,868
 t/s = **0.45** (8->32, back-to-back, BOTH sides new all-window bests at
 zero steal — the most honest wide-regime pair yet: earlier pairs that
 read higher, like r4's 0.63, compared an average 8-cpu window against a
-good 32-cpu one).  The 2->8 criterion sits at 0.87-1.01 on clean
+good 32-cpu one); round-6 third session 10,983 -> 41,305 t/s = **0.94**
+(2->8, back-to-back at <0.1% steal on BOTH sides — the second clean
+matched narrow-regime pair in a row to clear the bar) while that
+session's 32-cpu windows ran 2-13% steal (8->32 unusable that day).
+The 2->8 criterion sits at 0.87-1.01 on clean
 windows, clearing the north rule's 0.8 floor; the 8->32 shortfall is
 the shared-bus VM, not the engine (see controls below — a zero-Python
 pure-JVM aggregation scales 0.30 on the same host, i.e. the full
