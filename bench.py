@@ -76,6 +76,9 @@ HEADLINE = [
     "doc_chunk_windows",
     "corpus_weighted_sample",
     "dedup_editdist_refine",
+    "doc_substring_dedup",
+    "graph_pagerank",
+    "corpus_split_leakage",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",
