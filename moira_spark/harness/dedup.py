@@ -1514,6 +1514,31 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------ exact-substring (ExactSubstr-style) dedup
+def interval_union_fold(ss, k: int):
+    """One-pass fold over a SORTED array of interval starts, every interval
+    of length ``k``: struct(cov = size of the union, spans = number of
+    maximal merged runs, prev = last start).  Same-length intervals make
+    the union fold as sum(min(k, gap)); prev starts far negative so the
+    first interval contributes a full k tokens and opens the first span.
+    Property-pinned against a brute-force set union in tests."""
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cov"),
+        F.lit(0).cast("long").alias("spans"),
+        F.lit(-1000000).cast("long").alias("prev"),
+    )
+    return F.aggregate(
+        ss,
+        zero,
+        lambda acc, s: F.struct(
+            (acc["cov"] + F.least(F.lit(k), s - acc["prev"])).alias("cov"),
+            (
+                acc["spans"] + F.when(s - acc["prev"] > k, 1).otherwise(0)
+            ).alias("spans"),
+            s.cast("long").alias("prev"),
+        ),
+    )
+
+
 _SUBSTR_K = 8
 _SUBSTR_BOILER = (
     "to unsubscribe from this newsletter click the link at the bottom of"
@@ -1638,33 +1663,13 @@ def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(key != F.col("first_key"))
         .select("doc_id", "s")
     )
-    # per-doc interval union: fold the sorted start list once — prev starts
-    # far negative so the first window contributes a full k tokens / 1 span
-    zero = F.struct(
-        F.lit(0).cast("long").alias("cov"),
-        F.lit(0).cast("long").alias("spans"),
-        F.lit(-1000000).cast("long").alias("prev"),
-    )
     folded = (
         dups.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("ss"))
         .select(
             "doc_id",
             F.size("ss").cast("bigint").alias("n_dup_windows"),
-            F.aggregate(
-                "ss",
-                zero,
-                lambda acc, s: F.struct(
-                    (acc["cov"] + F.least(F.lit(k), s - acc["prev"])).alias(
-                        "cov"
-                    ),
-                    (
-                        acc["spans"]
-                        + F.when(s - acc["prev"] > k, 1).otherwise(0)
-                    ).alias("spans"),
-                    s.cast("long").alias("prev"),
-                ),
-            ).alias("acc"),
+            interval_union_fold("ss", k).alias("acc"),
         )
         .select(
             "doc_id",

@@ -14,7 +14,11 @@ from fractions import Fraction
 
 import pyspark.sql.functions as F
 
-from moira_spark.harness.dedup import corpus_split_leakage, doc_substring_dedup
+from moira_spark.harness.dedup import (
+    corpus_split_leakage,
+    doc_substring_dedup,
+    interval_union_fold,
+)
 from moira_spark.harness.graph import _PR_ITERS, _PR_OUT, graph_pagerank
 
 
@@ -60,6 +64,43 @@ class TestSubstringDedup:
         assert got[2] == (25, 9, 16, 1)
         assert got[3] == (29, 5, 19, 2)
         assert got[4] == (5, 0, 0, 0)
+
+    def test_interval_fold_matches_brute_force_union(self, spark):
+        """200 random sorted start lists (fixed seed), k in {3, 8}: the
+        one-pass fold must equal the brute-force set union — size AND
+        number of maximal runs — including adjacency edge cases (gap == k
+        merges, gap == k+1 splits)."""
+        import random
+
+        rng = random.Random(42)
+        cases = []
+        for i in range(200):
+            k = 3 if i % 2 else 8
+            n = rng.randint(1, 12)
+            starts = sorted(rng.sample(range(1, 40), n))
+            cover = set()
+            for s in starts:
+                cover.update(range(s, s + k))
+            spans = sum(
+                1
+                for j, s in enumerate(starts)
+                if j == 0 or s - starts[j - 1] > k
+            )
+            cases.append((i, k, starts, len(cover), spans))
+        df = spark.createDataFrame(
+            [(i, k, ss) for i, k, ss, _, _ in cases],
+            "i long, k int, ss array<int>",
+        )
+        got = {
+            r["i"]: (r["cov"], r["spans"])
+            for k_val in (3, 8)
+            for r in df.filter(F.col("k") == k_val)
+            .select("i", interval_union_fold("ss", k_val).alias("a"))
+            .select("i", F.col("a.cov").alias("cov"), F.col("a.spans").alias("spans"))
+            .collect()
+        }
+        for i, _, _, cov, spans in cases:
+            assert got[i] == (cov, spans), f"case {i}"
 
     def test_boilerplate_plant_kept_once(self, spark):
         """On the driver fixture the 13-token footer is planted on every
