@@ -79,6 +79,9 @@ HEADLINE = [
     "doc_substring_dedup",
     "graph_pagerank",
     "corpus_split_leakage",
+    "source_drift_ks",
+    "doc_boilerplate_prefix",
+    "source_overlap_matrix",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",

@@ -158,7 +158,9 @@ COVERED_BY_SIBLING: dict[str, str] = {
 # doc_repetition_stats, doc_unigram_entropy, events_anomaly,
 # dedup_containment, doc_decontaminate, source_percentile_gate,
 # corpus_quality_budget, doc_dsir_weight, dedup_semantic[_kmeans],
-# training_mix_temperature) — only 10 seats are needed.
+# training_mix_temperature) — 13 seats for exactly 13 staged queries.
+# Round 6 is therefore the LAST session that may stage anything; the cap
+# in tests/test_registry.py comes back down after the r7 drain.
 STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
     {
         "doc_heavy_hitters",
@@ -172,6 +174,10 @@ STAGED_NEXT_WINDOW: frozenset[str] = frozenset(
         "doc_substring_dedup",
         "graph_pagerank",
         "corpus_split_leakage",
+        # fourth-session additions: corpus-governance tier
+        "source_drift_ks",
+        "doc_boilerplate_prefix",
+        "source_overlap_matrix",
     }
 )
 

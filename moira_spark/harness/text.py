@@ -2422,3 +2422,410 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(F.col("key_fp") / 1000000000.0, 9).alias("sample_key"),
     )
+
+
+# ------------------------------------------------ source distribution drift
+# c(alpha) for the two-sample Kolmogorov-Smirnov rejection bound
+# D > c(alpha) * sqrt((n1 + n2) / (n1 * n2)) at alpha = 0.01.
+_KS_C_ALPHA = 1.628
+
+
+@register(
+    "source_drift_ks",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             CASE WHEN source = 'src7' THEN text || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    vals AS (
+      SELECT source,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != ''))
+                  AS BIGINT) AS v
+      FROM corpus
+    ),
+    counts AS (
+      SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals GROUP BY 1, 2
+    ),
+    srcs AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY source
+    ),
+    gv AS (SELECT DISTINCT v FROM counts),
+    grid AS (
+      SELECT s.source, s.n_s, g.v, COALESCE(c.c, 0) AS c0
+      FROM srcs s CROSS JOIN gv g
+      LEFT JOIN counts c ON c.source = s.source AND c.v = g.v
+    ),
+    cums AS (
+      SELECT source, n_s, v,
+             CAST(SUM(c0) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+               AS cum_s
+      FROM grid
+    ),
+    gcum AS (
+      SELECT source, n_s, v, cum_s,
+             CAST(SUM(cum_s) OVER (PARTITION BY v) AS BIGINT) AS cum_g
+      FROM cums
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM vals),
+    nums AS (
+      SELECT source, n_s,
+             MAX(ABS(cum_s * (t.n_total - n_s) - (cum_g - cum_s) * n_s))
+               AS dnum,
+             MAX(t.n_total) AS n_total
+      FROM gcum, tot t GROUP BY source, n_s
+    )
+    SELECT source, n_s AS n_docs,
+           ROUND(dnum * 1.0 / (n_s * 1.0 * (n_total - n_s)), 6) AS ks_d,
+           dnum * 1.0 / (n_s * 1.0 * (n_total - n_s)) >
+             {_KS_C_ALPHA} * SQRT(n_total / (n_s * 1.0 * (n_total - n_s)))
+             AS drift
+    FROM nums
+    """,
+)
+def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift monitor: the EXACT two-sample
+    Kolmogorov-Smirnov statistic of each source's doc-length-in-words
+    distribution against the pooled rest of the corpus, with the
+    alpha=0.01 rejection bound — the upstream-shift alarm a continuous
+    ingestion pipeline runs before a new crawl snapshot is allowed into
+    the training mix.  One source (src7) is deterministically planted
+    with doubled documents so the drift flag is non-vacuous: it MUST
+    fire there and MUST NOT fire everywhere.
+
+    Exactness: with an integer metric the KS supremum is attained at a
+    support point, so D = max_v |cum_s(v)*n_rest - cum_rest(v)*n_s| /
+    (n_s*n_rest) is computed in pure int64 until one final division —
+    bit-identical cross-engine (exact while n_s*n_rest < 2^63; at
+    larger-than-that corpora, bucket the metric and normalize per
+    partial, or sample per source — the statistic is distribution-level
+    so per-source reservoir samples of ~1e6 preserve it to +-1e-3).
+
+    Scale shape: one corpus-wide groupBy(source, metric) with map-side
+    partial aggregation is the ONLY full-data shuffle; everything after
+    runs on the (sources x distinct-metric-values) grid — bounded by
+    #sources * max_doc_words, far below executor memory even at 1e4
+    sources.  The pooled ECDF is recovered as SUM(cum_s) OVER
+    (PARTITION BY v) on the complete grid, avoiding any
+    single-partition global window; the 1-row corpus total enters via a
+    bounded broadcast nested-loop cross join.
+    """
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    corpus = d.withColumn(
+        "text",
+        F.when(
+            F.col("source") == "src7", F.concat_ws(" ", "text", "text")
+        ).otherwise(F.col("text")),
+    )
+    vals = corpus.select(
+        "source", F.size(_words_col()).cast("bigint").alias("v")
+    )
+    out = ks_drift(vals).localCheckpoint(
+        eager=True
+    )  # #sources rows; gate + result reuse
+    flags = {r["source"]: r["drift"] for r in out.collect()}
+    if not flags.get("src7", False) or all(flags.values()):
+        raise AssertionError(
+            "KS drift gate failed: the planted doubled-length source must "
+            f"drift and at least one source must not (flags={flags})"
+        )
+    return out
+
+
+def ks_drift(vals: DataFrame, c_alpha: float = _KS_C_ALPHA) -> DataFrame:
+    """Exact two-sample KS of each ``source`` group's integer metric ``v``
+    against the pooled rest; returns (source, n_docs, ks_d, drift).  Core
+    of source_drift_ks — see that docstring for the exactness and scale
+    arguments."""
+    counts = vals.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    srcs = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    gv = counts.select("v").distinct()
+    grid = (
+        srcs.crossJoin(gv)
+        .join(counts, ["source", "v"], "left")
+        .select(
+            "source", "n_s", "v", F.coalesce("c", F.lit(0)).alias("c0")
+        )
+    )
+    from pyspark.sql import Window
+
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = grid.withColumn("cum_s", F.sum("c0").over(w_src).cast("bigint"))
+    gcum = cums.withColumn(
+        "cum_g",
+        F.sum("cum_s").over(Window.partitionBy("v")).cast("bigint"),
+    )
+    tot = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    dnum = F.abs(
+        F.col("cum_s") * (F.col("n_total") - F.col("n_s"))
+        - (F.col("cum_g") - F.col("cum_s")) * F.col("n_s")
+    )
+    nums = (
+        gcum.crossJoin(tot)
+        .select("source", "n_s", "n_total", dnum.alias("dnum"))
+        .groupBy("source", "n_s")
+        .agg(F.max("dnum").alias("dnum"), F.max("n_total").alias("n_total"))
+    )
+    denom = F.col("n_s") * 1.0 * (F.col("n_total") - F.col("n_s"))
+    d_stat = F.col("dnum") * 1.0 / denom
+    crit = c_alpha * F.sqrt(F.col("n_total") / denom)
+    return nums.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.round(d_stat, 6).alias("ks_d"),
+        (d_stat > crit).alias("drift"),
+    )
+
+
+# ------------------------------------------- boilerplate template detection
+_BOILER_PREFIX = "thank you for contacting support . "
+_BOILER_MIN = 3
+
+
+@register(
+    "doc_boilerplate_prefix",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN '{_BOILER_PREFIX}' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id,
+             LOWER(ARRAY_TO_STRING(
+               (LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != ''))[1:3],
+               ' ')) AS prefix
+      FROM corpus
+    )
+    SELECT doc_id, prefix,
+           CAST(COUNT(*) OVER (PARTITION BY prefix) AS BIGINT)
+             AS prefix_count,
+           COUNT(*) OVER (PARTITION BY prefix) >= {_BOILER_MIN}
+             AS is_boilerplate
+    FROM pre
+    """,
+)
+def doc_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by opening-prefix heavy hitters:
+    documents whose normalized first-3-word prefix repeats >= {_BOILER_MIN}
+    times across the corpus are flagged as template instances — the cheap
+    first pass that catches form letters, auto-replies, and scraped
+    listing pages before any n-gram dedup runs.  A fixed support-reply
+    opening is planted on doc_id % 13 == 0 so a large template cluster
+    provably exists alongside the fixture's natural 2-4x repeats.
+
+    Scale shape: the prefix is a narrow JVM expression (split -> slice ->
+    lower), and the cluster size comes from ONE window COUNT over the
+    prefix key — a single hash-partitioned exchange, no groupBy +
+    join-back second shuffle (the r6s2 hot-block lesson).  Prefix
+    cardinality is ~corpus-sized in the worst case but each partition
+    group is tiny; no driver-side state.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(_BOILER_PREFIX), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    out = boilerplate_prefixes(corpus)
+    gate = out.agg(
+        F.sum(F.when(F.col("prefix") == "thank you for", 1).otherwise(0))
+          .alias("planted"),
+        F.sum(F.when(~F.col("is_boilerplate"), 1).otherwise(0))
+          .alias("clean"),
+    ).collect()[0]
+    if gate["planted"] < _BOILER_MIN or gate["clean"] == 0:
+        raise AssertionError(
+            "boilerplate gate failed: planted template cluster "
+            f"{gate['planted']} < {_BOILER_MIN} or zero clean docs"
+        )
+    return out
+
+
+def boilerplate_prefixes(
+    corpus: DataFrame, k: int = 3, min_count: int = _BOILER_MIN
+) -> DataFrame:
+    """Flag docs whose normalized first-k-word prefix repeats >= min_count
+    times — core of doc_boilerplate_prefix; one window COUNT over the
+    prefix key, no second shuffle."""
+    prefix = F.lower(F.concat_ws(" ", F.slice(_words_col(), 1, k)))
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("prefix"))
+    return corpus.select("doc_id", prefix.alias("prefix")).select(
+        "doc_id",
+        "prefix",
+        cnt.cast("bigint").alias("prefix_count"),
+        (cnt >= min_count).alias("is_boilerplate"),
+    )
+
+
+# ------------------------------------------- cross-source contamination map
+_OVL_W = 5          # word n-gram width
+_OVL_CAP = 8        # drop grams present in >= this many sources
+_OVL_PLANT = "subscribe to our newsletter today now"
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 6 = 0 THEN text || ' {_OVL_PLANT}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT source, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x != '') AS w
+      FROM corpus
+    ),
+    grams AS (
+      SELECT DISTINCT source, ARRAY_TO_STRING(w[s:s + {_OVL_W} - 1], ' ') AS g
+      FROM (SELECT source, w,
+                   UNNEST(RANGE(1, LEN(w) - {_OVL_W} + 2)) AS s
+            FROM toks WHERE LEN(w) >= {_OVL_W})
+    ),
+    spread AS (
+      SELECT source, g, COUNT(*) OVER (PARTITION BY g) AS nsrc FROM grams
+    ),
+    kept AS (SELECT source, g FROM spread WHERE nsrc < {_OVL_CAP}),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ng FROM kept GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.shared,
+           ROUND(p.shared * 1.0 / (sa.ng + sb.ng - p.shared), 6) AS jacc
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of shared distinct word-{_OVL_W}-grams and the Jaccard overlap
+    of their gram sets — the audit a corpus curator runs to find crawl
+    snapshots that secretly mirror each other (or a vendor feed that
+    re-sells another's data) before weighting sources independently in
+    the training mix.  Grams present in >= {_OVL_CAP} sources are dropped
+    first: universal boilerplate carries no pairwise signal and is
+    exactly the hot key that would quadratically blow up the self-join.
+    A universal footer planted on doc_id % 6 == 0 lands in all sources
+    and MUST be removed by that cap (gated below).
+
+    Scale shape: distinct (source, gram) via one groupBy with map-side
+    combine; the source spread is ONE window COUNT over the gram key
+    (single exchange); the pair join is an equi-join on gram whose
+    per-key fan-out the cap bounds at {_OVL_CAP}^2 — no broadcast hints
+    anywhere (corpus-sized frames; AQE may still broadcast the final
+    k-source `sizes` side).  At 100 TB the gram string would be
+    xxhash64-ed to an 8-byte key before the shuffle; the fixture keeps
+    raw strings so the DuckDB oracle joins on identical keys.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.col("text"), F.lit(" " + _OVL_PLANT)),
+        ).otherwise(F.col("text")),
+    )
+    spread = _gram_spread(corpus, _OVL_W).localCheckpoint(
+        eager=True
+    )  # gram-scale; cap gate + pair join reuse
+    planted = (
+        spread.where(F.col("g") == _OVL_PLANT[: _OVL_PLANT.rfind(" ")])
+        .agg(F.max("nsrc").alias("m"))
+        .collect()[0]["m"]
+    )
+    if planted is None or planted < _OVL_CAP:
+        raise AssertionError(
+            "overlap-cap gate failed: the planted universal gram spread "
+            f"{planted} never reached the {_OVL_CAP}-source cap"
+        )
+    return overlap_matrix_from_spread(spread, _OVL_CAP)
+
+
+def _gram_spread(corpus: DataFrame, w: int) -> DataFrame:
+    """Distinct (source, word-w-gram) rows annotated with ``nsrc`` = how
+    many sources carry the gram (one window COUNT over the gram key)."""
+    toks = corpus.select("source", _words_col().alias("w")).where(
+        F.size("w") >= w
+    )
+    wins = toks.select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.size("w") - w + 1)).alias("s"),
+        "w",
+    )
+    grams = wins.select(
+        "source",
+        F.concat_ws(" ", F.slice(F.col("w"), F.col("s"), w)).alias("g"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    return grams.withColumn(
+        "nsrc", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+
+
+def overlap_matrix(corpus: DataFrame, w: int, cap: int) -> DataFrame:
+    """Pairwise source contamination matrix over (source, text) rows —
+    core of source_overlap_matrix; see that docstring for the scale
+    argument."""
+    return overlap_matrix_from_spread(_gram_spread(corpus, w), cap)
+
+
+def overlap_matrix_from_spread(spread: DataFrame, cap: int) -> DataFrame:
+    kept = spread.where(F.col("nsrc") < cap).select("source", "g")
+    sizes = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("ng").alias("ng_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("ng").alias("ng_b")
+    )
+    return (
+        pairs.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                * 1.0
+                / (F.col("ng_a") + F.col("ng_b") - F.col("shared")),
+                6,
+            ).alias("jacc"),
+        )
+    )

@@ -809,3 +809,159 @@ class TestHotClusterCap:
             for r in intra_cluster_prune(self._frame(spark, rows)).collect()
         }
         assert out == {1: False, 2: True, 3: False}
+
+
+# --------------------------------------------------------------------------
+# round-6 fourth-session corpus-governance operators
+# --------------------------------------------------------------------------
+from moira_spark.harness.text import (  # noqa: E402
+    boilerplate_prefixes,
+    ks_drift,
+    overlap_matrix,
+)
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "source string, v long")
+
+
+def _brute_ks(rows, c_alpha=1.628):
+    """Independent two-sample KS per group vs pooled rest, float brute
+    force over the pooled support."""
+    out = {}
+    groups = sorted({s for s, _ in rows})
+    support = sorted({v for _, v in rows})
+    for g in groups:
+        mine = [v for s, v in rows if s == g]
+        rest = [v for s, v in rows if s != g]
+        d = max(
+            abs(
+                sum(v <= x for v in mine) / len(mine)
+                - sum(v <= x for v in rest) / len(rest)
+            )
+            for x in support
+        )
+        crit = c_alpha * (
+            (len(mine) + len(rest)) / (len(mine) * len(rest))
+        ) ** 0.5
+        out[g] = (d, d > crit)
+    return out
+
+
+class TestKsDrift:
+    def test_identical_distributions_zero_stat(self, spark):
+        rows = [(s, v) for s in ("a", "b") for v in (3, 5, 5, 9)]
+        got = {r["source"]: r for r in ks_drift(_vals(spark, rows)).collect()}
+        assert got["a"]["ks_d"] == 0.0 and not got["a"]["drift"]
+        assert got["b"]["ks_d"] == 0.0 and not got["b"]["drift"]
+
+    def test_disjoint_needs_sample_size_to_reject(self, spark):
+        # D = 1.0 both ways; at n=5 per side the alpha=0.01 bound
+        # (1.628*sqrt(10/25) ~ 1.03) still exceeds 1.0 -> NOT significant;
+        # at n=20 per side (crit ~ 0.515) it is.  Pins that the critical
+        # value scales with sample size, not just the statistic.
+        small = [("a", 1)] * 5 + [("b", 10)] * 5
+        got = {r["source"]: r for r in ks_drift(_vals(spark, small)).collect()}
+        assert got["a"]["ks_d"] == 1.0 and not got["a"]["drift"]
+        big = [("a", 1)] * 20 + [("b", 10)] * 20
+        got = {r["source"]: r for r in ks_drift(_vals(spark, big)).collect()}
+        assert got["a"]["ks_d"] == 1.0 and got["a"]["drift"]
+
+    def test_matches_float_brute_force(self, spark):
+        # deterministic pseudo-random mix over 3 groups, uneven sizes
+        rows = []
+        for i in range(120):
+            g = "abc"[(i * i) % 3]
+            v = (i * 7919) % 23 + (13 if g == "c" and i % 2 else 0)
+            rows.append((g, v))
+        got = {r["source"]: r for r in ks_drift(_vals(spark, rows)).collect()}
+        want = _brute_ks(rows)
+        for g, (d, flag) in want.items():
+            assert abs(got[g]["ks_d"] - d) < 1e-9, g
+            assert got[g]["drift"] == flag, g
+            assert got[g]["n_docs"] == sum(1 for s, _ in rows if s == g)
+
+
+def _docs_txt(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBoilerplatePrefixes:
+    def test_case_folds_into_one_cluster(self, spark):
+        d = _docs_txt(
+            spark,
+            [
+                (1, "Dear Sir please find attached"),
+                (2, "dear sir PLEASE ignore this"),
+                (3, "DEAR SIR Please respond soon"),
+                (4, "totally organic writing here"),
+            ],
+        )
+        got = {r["doc_id"]: r for r in boilerplate_prefixes(d).collect()}
+        assert got[1]["prefix"] == "dear sir please"
+        assert got[1]["prefix_count"] == 3 and got[1]["is_boilerplate"]
+        assert got[3]["is_boilerplate"]
+        assert not got[4]["is_boilerplate"] and got[4]["prefix_count"] == 1
+
+    def test_short_docs_use_available_words(self, spark):
+        d = _docs_txt(spark, [(1, "hi there"), (2, "hi there"), (3, "hi")])
+        got = {r["doc_id"]: r for r in boilerplate_prefixes(d).collect()}
+        # two-word docs cluster on their full text; the 1-word doc alone
+        assert got[1]["prefix"] == "hi there" and got[1]["prefix_count"] == 2
+        assert got[3]["prefix"] == "hi" and got[3]["prefix_count"] == 1
+
+    def test_min_count_boundary_inclusive(self, spark):
+        d = _docs_txt(
+            spark, [(i, "exact same opening words vary %d" % i) for i in range(3)]
+        )
+        got = boilerplate_prefixes(d, min_count=3).collect()
+        assert all(r["is_boilerplate"] for r in got)
+        got = boilerplate_prefixes(d, min_count=4).collect()
+        assert not any(r["is_boilerplate"] for r in got)
+
+
+def _srcdocs(spark, rows):
+    return spark.createDataFrame(rows, "source string, text string")
+
+
+class TestOverlapMatrix:
+    def test_shared_grams_and_jaccard(self, spark):
+        # A and B share exactly the two 5-grams of the 6-word sentence;
+        # C is disjoint -> one matrix row.
+        sent = "alpha bravo charlie delta echo foxtrot"
+        d = _srcdocs(
+            spark,
+            [
+                ("A", sent + " unique tail words for aaa"),
+                ("B", "other opening before " + sent),
+                ("C", "nothing like the others at all seven words"),
+            ],
+        )
+        rows = overlap_matrix(d, w=5, cap=99).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["src_a"], r["src_b"]) == ("A", "B")
+        assert r["shared"] == 2
+        # sizes: A has 7 grams, B has 5 grams -> jacc = 2/(7+5-2)
+        assert abs(r["jacc"] - 2 / 10) < 1e-9
+
+    def test_cap_removes_universal_grams(self, spark):
+        sent = "one two three four five"  # exactly one 5-gram, everywhere
+        d = _srcdocs(
+            spark,
+            [
+                ("A", sent),
+                ("B", sent),
+                ("C", sent),
+                ("A", "alpha bravo charlie delta echo private"),
+                ("B", "alpha bravo charlie delta echo private"),
+            ],
+        )
+        # cap=3: the universal gram (3 sources) is dropped; A-B keep their
+        # 2 shared private grams
+        rows = overlap_matrix(d, w=5, cap=3).collect()
+        assert len(rows) == 1
+        assert rows[0]["shared"] == 2 and rows[0]["src_a"] == "A"
+        # cap high enough keeps it -> all three pairs appear
+        rows = overlap_matrix(d, w=5, cap=99).collect()
+        assert len(rows) == 3

@@ -159,6 +159,13 @@ CASES = [
     # equi-joins (AQE may broadcast at this fixture scale), levenshtein
     # runs in codegen: zero Python, zero global exchange
     ("dedup_editdist_refine", 0, 0, 0, 0),
+    # round 6 fourth session: boilerplate prefixes — ONE hash-partitioned
+    # window over the prefix key (the r6s2 one-exchange lesson), pure JVM
+    ("doc_boilerplate_prefix", 0, 0, 0, 0),
+    # round 6 fourth session: overlap matrix — pair equi-join on gram over
+    # the checkpointed spread + two sizes join-backs; cap bounds fan-out;
+    # NO broadcast hints (corpus-sized sides — AQE decides)
+    ("source_overlap_matrix", 0, 0, 0, 0),
 ]
 
 
@@ -286,3 +293,26 @@ def test_global_topk_is_take_ordered(spark, name):
     # driver, not a full sort over a gathered partition.
     plan = _plan(spark, name)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ks_drift_no_global_exchange(spark):
+    """The KS grid math must never plan a single-partition exchange: the
+    per-source ECDF window is hash-partitioned by source, the pooled ECDF
+    is SUM OVER (PARTITION BY v) on the complete grid (hash-partitioned by
+    v), and the corpus total enters via a bounded 1-row cross join — NOT a
+    global-order window.  (The registered query checkpoints its gated
+    result, so this pins the helper's plan directly.)"""
+    import pyspark.sql.functions as F
+
+    from moira_spark.harness.text import ks_drift
+
+    vals = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", F.col("n_chars").cast("bigint").alias("v"))
+    )
+    plan = ks_drift(vals)._jdf.queryExecution().executedPlan().toString()
+    # the ONE SinglePartition is the 1-row corpus-total COUNT (partial
+    # counts per partition -> scalar), not a data-bearing exchange — the
+    # same bounded-scalar shape corpus_quality_budget allows
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "ArrowEvalPython" not in plan, plan
