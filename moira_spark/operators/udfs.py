@@ -54,8 +54,20 @@ def make_score_udf(spark: SparkSession):
         langid_model = bc_langid.value
         lm_model = bc_lm.value
         for texts in batches:
-            s = score_batch(texts.fillna("").tolist(), langid_model, lm_model)
+            filled = texts.fillna("").tolist()
+            s = score_batch(filled, langid_model, lm_model)
             s["lang"] = s["lang"].astype(str)
+            # Arrow-payload cut: scrubbed_text is the dominant output
+            # column and MOST rows are untouched by the scrubber
+            # (re.subn returns the original object on zero matches, so
+            # the identity check is free; == covers any copying path).
+            # Unchanged rows travel back as NULL and the JVM side
+            # restores them via coalesce with the same text expression —
+            # byte-identical, pinned by pipeline_f1_vs_reference.
+            s["scrubbed_text"] = [
+                None if (v is t or v == t) else v
+                for v, t in zip(s["scrubbed_text"], filled)
+            ]
             yield pd.DataFrame(s)
 
     _UDF_CACHE[app_id] = score

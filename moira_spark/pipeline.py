@@ -56,7 +56,11 @@ def score_turns_stream(spark: SparkSession, df: DataFrame) -> DataFrame:
         F.col("_s.lang").alias("lang"),
         F.col("_s.lang_conf").alias("lang_conf"),
         F.col("_s.ppl").alias("ppl"),
-        F.col("_s.scrubbed_text").alias("scrubbed_text"),
+        # NULL = "scrubber left it unchanged" (operators/udfs.py): restore
+        # from the identical JVM-side text expression, byte-exact
+        F.coalesce(F.col("_s.scrubbed_text"), rules.text_col()).alias(
+            "scrubbed_text"
+        ),
         F.col("_s.had_pii").alias("had_pii"),
         F.col("_s.toxic").alias("toxic"),
     ).drop("_s")
