@@ -271,3 +271,33 @@ def test_config_overrides_change_verdicts(spark):
         assert (merged["conv_keep_s"] == merged["conv_keep_r"]).all()
     finally:
         config.apply_overrides(**saved)
+
+
+class TestArrowNullPassthrough:
+    def test_udf_emits_null_for_scrubber_untouched_rows(self, spark):
+        """The fused UDF's Arrow-payload contract: rows the scrubber left
+        byte-identical come back as NULL scrubbed_text (the pipeline
+        restores them via coalesce with the same text expression).  If a
+        kernel refactor stops returning the original object AND breaks the
+        equality fallback, this catches it before the payload silently
+        re-inflates — and the inverse (NULL for a CHANGED row) would break
+        byte-exactness, caught here too."""
+        from moira_spark.operators.udfs import make_score_udf
+
+        score = make_score_udf(spark)
+        df = spark.createDataFrame(
+            [
+                ("clean prose with no private data at all",),
+                ("mail me at someone@example.com today",),
+                (None,),
+            ],
+            "text string",
+        ).withColumn("_s", score(F.coalesce(F.col("text"), F.lit(""))))
+        rows = df.select(
+            "text", F.col("_s.scrubbed_text").alias("sc")
+        ).collect()
+        got = {r["text"]: r["sc"] for r in rows}
+        assert got["clean prose with no private data at all"] is None
+        assert got["mail me at someone@example.com today"] is not None
+        assert "@" not in got["mail me at someone@example.com today"]
+        assert got[None] is None  # '' scrub of '' is unchanged -> NULL
