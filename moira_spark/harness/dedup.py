@@ -158,20 +158,22 @@ def _jaccard_ctes_sql(corpus_sql: str, max_df: int | None = None) -> str:
 _JACCARD_PAIR_CTES = _jaccard_ctes_sql(_PLANT_NEAR_SQL)
 
 
-def _ngram_rows(corpus: DataFrame, n: int, out: str = "shingle") -> DataFrame:
-    """(doc_id, <out>) distinct word-n-gram rows.  All-JVM:
-    split/filter/transform/explode, no Python.  Docs shorter than n words
-    contribute no rows (total — the sequence bound keeps every element_at
+def _ngram_rows(
+    corpus: DataFrame, n: int, out: str = "shingle", key: str = "doc_id"
+) -> DataFrame:
+    """(<key>, <out>) distinct word-n-gram rows.  All-JVM:
+    split/filter/transform/explode, no Python.  Rows shorter than n words
+    contribute no grams (total — the sequence bound keeps every element_at
     index in range under ANSI mode)."""
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    toks = corpus.select("doc_id", w.alias("w")).filter(F.size("w") >= n)
+    toks = corpus.select(key, w.alias("w")).filter(F.size("w") >= n)
     gram = F.transform(
         F.sequence(F.lit(1), F.size("w") - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(F.col("w"), i + k) for k in range(n)]
         ),
     )
-    return toks.select("doc_id", F.explode(gram).alias(out)).distinct()
+    return toks.select(key, F.explode(gram).alias(out)).distinct()
 
 
 def _shingle_rows(corpus: DataFrame) -> DataFrame:

@@ -2513,10 +2513,14 @@ def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded broadcast nested-loop cross join.
     """
     d = load(spark, sf_dir, "documents").select("source", "text")
+    # F.concat (NULL-propagating), NOT concat_ws (NULL-swallowing): the
+    # oracle's `text || ' ' || text` propagates NULL, and the two sides
+    # must diverge on no input, ever
     corpus = d.withColumn(
         "text",
         F.when(
-            F.col("source") == "src7", F.concat_ws(" ", "text", "text")
+            F.col("source") == "src7",
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
         ).otherwise(F.col("text")),
     )
     vals = corpus.select(
@@ -2616,8 +2620,8 @@ _BOILER_MIN = 3
 )
 def doc_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template/boilerplate detection by opening-prefix heavy hitters:
-    documents whose normalized first-3-word prefix repeats >= {_BOILER_MIN}
-    times across the corpus are flagged as template instances — the cheap
+    documents whose normalized first-3-word prefix repeats _BOILER_MIN (3)
+    or more times across the corpus are flagged as template instances — the cheap
     first pass that catches form letters, auto-replies, and scraped
     listing pages before any n-gram dedup runs.  A fixed support-reply
     opening is planted on doc_id % 13 == 0 so a large template cluster
@@ -2638,9 +2642,12 @@ def doc_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(_BOILER_PREFIX), F.col("text")),
         ).otherwise(F.col("text")),
     )
-    out = boilerplate_prefixes(corpus)
+    out = boilerplate_prefixes(corpus).localCheckpoint(
+        eager=True
+    )  # corpus-sized but one job feeds both the gate and the result
+    planted_prefix = " ".join(_BOILER_PREFIX.split()[:3])
     gate = out.agg(
-        F.sum(F.when(F.col("prefix") == "thank you for", 1).otherwise(0))
+        F.sum(F.when(F.col("prefix") == planted_prefix, 1).otherwise(0))
           .alias("planted"),
         F.sum(F.when(~F.col("is_boilerplate"), 1).otherwise(0))
           .alias("clean"),
@@ -2718,20 +2725,20 @@ _OVL_PLANT = "subscribe to our newsletter today now"
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: for every source pair, the
-    number of shared distinct word-{_OVL_W}-grams and the Jaccard overlap
-    of their gram sets — the audit a corpus curator runs to find crawl
-    snapshots that secretly mirror each other (or a vendor feed that
-    re-sells another's data) before weighting sources independently in
-    the training mix.  Grams present in >= {_OVL_CAP} sources are dropped
-    first: universal boilerplate carries no pairwise signal and is
-    exactly the hot key that would quadratically blow up the self-join.
-    A universal footer planted on doc_id % 6 == 0 lands in all sources
-    and MUST be removed by that cap (gated below).
+    number of shared distinct word-5-grams (_OVL_W) and the Jaccard
+    overlap of their gram sets — the audit a corpus curator runs to find
+    crawl snapshots that secretly mirror each other (or a vendor feed
+    that re-sells another's data) before weighting sources independently
+    in the training mix.  Grams present in _OVL_CAP (8) or more sources
+    are dropped first: universal boilerplate carries no pairwise signal
+    and is exactly the hot key that would quadratically blow up the
+    self-join.  A universal footer planted on doc_id % 6 == 0 lands in
+    all sources and MUST be removed by that cap (gated below).
 
     Scale shape: distinct (source, gram) via one groupBy with map-side
     combine; the source spread is ONE window COUNT over the gram key
     (single exchange); the pair join is an equi-join on gram whose
-    per-key fan-out the cap bounds at {_OVL_CAP}^2 — no broadcast hints
+    per-key fan-out the cap bounds at cap^2 — no broadcast hints
     anywhere (corpus-sized frames; AQE may still broadcast the final
     k-source `sizes` side).  At 100 TB the gram string would be
     xxhash64-ed to an 8-byte key before the shuffle; the fixture keeps
@@ -2763,21 +2770,14 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gram_spread(corpus: DataFrame, w: int) -> DataFrame:
     """Distinct (source, word-w-gram) rows annotated with ``nsrc`` = how
-    many sources carry the gram (one window COUNT over the gram key)."""
-    toks = corpus.select("source", _words_col().alias("w")).where(
-        F.size("w") >= w
-    )
-    wins = toks.select(
-        "source",
-        F.explode(F.sequence(F.lit(1), F.size("w") - w + 1)).alias("s"),
-        "w",
-    )
-    grams = wins.select(
-        "source",
-        F.concat_ws(" ", F.slice(F.col("w"), F.col("s"), w)).alias("g"),
-    ).distinct()
+    many sources carry the gram (one window COUNT over the gram key).
+    The n-gram expansion is the dedup tier's shared helper, keyed by
+    source instead of doc_id — one implementation to keep correct."""
     from pyspark.sql import Window
 
+    from moira_spark.harness.dedup import _ngram_rows
+
+    grams = _ngram_rows(corpus, w, out="g", key="source")
     return grams.withColumn(
         "nsrc", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )
