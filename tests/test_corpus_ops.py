@@ -965,3 +965,47 @@ class TestOverlapMatrix:
         # cap high enough keeps it -> all three pairs appear
         rows = overlap_matrix(d, w=5, cap=99).collect()
         assert len(rows) == 3
+
+
+class TestGovernanceEdgeCases:
+    def test_ks_singleton_group_never_drifts(self, spark):
+        # one doc in a group: D can be large but crit (1.628*sqrt(n/(1*(n-1))))
+        # exceeds any D for small n -> no rejection from one sample
+        rows = [("solo", 99)] + [("big", v) for v in range(1, 30)]
+        got = {r["source"]: r for r in ks_drift(_vals(spark, rows)).collect()}
+        assert got["solo"]["n_docs"] == 1
+        assert got["solo"]["ks_d"] == 1.0  # 99 sits past every big value
+        assert not got["solo"]["drift"]
+
+    def test_ks_constant_metric_zero_everywhere(self, spark):
+        rows = [(s, 7) for s in ("a", "b", "c") for _ in range(10)]
+        for r in ks_drift(_vals(spark, rows)).collect():
+            assert r["ks_d"] == 0.0 and not r["drift"]
+
+    def test_overlap_single_gram_docs(self, spark):
+        # docs with exactly w words contribute exactly one gram
+        d = _srcdocs(
+            spark,
+            [("A", "one two three four five"), ("B", "one two three four five")],
+        )
+        rows = overlap_matrix(d, w=5, cap=99).collect()
+        assert len(rows) == 1
+        assert rows[0]["shared"] == 1 and rows[0]["jacc"] == 1.0
+
+    def test_overlap_cap_one_drops_everything(self, spark):
+        # cap=1 removes every gram (each gram is in >= 1 source) -> empty
+        d = _srcdocs(
+            spark,
+            [("A", "one two three four five"), ("B", "one two three four five")],
+        )
+        assert overlap_matrix(d, w=5, cap=1).count() == 0
+
+    def test_boilerplate_empty_texts_cluster_on_empty_prefix(self, spark):
+        d = _docs_txt(spark, [(1, ""), (2, "   "), (3, ""), (4, "real text here")])
+        got = {r["doc_id"]: r for r in boilerplate_prefixes(d).collect()}
+        # empty/whitespace docs share the "" prefix and cluster together —
+        # pinned as the defined behavior (an empty doc IS degenerate
+        # boilerplate; upstream length rules drop them anyway)
+        assert got[1]["prefix"] == "" and got[1]["prefix_count"] == 3
+        assert got[1]["is_boilerplate"] and got[3]["is_boilerplate"]
+        assert not got[4]["is_boilerplate"]
