@@ -357,8 +357,10 @@ Scaling efficiency (throughput ratio / core ratio):
 
 Reading efficiencies on this host: each config's throughput is the best run
 over EVERY measured window (sessions accumulate in
-BENCH/scaling_results.json; the job bytes and pipeline code are unchanged
-across them — verified by git diff), and the configs' best windows need not
+BENCH/scaling_results.json; the job bytes are unchanged across them, and
+the one pipeline code change since — the round-6 fourth-session Arrow
+NULL-passthrough payload cut — was alternating-A/B'd wall-neutral before
+shipping, so windows remain comparable), and the configs' best windows need not
 coincide, so a ratio can exceed 1.0 when the smaller config never caught a
 clean window (a 2-cpu run occupies ~2.5 min and almost always intersects a
 steal burst; a 32-cpu run is ~20 s).  Session-consistent pairs, measured
