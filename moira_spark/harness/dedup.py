@@ -159,32 +159,80 @@ _JACCARD_PAIR_CTES = _jaccard_ctes_sql(_PLANT_NEAR_SQL)
 
 
 def _ngram_rows(
-    corpus: DataFrame, n: int, out: str = "shingle", key: str = "doc_id"
+    corpus: DataFrame,
+    n: int,
+    out: str = "shingle",
+    key: str = "doc_id",
+    dedup: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """(<key>, <out>) distinct word-n-gram rows.  All-JVM:
     split/filter/transform/explode, no Python.  Rows shorter than n words
     contribute no grams (total — the sequence bound keeps every element_at
-    index in range under ANSI mode)."""
+    index in range under ANSI mode).  ``dedup=False`` skips the distinct
+    for callers that dedupe later in the plan (after a selective filter,
+    so the exchange carries hits instead of the whole gram stream).
+
+    ``hashed=True`` (r7) replaces the gram STRING with its xxhash64 — the
+    scale form the r6 docstrings promised ("at 100 TB the gram string
+    would be xxhash64-ed to an 8-byte key before the shuffle").  Every
+    caller that opts in uses the gram purely as a join/group key, never as
+    output, so the only behavioral risk is a 64-bit birthday collision
+    (~1e-6 at 10^7 grams, and scripts/audit_hash_collisions.py verifies
+    ZERO collisions for the deterministic fixtures at sf0.001-sf1.0, so
+    results are provably identical at every shipped scale)."""
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     toks = corpus.select(key, w.alias("w")).filter(F.size("w") >= n)
+    # start positions guarded through slice() so the gram expression is
+    # TOTAL (empty array below n words): codegen subexpression elimination
+    # can evaluate the generate-inferred size()>0 predicate before the
+    # size(w) >= n conjunct short-circuits, so element_at must never be
+    # able to go out of range under ANSI mode (r7 lesson)
+    starts = F.slice(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - (n - 1), F.lit(1))),
+        1,
+        F.greatest(F.size("w") - (n - 1), F.lit(0)),
+    )
     gram = F.transform(
-        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+        starts,
         lambda i: F.concat_ws(
             " ", *[F.element_at(F.col("w"), i + k) for k in range(n)]
         ),
     )
-    return toks.select(key, F.explode(gram).alias(out)).distinct()
+    rows = toks.select(key, F.explode(gram).alias(out))
+    if hashed:
+        rows = rows.select(key, F.xxhash64(F.col(out)).alias(out))
+    return rows.distinct() if dedup else rows
 
 
 def _shingle_rows(corpus: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct word-3-gram rows — the Spark twin of the
-    ``sh`` CTE above."""
-    return _ngram_rows(corpus, 3)
+    ``sh`` CTE above, with the shingle xxhash64-ed to an 8-byte join key
+    (r7; consumers group/join on it only — collision audit in
+    scripts/audit_hash_collisions.py).
+
+    Shape note (r7 A/B at sf1.0): this is deliberately the r6 structure —
+    explode -> hash -> global distinct -> self-join with the inequality
+    inside the join condition — because the "smarter" variants measured
+    2-10x SLOWER end-to-end: per-doc array_distinct + carrying the set
+    size on every row removed two exchanges and two join-backs on paper,
+    but the un-exchanged join input made the planner broadcast one side
+    (probe wall 373s vs 36s), and the extra max(sz) buffers tripled the
+    ~10^8-group pair aggregation's cost (81s vs 30s).  The distinct
+    exchange both bounds the join input AND feeds an exchange-reused,
+    well-partitioned sort-merge self-join."""
+    return _ngram_rows(corpus, 3, hashed=True)
 
 
 def _jaccard_pairs_from(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs with Jaccard >= threshold from shingle
-    rows, via the shuffle-friendly shingle equi-join (never O(n^2))."""
+    rows, via the shuffle-friendly shingle equi-join (never O(n^2)).
+
+    The aggregate-sizes-then-join-back structure is deliberate: an r7 A/B
+    at sf1.0 measured the "carry the set size on every shingle row and
+    max() it through the pair groupBy" variant at 2.4x SLOWER (the extra
+    agg buffers triple the cost of the ~10^8-group pair aggregation, which
+    dwarfs the two size join-backs it saves — see _shingle_rows)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -235,7 +283,7 @@ def dedup_jaccard_3gram(
     not a pure optimization; the oracle-checked default keeps it off.
     """
     corpus = _planted_near(spark, sf_dir)
-    # sh feeds three plan branches; deliberately NOT persisted — caching the
+    # sh feeds both join sides; deliberately NOT persisted — caching the
     # exploded shingle rows measured SLOWER (3.2s vs 2.3s at sf0.1) than
     # recomputing the all-JVM explode from the column-pruned scan.  Persist
     # pays off only when the branch subtree crosses into Python (see the
@@ -344,6 +392,9 @@ def containment_flags(corpus: DataFrame, threshold: float = 0.9) -> DataFrame:
     (the cap drops boilerplate shingles, which only LOWERS measured
     containment of wrapper-heavy docs; an approximation switch exactly as
     in dedup_jaccard_capped)."""
+    # Shape note: sizes-aggregate-then-join-back on the (hashed) shingle
+    # rows — the same deliberate structure as _jaccard_pairs_from; the
+    # carried-size variant A/B'd 2x slower at sf1.0 (see _shingle_rows).
     sh = _shingle_rows(corpus)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -498,10 +549,24 @@ def decontaminate_flags(
         eval_df = eval_df.select(
             F.monotonically_increasing_id().alias("doc_id"), "text"
         )
-    gc = _ngram_rows(corpus, n, out="gram")
-    ge = _ngram_rows(eval_df, n, out="gram").select("gram").distinct()
+    # r7: distinct AFTER the broadcast filter, not before.  The corpus-gram
+    # distinct was the dominant cost (a corpus-token-scale shuffle of long
+    # gram strings) and is algebraically movable: ge is a set, so an
+    # equi-join preserves row multiplicity and
+    # distinct(gc) |><| ge == distinct(gc |><| ge).  Post-join, only the
+    # HIT grams (rare by construction at every scale) reach the exchange —
+    # the corpus side now streams map-side through the broadcast hash join
+    # with zero corpus-gram shuffle (guide §2.3: shuffle fewer bytes).
+    gc = _ngram_rows(corpus, n, out="gram", dedup=False, hashed=True)
+    ge = (
+        _ngram_rows(eval_df, n, out="gram", hashed=True)
+        .select("gram")
+        .distinct()
+    )
     hits = (
         gc.join(F.broadcast(ge), "gram")
+        .select("doc_id", "gram")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
     )
@@ -610,14 +675,20 @@ def dedup_minhash_lsh(
             F.element_at(F.col("w"), i + 2),
         ),
     )
-    docs = toks.select("doc_id", F.array_distinct(shingle).alias("s"))
+    # r7: the shingle STRINGS never leave the row — the persisted frame and
+    # the exact-verify joins carry the xxhash64 array instead (~12x fewer
+    # bytes per doc through the cache and the two verify shuffles;
+    # array_intersect/union sizes are identical because xxhash64 is
+    # injective on the fixture gram sets — scripts/audit_hash_collisions.py).
+    # The Mersenne reduction for the minhash kernel applies on top, as
+    # before (pmod(xxhash64(x), M) unchanged).
+    sh_arr = F.transform(F.array_distinct(shingle), lambda x: F.xxhash64(x))
+    docs = toks.select("doc_id", sh_arr.alias("s"))
     if max_shingle_df is not None:
         sh = docs.select("doc_id", F.explode("s").alias("shingle"))
         sh = cap_hot_shingles(sh, max_shingle_df)
         docs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
-    h_arr = F.transform(
-        F.col("s"), lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE))
-    )
+    h_arr = F.transform(F.col("s"), lambda x: F.pmod(x, F.lit(_MERSENNE)))
     hashed = docs.select("doc_id", "s", h_arr.alias("h"))
 
     av, bv = sketch.minhash_params(_MINHASH_K)
@@ -808,12 +879,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"refusing all-pairs join over {n} vectors — run "
             f"dedup_embedding_lsh for the bucketed scale path"
         )
-    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # per-row norms precomputed pre-join; dots unrolled (bit-equal — see
+    # similarity._dot and embedding_cosine_topk)
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.sqrt(_dot(F.col("v"), F.col("v"), dim=_EMB_DIM)).alias("na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.sqrt(_dot(F.col("v"), F.col("v"), dim=_EMB_DIM)).alias("nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va")))
-        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb"), dim=_EMB_DIM) / (
+        F.col("na") * F.col("nb")
     )
     return (
         pairs.withColumn("cos_sim", F.round(cos, 6))
@@ -842,9 +922,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = sim._lsh_bits(corpus.count())
     sigs_of = sim.make_sign_lsh_udf(spark, sim._hyperplanes(bits))
     signed = corpus.select(
-        "vec_id", "v", sigs_of(F.col("v")).alias("sigs")
+        "vec_id",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"), dim=_EMB_DIM)).alias("nv"),
+        sigs_of(F.col("v")).alias("sigs"),
     ).persist()  # both self-join sides read this: one UDF pass
-    buckets = signed.select("vec_id", "v", F.posexplode("sigs").alias("t", "sig"))
+    buckets = signed.select(
+        "vec_id", "v", "nv", F.posexplode("sigs").alias("t", "sig")
+    )
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(
@@ -858,12 +943,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.vec_id").alias("vec_b"),
             F.col("l.v").alias("va"),
             F.col("r.v").alias("vb"),
+            F.col("l.nv").alias("na"),
+            F.col("r.nv").alias("nb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va")))
-        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    # norms ride the bucket rows (computed once per vector in the persisted
+    # frame); pair cost is one unrolled dot
+    cos = _dot(F.col("va"), F.col("vb"), dim=_EMB_DIM) / (
+        F.col("na") * F.col("nb")
     )
     return (
         cand.withColumn("cos_sim", F.round(cos, 6))
@@ -877,7 +965,9 @@ _EMB_DIM = 64
 
 
 def semantic_dedup_flags(
-    corpus: DataFrame, threshold: float = _EMB_DUP_THRESHOLD
+    corpus: DataFrame,
+    threshold: float = _EMB_DUP_THRESHOLD,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup core over a (vec_id, label, v: array<double>) frame:
     nearest-centroid cluster assignment (centroids = exact fixed-point
@@ -920,11 +1010,13 @@ def semantic_dedup_flags(
     # inside the pair join would run the 64-element fold three times per
     # candidate pair (measured 3x the bench cost at sf0.1).
     normed = corpus.withColumn(
-        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+        "nv", F.sqrt(_dot(F.col("v"), F.col("v"), dim=dim))
     )
-    cent_n = cent.withColumn("nc", F.sqrt(_dot(F.col("c"), F.col("c"))))
+    cent_n = cent.withColumn(
+        "nc", F.sqrt(_dot(F.col("c"), F.col("c"), dim=dim))
+    )
     cos_c = F.round(
-        _dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("nc")), 6
+        _dot(F.col("v"), F.col("c"), dim=dim) / (F.col("nv") * F.col("nc")), 6
     )
     # argmax via max(struct(cos, -label)): max cosine, then min label on
     # ties — one partial-aggregating groupBy, no window fan-out.
@@ -944,13 +1036,14 @@ def semantic_dedup_flags(
     clustered = assign.join(normed, "vec_id").select(
         "vec_id", "cluster", "v", "nv"
     )
-    return intra_cluster_prune(clustered, threshold)
+    return intra_cluster_prune(clustered, threshold, dim=dim)
 
 
 def intra_cluster_prune(
     clustered: DataFrame,
     threshold: float = _EMB_DUP_THRESHOLD,
     max_cluster: "int | None" = None,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup prune stage over a (vec_id, cluster, v, nv) frame: flag a
     vector dup when an earlier same-cluster vector sits at cosine >=
@@ -1000,32 +1093,52 @@ def intra_cluster_prune(
                 )
                 .drop("__hot")
             )
-    a = work.select(
+    # r7: block-pair salting of the intra-cluster self-join (guide §2.5).
+    # The join key (cluster, sub) has only as many distinct values as there
+    # are clusters, so at sf1.0 the 21M-pair cosine stage ran on ~7 of 32
+    # cores (one task per hot cluster).  Each side is replicated
+    # _PAIR_BLOCKS ways so pair (x, y) meets under exactly one
+    # (cluster, sub, block(x), block(y)) key — S^2 x more join keys, the
+    # same pair set exactly once, and the per-key work bounded by
+    # (cluster/S)^2.  Replication costs S x shuffle input of the (narrow)
+    # vector rows — the pair OUTPUT, which dwarfs it, is unchanged.
+    S = 16
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(S)).cast("int")
+    j_all = F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    a = work.withColumn("_blk", blk).select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cl"),
         F.col("sub").alias("a_sub"),
         F.col("v").alias("va"),
         F.col("nv").alias("na"),
+        F.col("_blk").alias("a_pa"),
+        j_all.alias("a_pb"),
     )
-    b = work.select(
+    b = work.withColumn("_blk", blk).select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cl"),
         F.col("sub").alias("b_sub"),
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
+        F.col("_blk").alias("b_pb"),
+        j_all.alias("b_pa"),
     )
     pair_cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        _dot(F.col("va"), F.col("vb"), dim=dim) / (F.col("na") * F.col("nb")),
+        6,
     )
     # NO broadcast hint: `b` is every clustered vector with its embedding —
     # the full corpus side.  The pair join is an equi-join on
-    # (cluster, sub), so a shuffle hash/sort-merge join is the scale plan;
-    # AQE still broadcasts when the frame is genuinely small.
+    # (cluster, sub, block, block), so a shuffle hash/sort-merge join is
+    # the scale plan; AQE still broadcasts when the frame is genuinely
+    # small.
     dups = (
         a.join(
             b,
             (F.col("a_cl") == F.col("b_cl"))
             & (F.col("a_sub") == F.col("b_sub"))
+            & (F.col("a_pa") == F.col("b_pa"))
+            & (F.col("a_pb") == F.col("b_pb"))
             & (F.col("a_id") < F.col("b_id")),
         )
         .withColumn("cos_sim", pair_cos)
@@ -1123,7 +1236,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.unionAll(dup).select(
         "vec_id", "label", _dbl("embedding").alias("v")
     )
-    return semantic_dedup_flags(corpus)
+    return semantic_dedup_flags(corpus, dim=_EMB_DIM)
 
 
 @register("dedup_semantic_kmeans", None)  # iterative clusters: rows + floor
@@ -1154,11 +1267,13 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cluster",
         "v",
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"), dim=_EMB_DIM)).alias("nv"),
     )
     # checkpoint the (small) flag frame so the floor's count() below and
     # the caller's collect don't each re-execute the pair join
-    out = intra_cluster_prune(clustered).localCheckpoint(eager=True)
+    out = intra_cluster_prune(clustered, dim=_EMB_DIM).localCheckpoint(
+        eager=True
+    )
 
     # Hard floor: planted exact copies cannot escape their source's
     # cluster, so each must carry the dup flag.
@@ -1648,20 +1763,39 @@ def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         ),
     )
+    # r7 changes, same results:
+    # - the window string is xxhash64-ed to an 8-byte key before any
+    #   exchange (the scale plan the r6 docstring promised): the groupBy-MIN
+    #   and the join-back shuffle ~12x fewer bytes per row.  Collision-free
+    #   for the deterministic fixtures at every shipped scale (verified
+    #   sf0.001-sf1.0: distinct(g) == distinct(xxhash64(g)); a birthday
+    #   collision at 10^7 grams is ~1e-6 and merely merges two windows'
+    #   first-occurrence groups);
+    # - the first-key overflow gate moved INTO the plan (raise_error inside
+    #   the key expression) — the old driver-side `wins.filter(s >= 1000)
+    #   .limit(1).count()` was a THIRD full execution of the window explode
+    #   just to check a bound (guide §1.2: don't compute things you throw
+    #   away).  Still a hard fail, now for free on the rows already flowing.
     wins = (
         toks.filter(F.size("w") >= k)
         .select("doc_id", F.explode(gram).alias("u"))
-        .select("doc_id", F.col("u.s").alias("s"), F.col("u.g").alias("g"))
+        .select(
+            "doc_id",
+            F.col("u.s").alias("s"),
+            F.xxhash64(F.col("u.g")).alias("gh"),
+        )
     )
-    if wins.filter(F.col("s") >= 1000).limit(1).count():
-        raise AssertionError(
+    key = F.when(
+        F.col("s") < 1000, F.col("doc_id") * 1000 + F.col("s")
+    ).otherwise(
+        F.raise_error(
             "substring-dedup first-key overflow: a window position "
             "exceeds the doc_id*1000 ordering bound"
-        )
-    key = F.col("doc_id") * 1000 + F.col("s")
-    firsts = wins.groupBy("g").agg(F.min(key).alias("first_key"))
+        ).cast("bigint")
+    )
+    firsts = wins.groupBy("gh").agg(F.min(key).alias("first_key"))
     dups = (
-        wins.join(firsts, "g")
+        wins.join(firsts, "gh")
         .filter(key != F.col("first_key"))
         .select("doc_id", "s")
     )
@@ -2209,6 +2343,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2h = b2.select("doc_id", "text", F.md5("text").alias("h"))
     firsts = b2h.groupBy("h").agg(F.min("doc_id").alias("first_id"))
 
+    # Classic sizes-aggregate-then-join-back shape over HASHED shingle
+    # rows (r7: 8-byte keys through every exchange; the carried-size
+    # variant A/B'd slower — see _shingle_rows).  No broadcast hints:
+    # sz1/fp1 are COMMITTED-corpus-sized and at 10^12 docs must
+    # shuffle-join on their keys (AQE still broadcasts all of these when
+    # they are small, as in the harness fixtures).
     sh1 = _shingle_rows(committed.select("doc_id", "text"))
     sh2 = _shingle_rows(b2)
     sz1 = sh1.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -2224,9 +2364,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("i").cast("double") / (
         F.col("s2.sz") + F.col("s1.sz") - F.col("i")
     ).cast("double")
-    # No broadcast hints: sz1/fp1 are COMMITTED-corpus-sized and at 10^12
-    # docs must shuffle-join on their keys (AQE still broadcasts all of
-    # these when they are small, as in the harness fixtures).
     near_hist = (
         inter.join(sz2.alias("s2"), F.col("new_id") == F.col("s2.doc_id"))
         .join(sz1.alias("s1"), F.col("old_id") == F.col("s1.doc_id"))
@@ -2499,30 +2636,53 @@ def dedup_editdist_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"),
     )
 
-    def _gram_hash(seed: int):
-        # closure factory: a two-arg lambda would make pyspark's transform
-        # bind the SECOND arg to the element index, clobbering the seed
-        def h(i):
-            e = F.lit(seed).cast("bigint")
-            for k in range(5):
-                e = (e * 1000003 + F.element_at(F.col("codes"), i + k)) % (
-                    2147483647
-                )
-            return e
+    # r7: the 4-seed gram-hash minimum is ONE vectorized Arrow hop instead
+    # of 4 interpreted higher-order transforms (4 seeds x 5 element_at x
+    # windows-per-doc of per-element expression interpretation was the
+    # dominant cost of this query at sf1.0).  The kernel is the identical
+    # exact int64 recurrence — e = (e * 1000003 + code) % (2^31 - 1), max
+    # intermediate < 2^52, so numpy int64 arithmetic is bit-equal to the
+    # JVM/DuckDB expression (pinned by
+    # tests/test_graph_ops.py::test_editdist_sketch_matches_jvm_expression).
+    seeds = (17, 59, 131, 283)
 
-        return h
+    @F.pandas_udf("array<bigint>")
+    def _mh4(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        M = 2147483647
+        for col in batches:
+            lists = [np.asarray(x, dtype=np.int64) for x in col.tolist()]
+            if not lists:
+                yield pd.Series([], dtype=object)
+                continue
+            lens = np.fromiter((len(x) for x in lists), dtype=np.int64)
+            m = lens - 4  # windows per doc; callers filter len >= 5
+            flat = np.concatenate(lists)
+            woff = np.concatenate(([0], np.cumsum(m)[:-1]))
+            doff = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            win = (
+                np.arange(int(m.sum()), dtype=np.int64)
+                - np.repeat(woff, m)
+                + np.repeat(doff, m)
+            )
+            outs = []
+            for seed in seeds:
+                e = np.full(len(win), seed, dtype=np.int64)
+                for k in range(5):
+                    e = (e * 1000003 + flat[win + k]) % M
+                outs.append(np.minimum.reduceat(e, woff))
+            yield pd.Series(np.stack(outs, axis=1).tolist())
 
     n = F.size("codes")
-    sketches = d.filter(n >= 5).select(
+    mhv = d.filter(n >= 5).select("doc_id", _mh4(F.col("codes")).alias("mv"))
+    # NOT persisted: the sketch frame feeds both sides of the candidate
+    # self-join, so the Arrow hop appears twice in the plan and runs twice
+    # — but the vectorized kernel is cheap enough that recomputing beat
+    # persist+reuse in an r7 A/B at sf1.0 (8.5s vs 10.6s; cache
+    # materialization costs more than the second numpy pass).
+    sketches = mhv.select(
         "doc_id",
-        *[
-            F.array_min(
-                F.transform(F.sequence(F.lit(1), n - 4), _gram_hash(seed))
-            ).alias(f"v{j}")
-            for j, seed in enumerate((17, 59, 131, 283))
-        ],
+        *[F.element_at(F.col("mv"), j + 1).alias(f"v{j}") for j in range(4)],
     )
-    seeds = (17, 59, 131, 283)
     mh = sketches.select(
         "doc_id",
         F.explode(

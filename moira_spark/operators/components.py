@@ -176,9 +176,21 @@ def connected_components_bigstar(
     never row data.  ``max_iter`` is a safety net two orders above the
     log2 bound for any realistic graph.
     """
+    # r7: materialize the caller's edge plan ONCE.  `nodes` is consumed only
+    # by the final labels join, and deriving it straight from `edges` meant
+    # the ENTIRE upstream pair-generation plan (for corpus_split_leakage,
+    # the full Jaccard shingle self-join) executed a second time at the end
+    # of the closure — the single most expensive redundant pass in the
+    # repo's plans (guide §2.4: remove work outright).  One localCheckpoint
+    # of the raw projected edges feeds both `nodes` and round 0.  Its
+    # blocks must outlive the returned (lazily persisted) labels frame, so
+    # they are left to the ContextCleaner, same contract as before.
+    ebase = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        ebase.select(F.col("src").alias("id"))
+        .union(ebase.select(F.col("dst").alias("id")))
         .distinct()
     )
     # localCheckpoint, not persist: each star round references the previous
@@ -189,8 +201,7 @@ def connected_components_bigstar(
     # a LogicalRDD; on a real cluster with executor-loss concerns, set a
     # checkpoint dir and use reliable .checkpoint() instead — same shape.
     cur = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        ebase.filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -72,6 +72,17 @@ def build_session(
         # Caveat: binary-heavy stages (multimodal payloads ~100 KB/row)
         # should set this back down per job — 30k wide rows is gigabytes.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "30000")
+        # Scan parallelism floor for small inputs (r7).  With the default
+        # openCostInBytes=4m, a single few-MB parquet file splits into 2-4
+        # scan tasks, and every downstream map-side stage (explodes,
+        # broadcast-join probes, generator fan-outs) inherits that width —
+        # measured as a 268M-row candidate-pair join grinding on 4 of 32
+        # cores.  256k lets maxSplitBytes fall to totalBytes /
+        # defaultParallelism for small inputs (full-width scans) while
+        # leaving large-file behavior unchanged (maxPartitionBytes still
+        # caps splits at 128m; at production scale files are >=128m and
+        # openCost never binds).
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")

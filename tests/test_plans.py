@@ -65,6 +65,8 @@ CASES = [
     ("dedup_incremental", 0, 0, 0, 0),
     # round 5: containment dedup — pure JVM shingle equi-join with broadcast
     # size joins; the %47 plant filter is a modulo, not parquet-pushable
+    # (r7: shingles travel as xxhash64 keys; structure unchanged — the
+    # carried-size variant was A/B'd 2x slower and rejected)
     ("dedup_containment", 0, 0, 2, 0),
     # round 5: decontamination — corpus 8-grams stream through a BROADCAST
     # join of the (small, distinct-ed) eval grams; a shuffle join here is
@@ -154,11 +156,16 @@ CASES = [
     # heaps (TakeOrderedAndProject, pinned below); the ONE
     # SinglePartition is the rank window AFTER limit(50) — 50 rows
     ("corpus_weighted_sample", 1, 0, 0, 0),
-    # round 6: edit-distance refine — sketch is a narrow per-row expr
+    # round 6: edit-distance refine — sketch is a narrow per-row pass
     # (no token explode); candidate/cap/verify joins are corpus-sized
     # equi-joins (AQE may broadcast at this fixture scale), levenshtein
-    # runs in codegen: zero Python, zero global exchange
-    ("dedup_editdist_refine", 0, 0, 0, 0),
+    # runs in codegen.  r7: the 4-seed gram-hash minimum moved from 4
+    # interpreted higher-order transforms into ONE vectorized Arrow hop
+    # (exact int64, bit-equal — pinned in test_retrieval_ops).  The hop
+    # appears TWICE pre-execution (both candidate self-join sides read
+    # the sketch frame; persisting was A/B'd slower — recompute wins, see
+    # the docstring), so the upper bound is 2; still zero global exchange
+    ("dedup_editdist_refine", 0, 2, 0, 0),
     # round 6 fourth session: boilerplate prefixes — ONE hash-partitioned
     # window over the prefix key (the r6s2 one-exchange lesson), pure JVM
     ("doc_boilerplate_prefix", 0, 0, 0, 0),
