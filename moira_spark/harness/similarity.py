@@ -766,21 +766,22 @@ def kmeans_fit(
             [([(cid, c, _fold_sq(c)) for cid, c in cents_now],)],
             "cs array<struct<c_id: int, c: array<double>, nc2: double>>",
         )
-        dc = F.transform(
-            F.col("cs"),
-            lambda s: F.struct(
-                F.round(
-                    F.col("nv2") - 2 * _dot(F.col("v"), s["c"]) + s["nc2"],
-                    6,
-                ).alias("d"),
-                s["c_id"].alias("c_id"),
-            ),
-        )
-        # array_min over (d, c_id) structs == min distance, ties to the
-        # smaller centroid id — the same ordering min(struct) used
+        # least over k statically-indexed (d, c_id) structs == min distance,
+        # ties to the smaller centroid id — the same ordering min(struct)
+        # used.  Static element_at indices (k is known driver-side) beat
+        # array_min(transform(...)) in an r7 A/B: same warm wall, ~3x
+        # smaller first-run codegen spike.
+        structs = []
+        for j in range(len(cents_now)):
+            s = F.element_at(F.col("cs"), j + 1)
+            dist = F.round(
+                F.col("nv2") - 2 * _dot(F.col("v"), s["c"]) + s["nc2"], 6
+            )
+            structs.append(F.struct(dist.alias("d"), s["c_id"].alias("c_id")))
+        m = structs[0] if len(structs) == 1 else F.least(*structs)
         return (
             v2.crossJoin(F.broadcast(cent_df))
-            .withColumn("_m", F.array_min(dc))
+            .withColumn("_m", m)
             .select(
                 "vec_id",
                 "v",

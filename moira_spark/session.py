@@ -83,6 +83,13 @@ def build_session(
         # caps splits at 128m; at production scale files are >=128m and
         # openCost never binds).
         .config("spark.sql.files.openCostInBytes", "262144")
+        # Let the planner pick shuffled-hash join when its size conditions
+        # hold instead of defaulting to sort-merge (guide §3.1/§9).  r7
+        # A/B at sf1.0: dedup_containment 43-48s -> 31.5s (the shingle
+        # self-join's sort was pure overhead at 10^8-row fan-out);
+        # dedup_jaccard cold runs -22%.  AQE skew-join still applies to
+        # both strategies; broadcast precedence is unchanged.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
