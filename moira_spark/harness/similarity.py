@@ -714,13 +714,16 @@ def kmeans_fit(
     map-side expression — argmin = array_min over transform(centroids,
     dist-struct) after a 1-row broadcast cross join — zero exchange, zero
     corpus join.  Stats AND the fixed-point centroid update come back in
-    ONE groupBy(cluster) action per iteration (count, inertia, and per-dim
-    bigint sums as k x (dim + 2) aggregate rows, partial-aggregated
-    map-side), so one full pass per Lloyd iteration — the information-
-    theoretic minimum.  (The r1-r6 shape paid a crossJoin + a corpus-wide
-    groupBy(vec_id) argmin exchange + a corpus x corpus join + a second
-    aggregation pass per iteration.)  At k too large to hold driver-side
-    (~10^5+) the broadcast-join shape comes back, but then
+    ONE posexplode -> groupBy(cluster, pos) action per iteration (count,
+    inertia on the pos=0 slice, and the per-dim bigint sums as k x dim
+    bounded rows, partial-aggregated map-side), so one full pass per Lloyd
+    iteration — the information-theoretic minimum.  (The r1-r6 shape paid
+    a crossJoin + a corpus-wide groupBy(vec_id) argmin exchange + a corpus
+    x corpus join + a second aggregation pass per iteration; the first r7
+    cut of this shape used k dist-structs under least() plus dim separate
+    aggregate columns, whose per-iteration py4j construction + analysis
+    cost ~1s/iteration — see the inline notes.)  At k too large to hold
+    driver-side (~10^5+) the broadcast-join shape comes back, but then
     sampling/mini-batch is the right tool anyway.
     Lloyd guarantees non-increasing inertia; the caller-facing query below
     HARD-FAILS if that monotonicity breaks (a wrong assignment or a
@@ -766,19 +769,28 @@ def kmeans_fit(
             [([(cid, c, _fold_sq(c)) for cid, c in cents_now],)],
             "cs array<struct<c_id: int, c: array<double>, nc2: double>>",
         )
-        # least over k statically-indexed (d, c_id) structs == min distance,
-        # ties to the smaller centroid id — the same ordering min(struct)
-        # used.  Static element_at indices (k is known driver-side) beat
-        # array_min(transform(...)) in an r7 A/B: same warm wall, ~3x
-        # smaller first-run codegen spike.
-        structs = []
-        for j in range(len(cents_now)):
-            s = F.element_at(F.col("cs"), j + 1)
-            dist = F.round(
-                F.col("nv2") - 2 * _dot(F.col("v"), s["c"]) + s["nc2"], 6
+        # array_min over transform == min distance, ties to the smaller
+        # centroid id (struct ordering: d then c_id) — IDENTICAL float ops
+        # to the r7.1 static-index least(*k structs) form, but the dist
+        # expression exists ONCE under the lambda instead of k times.
+        # That matters because this plan is REBUILT every Lloyd iteration:
+        # with k copies of the 64-term dot fold the per-iteration
+        # py4j expression construction + analysis alone cost ~1.0s/iter at
+        # sf0.1 (3 iterations -> the whole query sat at 3.4-4.4s wall on
+        # 2000 rows); the lambda form builds the tree once and the
+        # measured per-iteration overhead drops ~10x.
+        m = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda s: F.struct(
+                    F.round(
+                        F.col("nv2") - 2 * _dot(F.col("v"), s["c"]) + s["nc2"],
+                        6,
+                    ).alias("d"),
+                    s["c_id"].alias("c_id"),
+                ),
             )
-            structs.append(F.struct(dist.alias("d"), s["c_id"].alias("c_id")))
-        m = structs[0] if len(structs) == 1 else F.least(*structs)
+        )
         return (
             v2.crossJoin(F.broadcast(cent_df))
             .withColumn("_m", m)
@@ -796,26 +808,41 @@ def kmeans_fit(
     for it in range(1, iters + 1):
         assigned = _assigned_frame(cents)
         # ONE action per iteration: member count + inertia + the per-dim
-        # fixed-point bigint sums together in a single groupBy(cluster)
-        # (k x (dim + 2) aggregate values, partial-aggregated map-side,
-        # bounded driver materialization by design).
-        aggs = [
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("d2"), 6).alias("inertia"),
-        ]
-        if it < iters:
-            aggs += [
-                F.sum(
-                    F.round(F.element_at(F.col("v"), i + 1) * 100000).cast(
-                        "bigint"
-                    )
-                ).alias(f"s{i}")
-                for i in range(dim)
-            ]
-        stats = assigned.groupBy("cluster").agg(*aggs).collect()
-        tot_n = sum(r["n"] for r in stats)
-        tot_i = round(sum(r["inertia"] for r in stats), 6)
-        for r in sorted(stats, key=lambda r: r["cluster"]):
+        # fixed-point bigint sums, via posexplode -> groupBy(cluster, pos)
+        # (k x dim bounded rows back to the driver).  The r7.1 shape kept
+        # the rows unexploded and issued dim separate
+        # sum(round(element_at(v, i)...)) aggregate columns — the SAME
+        # arithmetic, but 64 py4j-built aggregate expressions re-created
+        # and re-analyzed per iteration dominated the wall at small scale
+        # (~1.0s/iteration on 2000 rows, measured; three exprs over the
+        # exploded frame re-collect in ~0.04s warm).  The explode is
+        # k-free map-side fan-out (n x dim rows) feeding a 512-group
+        # partial agg — negligible at any scale next to the assignment.
+        # count/inertia ride the pos=0 slice so every aggregate value is
+        # computed from exactly the rows the unexploded shape used.
+        ex = assigned.select(
+            "cluster", "d2", F.posexplode("v").alias("pos", "x")
+        )
+        stats = (
+            ex.groupBy("cluster", "pos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.when(F.col("pos") == 0, F.col("d2"))), 6
+                ).alias("inertia"),
+                F.sum(F.round(F.col("x") * 100000).cast("bigint")).alias("s"),
+            )
+            .collect()
+        )
+        head = sorted(
+            (r for r in stats if r["pos"] == 0), key=lambda r: r["cluster"]
+        )
+        sums = {
+            (int(r["cluster"]), int(r["pos"])): r["s"] for r in stats
+        }
+        tot_n = sum(r["n"] for r in head)
+        tot_i = round(sum(r["inertia"] for r in head), 6)
+        for r in head:
             rows.append((it, int(r["cluster"]), int(r["n"]), float(r["inertia"])))
         rows.append((it, -1, int(tot_n), float(tot_i)))
         totals.append(tot_i)
@@ -828,11 +855,11 @@ def kmeans_fit(
                 (
                     int(r["cluster"]),
                     [
-                        float(r[f"s{i}"]) / r["n"] / 100000
+                        float(sums[(int(r["cluster"]), i)]) / r["n"] / 100000
                         for i in range(dim)
                     ],
                 )
-                for r in stats
+                for r in head
             )
     if assignments_out is not None:
         # Final-iteration assignments: eagerly materialized for downstream
