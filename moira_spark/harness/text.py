@@ -1370,15 +1370,20 @@ def dsir_weights(docs: DataFrame, n_buckets: int = _DSIR_BUCKETS) -> DataFrame:
     overflow-prone ``(ct+1)*(r+B)`` product is promoted to double BEFORE
     multiplying (exact below 2^53; the bigint*bigint ANSI overflow trap).
     """
-    # r7: ONE md5 pass instead of two.  The md5-per-token bucketing is the
-    # dominant per-row cost (portable oracle contract, so the hash itself
-    # cannot change), and the r5 plan re-ran the whole explode+md5 subtree
-    # for each consumer (bucket counts AND per-doc sums).  Now the tokens
-    # collapse map-side into (doc_id, is_target, b, cnt) rows — one
-    # explode, one md5 per token, one partial-aggregated exchange — and
-    # that persisted frame feeds both the bucket-count branch (a
-    # buckets-sized re-aggregation, no md5) and the per-doc weight branch
+    # r7: tokens collapse map-side into (doc_id, is_target, b, cnt) rows —
+    # one explode, one md5 per token, one partial-aggregated exchange —
+    # and that frame feeds both the bucket-count branch (a buckets-sized
+    # re-aggregation, no md5) and the per-doc weight branch
     # (sum(cnt * lam), exact bigint — identical to summing lam per token).
+    # NOT persisted (r7.2 A/B, 3 runs each): persist cost 1.7-1.9s vs
+    # 1.0-1.05s recomputed at sf0.1 (cache build + InMemoryTableScan
+    # overhead dwarfs the recompute on small inputs) and won only
+    # 4.4s-vs-5.3s at 10x scale; both beat the r5 two-full-token-pass
+    # shape (~8.5s at 10x).  A two-action variant (collect the 128-row lam
+    # table, rebuild with a broadcast join) measured worst of all
+    # (1.5/6.7s) — the second full md5 pass plus action overhead.  At true
+    # 100 TB persist the collapsed frame (45x smaller than the token
+    # stream) if memory allows; it is one .persist() away.
     tokc = (
         docs.select("doc_id", "is_target", F.explode("words").alias("w"))
         .select(
@@ -1391,7 +1396,6 @@ def dsir_weights(docs: DataFrame, n_buckets: int = _DSIR_BUCKETS) -> DataFrame:
         )
         .groupBy("doc_id", "is_target", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
     counts = tokc.groupBy("b").agg(
         F.sum("cnt").alias("cr"),
