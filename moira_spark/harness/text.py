@@ -308,135 +308,101 @@ def doc_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REP_PLANT = " lorem ipsum dolor sit amet"
 
 
+def _gopher_counts_batch(texts) -> "list[tuple[int, int, int, int, int]]":
+    """Per-text Gopher repetition INTEGER counts: (n_words, total_chars,
+    top_chars, dup_chars, d5_chars).  Tokenization must stay bit-compatible
+    with ``F.split(text, ' ')`` + drop-empties (Python str.split(' ')
+    produces the identical empty-token structure).  All outputs are exact
+    integers; every float op (division, round) stays JVM-side so the
+    oracle-checked values are bit-identical to the old all-JVM plan."""
+    from collections import Counter
+
+    out = []
+    for t in texts:
+        w = [x for x in t.split(" ") if x]
+        n = len(w)
+        lens = [len(x) for x in w]
+        total = sum(lens)
+        top = 0
+        if n >= 2:
+            c2 = Counter(zip(w, w[1:]))
+            # cov = cnt * (len(bigram) - 1) = cnt * (len(a) + len(b))
+            top = max(
+                cnt * (len(a) + len(b)) for (a, b), cnt in c2.items()
+            )
+        dup = 0
+        if n:
+            c1 = Counter(w)
+            dup = sum(cnt * len(wd) for wd, cnt in c1.items() if cnt > 1)
+        d5 = 0
+        if n >= 5:
+            grams = [" ".join(w[p : p + 5]) for p in range(n - 4)]
+            c5 = Counter(grams)
+            prev = -1
+            for s, g in enumerate(grams):
+                if c5[g] > 1:
+                    for i in range(max(s, prev + 1), s + 5):
+                        d5 += lens[i]
+                    prev = s + 4
+        out.append((n, total, top, dup, d5))
+    return out
+
+
 def repetition_stats(docs: DataFrame, flag_at: float = 0.2) -> DataFrame:
     """Per-doc Gopher repetition signals over a (doc_id, text) frame:
-    top-bigram character coverage, duplicate-word character fraction, and
-    the ``repetitious`` flag at ``flag_at`` top-bigram coverage.  Pure-JVM
-    explode -> partial-aggregating groupBy passes; fractions are exact
-    integer-count ratios rounded to 6dp (see doc_repetition_stats)."""
-    base = (
-        docs.select(
-            "doc_id",
-            F.filter(
-                F.split(F.col("text"), " "), lambda x: x != F.lit("")
-            ).alias("w"),
-        )
-        .select(
-            "doc_id",
-            F.size("w").cast("bigint").alias("n_words"),
-            F.aggregate(
-                "w",
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + F.length(x).cast("bigint"),
-            ).alias("total_chars"),
-            "w",
-        )
-    )
-    # r7: every gram/word below travels as (xxhash64, length) instead of
-    # the raw string — all three aggregations group/join on the gram only,
-    # never output it, and the length (functionally determined by the
-    # gram) rides along as max().  ~4x fewer bytes per row through every
-    # exchange; zero 64-bit collisions on the fixtures at every shipped
-    # scale (scripts/audit_hash_collisions.py covers the 1/2/5-gram
-    # streams of this planted corpus).
-    bigrams = base.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.expr("slice(w, 1, greatest(size(w) - 1, 0))"),
-                F.expr("slice(w, 2, greatest(size(w) - 1, 0))"),
-                lambda x, y: F.concat(x, F.lit(" "), y),
+    top-bigram character coverage, duplicate-word character fraction,
+    duplicated-5-gram character coverage (interval union), and the
+    ``repetitious`` flag at ``flag_at`` top-bigram coverage.
+
+    Scale shape (r7.2, guide §4.2): ONE Arrow hop computes all five
+    integer counts per document in a tight batch loop — the whole signal
+    is doc-local, so the r6 shape's five explode -> groupBy passes plus
+    three join-backs (8+ exchanges over the gram streams) bought nothing
+    but shuffle: 13.4s at 10x scale vs 3.3s for this plan (sf0.1:
+    1.85s -> 0.66s, best-of-3).  A pure-JVM doc-local rewrite via higher-order
+    functions was tried first and measured WORSE than the exchanges
+    (interpreted lambda evaluation re-computes every nested array
+    subexpression per element; 1.5s at sf0.1 for one branch alone).
+    Fractions stay JVM-side as exact-integer ratios rounded to 6dp, so
+    the oracle hash is unchanged.  Only (doc_id, text) crosses the
+    boundary (guide §4.1: project before an opaque op)."""
+    fields = [
+        ("n_words", "n"),
+        ("total_chars", "total"),
+        ("top_chars", "top"),
+        ("dup_chars", "dup"),
+        ("d5_chars", "d5"),
+    ]
+    schema = "doc_id long, " + ", ".join(f"{f} long" for f, _ in fields)
+
+    def counts(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = _gopher_counts_batch(pdf["text"].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    **{
+                        f: [r[i] for r in rows]
+                        for i, (f, _) in enumerate(fields)
+                    },
+                }
             )
-        ).alias("bg"),
-    ).select("doc_id", F.xxhash64("bg").alias("bgh"), F.length("bg").alias("bl"))
-    top_bigram = (
-        bigrams.groupBy("doc_id", "bgh")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.max("bl").alias("bl"))
-        .select("doc_id", (F.col("cnt") * (F.col("bl") - 1)).alias("cov"))
-        .groupBy("doc_id")
-        .agg(F.max("cov").alias("top_chars"))
-    )
-    dup_words = (
-        base.select("doc_id", F.explode("w").alias("wd"))
-        .select(
-            "doc_id",
-            F.xxhash64("wd").alias("wdh"),
-            F.length("wd").alias("wl"),
-        )
-        .groupBy("doc_id", "wdh")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.max("wl").alias("wl"))
-        .filter(F.col("cnt") > 1)
-        .select("doc_id", (F.col("cnt") * F.col("wl")).alias("dchars"))
-        .groupBy("doc_id")
-        .agg(F.sum("dchars").alias("dup_chars"))
-    )
-    # dup-5-gram COVERAGE (Gopher's dup-ngram char fraction): positions
-    # covered by any duplicated 5-gram are counted ONCE (interval union),
-    # unlike the occurrence-weighted dup-word sum above.  sequence() is
-    # guarded through slice(): sequence(1, 0) would yield a DESCENDING
-    # [1, 0], not an empty array.
-    grams5 = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform("
-                "  slice(sequence(1, greatest(size(w) - 4, 1)),"
-                "        1, greatest(size(w) - 4, 0)),"
-                "  p -> named_struct('p', p,"
-                "                    'g', xxhash64(concat_ws(' ', slice(w, p, 5)))))"
-            )
-        ).alias("pg"),
-    ).select("doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
-    dup5 = (
-        grams5.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") > 1)
-        .select("doc_id", "g")
-    )
-    cov = (
-        grams5.join(dup5, ["doc_id", "g"])
-        .select(
-            "doc_id",
-            F.explode(F.expr("sequence(p, p + 4)")).alias("idx"),
-        )
-        .distinct()
-    )
-    wlen = base.select(
-        "doc_id", F.posexplode("w").alias("i", "wd")
-    ).select(
-        "doc_id",
-        (F.col("i") + 1).alias("idx"),
-        F.length("wd").alias("wl"),
-    )
-    dup5_chars = (
-        cov.join(wlen, ["doc_id", "idx"])
-        .groupBy("doc_id")
-        .agg(F.sum("wl").alias("d5_chars"))
-    )
+
+    stats = docs.select("doc_id", "text").mapInPandas(counts, schema)
     denom = F.greatest(F.col("total_chars"), F.lit(1)).cast("double")
-    top_frac = F.round(
-        F.coalesce(F.col("top_chars"), F.lit(0)).cast("double") / denom, 6
-    )
-    dup_frac = F.round(
-        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double") / denom, 6
-    )
-    d5_frac = F.round(
-        F.coalesce(F.col("d5_chars"), F.lit(0)).cast("double") / denom, 6
-    )
-    return (
-        base.drop("w")
-        .join(top_bigram, "doc_id", "left")
-        .join(dup_words, "doc_id", "left")
-        .join(dup5_chars, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            "total_chars",
-            top_frac.alias("top_bigram_frac"),
-            dup_frac.alias("dup_word_frac"),
-            d5_frac.alias("dup_5gram_frac"),
-            (top_frac >= flag_at).alias("repetitious"),
-        )
+    top_frac = F.round(F.col("top_chars").cast("double") / denom, 6)
+    dup_frac = F.round(F.col("dup_chars").cast("double") / denom, 6)
+    d5_frac = F.round(F.col("d5_chars").cast("double") / denom, 6)
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "total_chars",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_word_frac"),
+        d5_frac.alias("dup_5gram_frac"),
+        (top_frac >= flag_at).alias("repetitious"),
     )
 
 

@@ -243,6 +243,24 @@ class TestRepetitionStats:
         rows = self._stats(spark, [(1, "a b c d e X a b c d e")])
         assert rows[1]["dup_5gram_frac"] == round(10 / 11, 6)
 
+    def test_counts_batch_kernel_direct(self):
+        # r7.2: the per-doc integer counts moved into one Arrow batch
+        # kernel; pin the pure-Python function directly, including the
+        # split-on-single-space parity (double space -> empty token
+        # dropped, exactly like F.split(text, ' ') + filter)
+        from moira_spark.harness.text import _gopher_counts_batch
+
+        (a, b, c) = _gopher_counts_batch(
+            ["x  y x", "", "q w q w q w q w q w"]
+        )
+        # 'x  y x': words [x, y, x]; no repeated bigram ('x y' != 'y x'),
+        # top bigram cov = 1+1 = 2; dup word x: 2*1 = 2; no 5-grams
+        assert a == (3, 3, 2, 2, 0)
+        assert b == (0, 0, 0, 0, 0)
+        # 10 words of 1 char; top bigram 'q w' 5x * 2 chars = 10; all
+        # words dup (10 chars); every position covered by a dup 5-gram
+        assert c == (10, 10, 10, 10, 10)
+
 
 class TestTokenBudget:
     def _select(self, spark, rows, **kw):

@@ -79,10 +79,11 @@ CASES = [
     # filter pushed to scan) and span dedup (groupBy-min + join, pure JVM)
     ("events_asof_join", 0, 0, 0, 1),
     ("doc_span_dedup", 0, 0, 0, 1),
-    # round 5 second session: Gopher repetition signals — two explode ->
-    # partial-aggregating groupBy passes, pure JVM, stats frames broadcast
-    # back onto the doc spine
-    ("doc_repetition_stats", 0, 0, 2, 0),
+    # r7.2: Gopher repetition signals are doc-local — ONE MapInPandas hop
+    # computes the integer counts, fractions stay JVM-side; zero joins,
+    # zero exchanges (the r6 five-pass explode/groupBy/join shape measured
+    # 10x slower at 10x scale — see repetition_stats docstring)
+    ("doc_repetition_stats", 0, 0, 0, 0),
     # round 5 second session: token-budget selection — prefix-sum ranked
     # (checkpoint root, no parquet scan in plan); the ONE SinglePartition
     # is the one-row budget scalar (SUM over per-partition partials), not
