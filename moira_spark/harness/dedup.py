@@ -1781,36 +1781,44 @@ def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     toks = corpus.select("doc_id", w.alias("w"))
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size("w") - (k - 1)),
-        lambda i: F.struct(
-            i.alias("s"),
-            F.concat_ws(
-                " ", *[F.element_at(F.col("w"), i + j) for j in range(k)]
-            ).alias("g"),
-        ),
-    )
     # r7 changes, same results:
-    # - the window string is xxhash64-ed to an 8-byte key before any
-    #   exchange (the scale plan the r6 docstring promised): the groupBy-MIN
-    #   and the join-back shuffle ~12x fewer bytes per row.  Collision-free
-    #   for the deterministic fixtures at every shipped scale (verified
-    #   sf0.001-sf1.0: distinct(g) == distinct(xxhash64(g)); a birthday
-    #   collision at 10^7 grams is ~1e-6 and merely merges two windows'
-    #   first-occurrence groups);
+    # - the window travels as an 8-byte hash key through every exchange
+    #   (the scale plan the r6 docstring promised).  r7.2: the hash is
+    #   MULTI-ARG xxhash64 over the k tokens directly — no concatenated
+    #   window string is ever built (48 bytes of concat per window,
+    #   twice, in the old shape), and token-tuple hashing has no
+    #   join-boundary ambiguity at all.  Equality semantics are identical
+    #   (tokens contain no spaces, so concat_ws was bijective too);
+    #   collision audit in scripts/audit_hash_collisions.py covers the
+    #   tuple hash at every shipped scale.
+    # - wins is PERSISTED: it feeds both the groupBy-MIN and the join
+    #   probe, and the explode + per-window hash is the dominant map cost.
+    #   A/B (2 runs each, 10x scale): recompute 10.5s vs persisted 7.7s
+    #   (sf0.1: 1.55 vs 1.33-1.75) — opposite verdict to the dsir persist
+    #   (tokc there is cheap to recompute; the window explode is not).
     # - the first-key overflow gate moved INTO the plan (raise_error inside
     #   the key expression) — the old driver-side `wins.filter(s >= 1000)
     #   .limit(1).count()` was a THIRD full execution of the window explode
     #   just to check a bound (guide §1.2: don't compute things you throw
     #   away).  Still a hard fail, now for free on the rows already flowing.
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (k - 1)),
+        lambda i: F.struct(
+            i.alias("s"),
+            F.xxhash64(
+                *[F.element_at(F.col("w"), i + j) for j in range(k)]
+            ).alias("gh"),
+        ),
+    )
     wins = (
         toks.filter(F.size("w") >= k)
         .select("doc_id", F.explode(gram).alias("u"))
         .select(
             "doc_id",
             F.col("u.s").alias("s"),
-            F.xxhash64(F.col("u.g")).alias("gh"),
+            F.col("u.gh").alias("gh"),
         )
+        .persist()
     )
     key = F.when(
         F.col("s") < 1000, F.col("doc_id") * 1000 + F.col("s")

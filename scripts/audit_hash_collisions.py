@@ -26,19 +26,31 @@ sys.path.insert(0, REPO)
 import pyspark.sql.functions as F  # noqa: E402
 
 
-def gram_counts(df, n: int, key: str = "doc_id"):
+def gram_counts(df, n: int, key: str = "doc_id", tuple_hash: bool = False):
+    """(distinct gram strings, distinct hashes).  ``tuple_hash=True``
+    audits the r7.2 MULTI-ARG xxhash64 over the n tokens (used by
+    doc_substring_dedup — no concatenated string is built in the query);
+    default audits xxhash64 over the joined gram string."""
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     toks = df.select(key, w.alias("w")).filter(F.size("w") >= n)
     gram = F.transform(
         F.sequence(F.lit(1), F.size("w") - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("w"), i + k) for k in range(n)]
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("w"), i + k) for k in range(n)]
+            ).alias("g"),
+            F.xxhash64(
+                *[F.element_at(F.col("w"), i + k) for k in range(n)]
+            ).alias("th"),
         ),
     )
-    rows = toks.select(F.explode(gram).alias("g"))
+    rows = toks.select(F.explode(gram).alias("u")).select(
+        F.col("u.g").alias("g"), F.col("u.th").alias("th")
+    )
+    hashed = F.col("th") if tuple_hash else F.xxhash64("g")
     r = rows.agg(
         F.countDistinct("g").alias("strings"),
-        F.countDistinct(F.xxhash64("g")).alias("hashes"),
+        F.countDistinct(hashed).alias("hashes"),
     ).collect()[0]
     return r["strings"], r["hashes"]
 
@@ -107,22 +119,20 @@ def main() -> int:
                 F.concat(F.col("text"), F.expr(f"repeat('{_REP_PLANT}', 10)")),
             ).otherwise(F.col("text")).alias("text"),
         )
+        del rep  # doc_repetition_stats stopped hashing grams in r7.2
+        # (its counts are doc-local in one Arrow hop — no join keys at all)
         cases = [
-            ("3gram_near", _planted_near(spark, sf), 3),
-            ("3gram_exact", _planted_exact(spark, sf), 3),
-            ("3gram_boiler", boiler, 3),
-            ("3gram_wrap", wrap, 3),
-            ("8gram_decon", d, 8),
-            ("5gram_overlap", ovl, 5),
-            (f"{_SUBSTR_K}gram_substr", sub, _SUBSTR_K),
-            # doc_repetition_stats keys: words, bigrams, 5-grams of the
-            # repetition-planted corpus
-            ("1gram_rep", rep, 1),
-            ("2gram_rep", rep, 2),
-            ("5gram_rep", rep, 5),
+            ("3gram_near", _planted_near(spark, sf), 3, False),
+            ("3gram_exact", _planted_exact(spark, sf), 3, False),
+            ("3gram_boiler", boiler, 3, False),
+            ("3gram_wrap", wrap, 3, False),
+            ("8gram_decon", d, 8, False),
+            ("5gram_overlap", ovl, 5, False),
+            # doc_substring_dedup hashes the k tokens directly (r7.2)
+            (f"{_SUBSTR_K}tuple_substr", sub, _SUBSTR_K, True),
         ]
-        for name, corpus, n in cases:
-            s, h = gram_counts(corpus, n)
+        for name, corpus, n, tup in cases:
+            s, h = gram_counts(corpus, n, tuple_hash=tup)
             ok = "OK " if s == h else "COLLISION"
             if s != h:
                 bad += 1
