@@ -1080,11 +1080,7 @@ def intra_cluster_prune(
     construction and are always still caught; near-dups split across a
     low-margin hyperplane can be missed — the same recall-for-boundedness
     trade dedup_jaccard_capped documents, stated instead of silent."""
-    from moira_spark.harness.similarity import (
-        _dot,
-        _hyperplanes,
-        make_sign_lsh_udf,
-    )
+    from moira_spark.harness.similarity import _hyperplanes, make_sign_lsh_udf
 
     work = clustered.withColumn("sub", F.lit(-1))
     if max_cluster is not None:
@@ -1113,57 +1109,110 @@ def intra_cluster_prune(
                 )
                 .drop("__hot")
             )
-    # r7: block-pair salting of the intra-cluster self-join (guide §2.5).
-    # The join key (cluster, sub) has only as many distinct values as there
-    # are clusters, so at sf1.0 the 21M-pair cosine stage ran on ~7 of 32
-    # cores (one task per hot cluster).  Each side is replicated
-    # _PAIR_BLOCKS ways so pair (x, y) meets under exactly one
-    # (cluster, sub, block(x), block(y)) key — S^2 x more join keys, the
-    # same pair set exactly once, and the per-key work bounded by
-    # (cluster/S)^2.  Replication costs S x shuffle input of the (narrow)
-    # vector rows — the pair OUTPUT, which dwarfs it, is unchanged.
-    S = 16
+    # r7: block-pair salting of the intra-cluster pair stage (guide §2.5) —
+    # the bare (cluster, sub) key has only as many distinct values as
+    # clusters, so the pair cosine stage ran on ~7 of 32 cores.  Each row
+    # is replicated to the (2S - 1) block-pair groups it participates in,
+    # so pair (x, y) meets under exactly one (cluster, sub, blk(x), blk(y))
+    # group and per-group work is bounded by (cluster/S)^2.
+    #
+    # r7.2 (guide §4.2): the cosines themselves moved from a JVM join with
+    # a per-pair interpreted 64-term aggregate fold (HOFs never reach
+    # codegen; ~2.6G interpreted lambda steps at 10x scale — 15-18s) into
+    # applyInPandas per block-pair group, where the SAME left-assoc fold
+    # runs as a dim-ordered numpy accumulation (acc += va[:, d] * vb[:, d]
+    # — bit-identical IEEE op sequence to aggregate(zip_with(...))), and
+    # cos = acc / outer(na, nb) mirrors dot / (na * nb).  The >= threshold
+    # decision replicates Spark's ROUND(cos, 6) exactly: candidates within
+    # a safety margin of the threshold are re-rounded with
+    # Decimal(repr(x)) HALF_UP — the identical BigDecimal.valueOf
+    # semantics — so the flag cannot drift even on a boundary value
+    # (oracle-verified; for unit vectors the band is empirically empty).
+    # S block-pair split: groups = clusters x S^2, fan-out copies = 2S-1
+    # per row.  A/B at sf0.1 / 10x (best-of-3/2): S=8 2.00/5.26,
+    # S=4 1.72/4.29, S=2 1.57/4.37 — S=4 keeps 160-group parallelism and
+    # bounded per-group work with near-best walls at both scales.  At
+    # production scale derive S ~ sqrt(max_cluster_rows / target_side)
+    # per job instead of a constant.
+    S = 4
     blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(S)).cast("int")
-    j_all = F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
-    a = work.withColumn("_blk", blk).select(
-        F.col("vec_id").alias("a_id"),
-        F.col("cluster").alias("a_cl"),
-        F.col("sub").alias("a_sub"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
-        F.col("_blk").alias("a_pa"),
-        j_all.alias("a_pb"),
+    # (pa, pb, role) entries per row: role bit 1 = a-side, bit 2 = b-side;
+    # the (blk, blk) diagonal entry carries both roles in one copy.
+    entries = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(S - 1)),
+            lambda j: F.struct(
+                blk.alias("pa"),
+                j.cast("int").alias("pb"),
+                F.when(j == blk, F.lit(3)).otherwise(F.lit(1)).alias("role"),
+            ),
+        ),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(S - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pa"),
+                    blk.alias("pb"),
+                    F.lit(2).alias("role"),
+                ),
+            ),
+            lambda s: s["pa"] != blk,
+        ),
     )
-    b = work.withColumn("_blk", blk).select(
-        F.col("vec_id").alias("b_id"),
-        F.col("cluster").alias("b_cl"),
-        F.col("sub").alias("b_sub"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-        F.col("_blk").alias("b_pb"),
-        j_all.alias("b_pa"),
+    fanned = work.select(
+        "vec_id", "cluster", "sub", "v", "nv", F.explode(entries).alias("e")
+    ).select(
+        "vec_id",
+        "cluster",
+        "sub",
+        "v",
+        "nv",
+        F.col("e.pa").alias("pa"),
+        F.col("e.pb").alias("pb"),
+        F.col("e.role").alias("role"),
     )
-    pair_cos = F.round(
-        _dot(F.col("va"), F.col("vb"), dim=dim) / (F.col("na") * F.col("nb")),
-        6,
-    )
-    # NO broadcast hint: `b` is every clustered vector with its embedding —
-    # the full corpus side.  The pair join is an equi-join on
-    # (cluster, sub, block, block), so a shuffle hash/sort-merge join is
-    # the scale plan; AQE still broadcasts when the frame is genuinely
-    # small.
-    dups = (
-        a.join(
-            b,
-            (F.col("a_cl") == F.col("b_cl"))
-            & (F.col("a_sub") == F.col("b_sub"))
-            & (F.col("a_pa") == F.col("b_pa"))
-            & (F.col("a_pb") == F.col("b_pb"))
-            & (F.col("a_id") < F.col("b_id")),
+    thr = float(threshold)
+
+    def prune_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a_rows = pdf[(pdf["role"] & 1) != 0]
+        b_rows = pdf[(pdf["role"] & 2) != 0]
+        if not len(a_rows) or not len(b_rows):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        va = np.stack(a_rows["v"].to_numpy())
+        vb = np.stack(b_rows["v"].to_numpy())
+        acc = np.zeros((va.shape[0], vb.shape[0]))
+        for d_i in range(va.shape[1]):
+            acc += np.multiply.outer(va[:, d_i], vb[:, d_i])
+        cos = acc / np.multiply.outer(
+            a_rows["nv"].to_numpy(), b_rows["nv"].to_numpy()
         )
-        .withColumn("cos_sim", pair_cos)
-        .filter(F.col("cos_sim") >= threshold)
-        .select(F.col("b_id").alias("vec_id"))
+        ids_a = a_rows["vec_id"].to_numpy()
+        ids_b = b_rows["vec_id"].to_numpy()
+        mask = (ids_a[:, None] < ids_b[None, :]) & (cos >= thr - 1e-4)
+        if not mask.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        ai, bi = np.nonzero(mask)
+        keep = [
+            int(ids_b[j])
+            for i, j in zip(ai, bi)
+            if float(
+                Decimal(repr(float(cos[i, j]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+            >= thr
+        ]
+        return pd.DataFrame({"vec_id": pd.Series(keep, dtype="int64")})
+
+    dups = (
+        fanned.groupBy("cluster", "sub", "pa", "pb")
+        .applyInPandas(prune_group, "vec_id long")
         .distinct()
         .withColumn("d", F.lit(True))
     )
