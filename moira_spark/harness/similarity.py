@@ -12,6 +12,7 @@ identical across engines.
 
 from __future__ import annotations
 
+import json
 from typing import Iterator
 
 import numpy as np
@@ -707,13 +708,14 @@ def kmeans_fit(
     per (iteration, cluster) plus a cluster = -1 total row per iteration:
     (iteration, cluster, n_members, inertia).
 
-    Scale shape (r7): the k centroids ride a ONE-ROW broadcast frame as an
-    array<struct<c_id, c, nc2>> DATA column (k x dim values, bounded by
-    design — never literals, so the generated code is identical across
-    iterations and codegen compiles once).  Assignment is then a pure
-    map-side expression — argmin = array_min over transform(centroids,
-    dist-struct) after a 1-row broadcast cross join — zero exchange, zero
-    corpus join.  Stats AND the fixed-point centroid update come back in
+    Scale shape (r7.3): the k centroids ride two parallel ARRAY literals
+    (ids + vectors, k x dim values, bounded by design).  Array literals
+    reach generated code through the references array — never inlined as
+    source constants — so the codegen source is identical across
+    iterations and Janino compiles it once, and no per-iteration
+    BroadcastExchange exists at all.  Assignment is then a pure map-side
+    expression — argmin = array_min over transform(centroids, dist-struct)
+    — zero exchange, zero corpus join.  Stats AND the fixed-point centroid update come back in
     ONE posexplode -> groupBy(cluster, pos) action per iteration (count,
     inertia on the pos=0 slice, and the per-dim bigint sums as k x dim
     bounded rows, partial-aggregated map-side), so one full pass per Lloyd
@@ -743,15 +745,22 @@ def kmeans_fit(
     # re-attach vectors for the centroid update.  All three are gone — the
     # only per-iteration exchange left is the k*dim-row partial-aggregated
     # centroid update (guide §2.4: remove shuffles outright).
-    def _fold_sq(c: "list[float]") -> float:
-        # same left-assoc sequential fold as _dot -> bit-identical double
-        acc = 0.0
-        for x in c:
-            acc = acc + x * x
-        return acc
-
+    # Working set checkpointed ONCE (r7.3): every Lloyd iteration (and the
+    # init collect) reads the same (vec_id, v, nv2) rows, so materializing
+    # them up front means (a) one parquet scan + double-cast + norm pass
+    # total instead of one per iteration, and (b) each iteration's
+    # analyzed plan roots at a LogicalRDD instead of the whole
+    # scan->cast->norm subtree — measured at sf0.1/local[32] the
+    # per-iteration collect drops 0.47 s -> 0.31 s and the build 0.33 s ->
+    # 0.09 s.  Caching the working set is the standard distributed-kmeans
+    # shape (MLlib does the same); storage is MEMORY_AND_DISK, bounded by
+    # the corpus the caller already chose to cluster.
+    v2 = (
+        vectors.withColumn("nv2", _dot(F.col("v"), F.col("v")))
+        .localCheckpoint(eager=True)
+    )
     init = (
-        vectors.filter(F.col("vec_id") < k)
+        v2.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("c_id"), "v")
         .collect()
     )
@@ -759,16 +768,23 @@ def kmeans_fit(
         (int(r["c_id"]), [float(x) for x in r["v"]]) for r in init
     )
     dim = len(cents[0][1])
-    v2 = vectors.withColumn("nv2", _dot(F.col("v"), F.col("v")))
 
     def _assigned_frame(cents_now):
-        # centroids as a 1-row broadcast DATA frame (array of structs):
-        # the generated code has no centroid values baked in, so Spark
-        # compiles it once and reuses it for every iteration's jobs
-        cent_df = spark.createDataFrame(
-            [([(cid, c, _fold_sq(c)) for cid, c in cents_now],)],
-            "cs array<struct<c_id: int, c: array<double>, nc2: double>>",
-        )
+        # Centroids as ARRAY LITERALS (r7.3): two parallel literals — the
+        # id list and the vector list — instead of the r7.2 one-row
+        # broadcast frame.  Complex literals (arrays) reach generated code
+        # through the references array, never inlined as source constants,
+        # so the codegen source is IDENTICAL across Lloyd iterations and
+        # Janino compiles it once; and dropping the crossJoin(broadcast)
+        # removes a per-iteration BroadcastExchange job.  Measured per
+        # fresh-plan iteration at sf0.1/local[32]: broadcast shape
+        # 0.9-1.2 s (0.3 s of it the broadcast itself), literal shape
+        # 0.40-0.45 s; embedding_kmeans wall 3.25 s -> ~1.9 s.  nc2 is
+        # recomputed per row as _dot(c, c) — the same left-assoc
+        # sequential fold _fold_sq used driver-side, so distances stay
+        # bit-identical while keeping scalar double literals (which WOULD
+        # inline into codegen source and force a recompile every
+        # iteration) out of the plan.
         # array_min over transform == min distance, ties to the smaller
         # centroid id (struct ordering: d then c_id) — IDENTICAL float ops
         # to the r7.1 static-index least(*k structs) form, but the dist
@@ -779,27 +795,37 @@ def kmeans_fit(
         # sf0.1 (3 iterations -> the whole query sat at 3.4-4.4s wall on
         # 2000 rows); the lambda form builds the tree once and the
         # measured per-iteration overhead drops ~10x.
+        # One json-string literal per side instead of F.lit(list): the
+        # py4j element-by-element conversion of k x dim floats cost a
+        # measured 0.33 s per iteration at k=8/dim=64; a single string
+        # crosses py4j in one call and JsonToStructs over a foldable child
+        # CONSTANT-FOLDS in the optimizer (verified: the optimized plan
+        # holds a plain array literal, no per-row parse).
+        ids = F.from_json(
+            F.lit(json.dumps([int(cid) for cid, _ in cents_now])),
+            "array<int>",
+        )
+        cvs = F.from_json(
+            F.lit(json.dumps([c for _, c in cents_now])),
+            "array<array<double>>",
+        )
         m = F.array_min(
             F.transform(
-                F.col("cs"),
-                lambda s: F.struct(
+                cvs,
+                lambda c, i: F.struct(
                     F.round(
-                        F.col("nv2") - 2 * _dot(F.col("v"), s["c"]) + s["nc2"],
+                        F.col("nv2") - 2 * _dot(F.col("v"), c) + _dot(c, c),
                         6,
                     ).alias("d"),
-                    s["c_id"].alias("c_id"),
+                    F.element_at(ids, i + 1).alias("c_id"),
                 ),
             )
         )
-        return (
-            v2.crossJoin(F.broadcast(cent_df))
-            .withColumn("_m", m)
-            .select(
-                "vec_id",
-                "v",
-                F.col("_m.c_id").alias("cluster"),
-                F.col("_m.d").alias("d2"),
-            )
+        return v2.withColumn("_m", m).select(
+            "vec_id",
+            "v",
+            F.col("_m.c_id").alias("cluster"),
+            F.col("_m.d").alias("d2"),
         )
 
     rows: list[tuple] = []
@@ -868,6 +894,11 @@ def kmeans_fit(
             "vec_id", "cluster"
         ).localCheckpoint(eager=True)
 
+    # Working-set blocks released now that every reader is materialized
+    # (assignments, when requested, were checkpointed above).
+    from moira_spark.operators.components import _free_checkpoint
+
+    _free_checkpoint(v2)
     out = spark.createDataFrame(
         rows, "iteration int, cluster int, n_members bigint, inertia double"
     )
