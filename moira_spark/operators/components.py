@@ -162,6 +162,47 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff a high->low oriented edge frame is a FLAT star forest —
+    every src appears exactly once and no node is both a child and a
+    root.  That is precisely the large/small-star fixpoint: the rounds
+    preserve the graph's connected components (the Kiveris et al.
+    invariant), so a flat forest's stars ARE the components, rooted at
+    their min id (root < every child by orientation).  Checking the
+    structure directly replaces the old consecutive-signature test, which
+    always paid one extra large+small round just to observe that nothing
+    changed — and unlike the xxhash64 checksum it cannot false-positive
+    on a collision.  One scalar aggregate (no groupBy exchange; the
+    distinct-counts partial-aggregate map-side), driver sees 3 numbers."""
+    row = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("id"), F.lit(1).alias("s")),
+                    F.struct(F.col("dst").alias("id"), F.lit(0).alias("s")),
+                )
+            ).alias("e")
+        )
+        .agg(
+            F.sum(F.col("e.s")).alias("n_edges"),
+            F.count_distinct(
+                F.when(F.col("e.s") == 1, F.col("e.id"))
+            ).alias("n_src"),
+            F.count_distinct(
+                F.when(F.col("e.s") == 0, F.col("e.id"))
+            ).alias("n_dst"),
+            F.count_distinct(F.col("e.id")).alias("n_ids"),
+        )
+        .collect()[0]
+    )
+    n_edges = int(row["n_edges"] or 0)
+    return (
+        n_edges == int(row["n_src"] or 0)
+        and int(row["n_src"] or 0) + int(row["n_dst"] or 0)
+        == int(row["n_ids"] or 0)
+    )
+
+
 def connected_components_bigstar(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
 ) -> DataFrame:
@@ -171,10 +212,15 @@ def connected_components_bigstar(
 
     Same contract as connected_components (including the caller-releases
     persistence rule); use this when the pair generator can emit long
-    chains.  Convergence is detected by a stable (count, xxhash64-sum)
-    edge-set checksum — one tiny aggregate per round reaches the driver,
-    never row data.  ``max_iter`` is a safety net two orders above the
-    log2 bound for any realistic graph.
+    chains.  Convergence is detected STRUCTURALLY (r7.3): a high->low
+    edge set that is a flat star forest — every src exactly once, no node
+    both child and root — IS the fixpoint (star rounds preserve
+    components, so flat stars = components rooted at their min).  One
+    scalar aggregate per round reaches the driver, never row data, and
+    unlike the previous consecutive-checksum test no confirmation round
+    is needed (an already-converged input costs zero rounds).
+    ``max_iter`` is a safety net two orders above the log2 bound for any
+    realistic graph.
     """
     # r7: materialize the caller's edge plan ONCE.  `nodes` is consumed only
     # by the final labels join, and deriving it straight from `edges` meant
@@ -200,30 +246,29 @@ def connected_components_bigstar(
     # round ~8).  localCheckpoint materializes the rows AND cuts lineage to
     # a LogicalRDD; on a real cluster with executor-loss concerns, set a
     # checkpoint dir and use reliable .checkpoint() instead — same shape.
+    # Initial edges are canonicalized high->low (r7.3) — the orientation
+    # the star rounds themselves converge to.  Edges are undirected (the
+    # large star symmetrizes, the small star re-orients), so this changes
+    # no component; it exists so the seed signature below can actually
+    # match round 1's output when the input is already star-shaped.
     cur = (
-        ebase.filter(F.col("src") != F.col("dst"))
+        ebase.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
-    for _ in range(max_iter):
-        after_large = _star_round(cur, large=True)
-        prev = cur
-        cur = _star_round(after_large, large=False).localCheckpoint(eager=True)
-        _free_checkpoint(prev)  # cur is materialized; prev blocks done
-        row = cur.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal(38,0) sum: ANSI-safe against long overflow while
-            # staying an exact, order-independent checksum
-            F.coalesce(
-                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            # Fixpoint: edges now form stars (child -> root); roots and
-            # isolated nodes label themselves via the left join.
+    # The flat-forest test runs BEFORE round 1 too: pair generators whose
+    # components are all simple pairs hand the loop an already-converged
+    # forest, and the closure then costs one scalar aggregate, zero star
+    # rounds (the old consecutive-signature test paid a minimum of two).
+    for _ in range(max_iter + 1):
+        if _is_star_forest(cur):
+            # Fixpoint: edges form stars (child -> root, root = component
+            # min); roots and isolated nodes label themselves via the
+            # left join.
             labels = nodes.join(
                 cur.select(F.col("src").alias("id"), F.col("dst").alias("comp")),
                 "id",
@@ -232,7 +277,10 @@ def connected_components_bigstar(
                 "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
             )
             return labels.persist(StorageLevel.MEMORY_AND_DISK)
-        prev_sig = sig
+        after_large = _star_round(cur, large=True)
+        prev = cur
+        cur = _star_round(after_large, large=False).localCheckpoint(eager=True)
+        _free_checkpoint(prev)  # cur is materialized; prev blocks done
     raise RuntimeError(
         f"connected_components_bigstar did not converge in {max_iter} rounds"
     )
