@@ -2416,6 +2416,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the temp table is never read after this returns.
     """
     _, b2 = _incremental_batches(spark, sf_dir)
+    # b2 is a 5-way union of filtered document projections, and the plan
+    # below evaluates it SIX times (md5 branch, sz2, inter's probe side,
+    # both sides of the intra-batch self-join, flag join-back) — 5 x 6
+    # parquet scan branches before this checkpoint collapsed them into
+    # one materialized read (r7.3; measured 2.9-3.1 s -> 2.0-2.4 s best
+    # at sf0.1).  At production scale the new batch arrives as ONE staged
+    # table, so materializing it once is the real shape anyway.
+    b2 = b2.localCheckpoint(eager=True)
     table, _bands = _committed_state(spark, sf_dir)
     committed = table.read(spark)
 
@@ -2507,7 +2515,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # localCheckpoint so nothing downstream re-reads the temp snapshot
     # (the memoized state dir is cleaned at process exit)
-    return flagged.localCheckpoint(eager=True)
+    out = flagged.localCheckpoint(eager=True)
+    from moira_spark.operators.components import _free_checkpoint
+
+    _free_checkpoint(b2)  # flags are materialized; batch blocks done
+    return out
 
 
 @register("dedup_incremental_minhash", None)  # banded hashing: rows-only
