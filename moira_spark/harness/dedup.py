@@ -67,18 +67,29 @@ def cap_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     At web scale a handful of boilerplate shingles ("all rights reserved...")
     appear in a large fraction of documents; joining on them produces
     quadratic fan-out in the candidate join.  Capping document frequency
-    bounds per-key fan-out at max_df^2 candidate pairs.  The df count and the
-    semi-join both hash on `shingle`, so AQE reuses one exchange — the cap
-    costs one extra aggregation, not two shuffles.  Off by default (keeps the
-    driver-checked defaults hash-stable); A/B'd in BENCH/BASELINE.md.
+    bounds per-key fan-out at max_df^2 candidate pairs.
+
+    Shape (r7.3): the filter materializes the HOT list (df > max_df) —
+    small by construction, hot shingles ARE the boilerplate pathology —
+    once, eagerly, and every consumer branch drops it via a broadcast
+    anti-join (guide §2.5: special-case the hot keys).  The r1-r7.2 form
+    semi-joined against the KEPT set instead, which is the whole distinct
+    gram vocabulary: un-broadcastable, so each of the capped query's
+    three shingle branches re-ran the df aggregation AND shuffled the
+    full gram stream for its semi-join.  Results identical (kept ==
+    not hot); sf0.1 best 3.0 -> 2.7 s, and at scale the cap's per-branch
+    cost drops from a gram-stream shuffle to a map-side bitmap probe.
+    Off by default (keeps the driver-checked defaults hash-stable);
+    A/B'd in BENCH/BASELINE.md.
     """
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
+        .filter(F.col("df") > max_df)
         .select("shingle")
+        .localCheckpoint(eager=True)
     )
-    return sh.join(hot, "shingle", "left_semi")
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 # ------------------------------------------------------------- exact dedup

@@ -270,7 +270,15 @@ def test_pipeline_uses_one_python_runtime_per_stage(spark):
 # F.broadcast bumps the count and fails here.
 HINT_BUDGET = {
     "dedup_jaccard_3gram": 0,
-    "dedup_jaccard_capped": 0,
+    # the allowed hints are cap_hot_shingles' HOT list (df > max_df):
+    # bounded-small by construction (hot shingles are the boilerplate
+    # pathology, the inverse of the corpus-sized kept set) and eagerly
+    # checkpointed before the hint, so it can never be a corpus-sized
+    # broadcast.  One hint per consumer branch of the capped frame
+    # (sizes + both join sides + the pair join-back re-expansion = 4,
+    # all the same checkpointed list).  r7.3: the kept-set semi-join
+    # shuffled the full gram stream once per branch instead.
+    "dedup_jaccard_capped": 4,
     "dedup_containment": 0,
     "corpus_near_dedup": 0,
     "dedup_cluster_bigstar": 0,
