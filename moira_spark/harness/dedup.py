@@ -922,9 +922,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.sqrt(_dot(F.col("v"), F.col("v"), dim=_EMB_DIM)).alias("nb"),
     )
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    # The nested-loop stream side inherits the tiny scan's partitioning
+    # (1-2 tasks), serializing the O(n^2) compare onto one core; spread
+    # it before the join (r7.3 — ~200k-row shuffle at the gate's cap,
+    # nothing at scale because this baseline refuses corpus-sized input).
+    a = a.repartition(2 * spark.sparkContext.defaultParallelism)
     cos = _dot(F.col("va"), F.col("vb"), dim=_EMB_DIM) / (
         F.col("na") * F.col("nb")
+    )
+    # Two-stage threshold (r7.3): the final predicate round(cos,6) >= thr
+    # used to be pushed INTO the join condition, so every candidate pair
+    # paid Spark's decimal-exact round — BigDecimal.valueOf(
+    # Double.toString(cos)) per pair, observed as the whole stage sitting
+    # in FloatingDecimal in thread dumps (~420M pairs at the 10x scale).
+    # The join now pre-filters on the RAW double with a bound loose by
+    # strictly more than half an ulp of the rounding grid (any x with
+    # round(x, 6) >= thr satisfies x >= thr - 5e-7 > thr - 1e-6), and the
+    # exact round-then-compare runs only on survivors — the SAME result
+    # set, with the BigDecimal path off the quadratic loop.
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("vec_a") < F.col("vec_b"))
+        & (cos >= F.lit(_EMB_DUP_THRESHOLD - 1e-6)),
     )
     return (
         pairs.withColumn("cos_sim", F.round(cos, 6))
