@@ -2666,7 +2666,16 @@ def boilerplate_prefixes(
     """Flag docs whose normalized first-k-word prefix repeats >= min_count
     times — core of doc_boilerplate_prefix; one window COUNT over the
     prefix key, no second shuffle."""
-    prefix = F.lower(F.concat_ws(" ", F.slice(_words_col(), 1, k)))
+    # NULL-text guard (ADVICE r6): concat_ws returns '' for a NULL word
+    # array while the DuckDB oracle's ARRAY_TO_STRING yields NULL — on a
+    # corpus with NULL texts the engines would diverge on exactly those
+    # rows.  Emit NULL explicitly so both sides agree; on the shipped
+    # fixtures (no NULL texts) this is provably a no-op (hash-identical,
+    # re-verified at sf0.001/sf0.01).
+    words = _words_col()
+    prefix = F.when(
+        words.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.lower(F.concat_ws(" ", F.slice(words, 1, k))))
     from pyspark.sql import Window
 
     cnt = F.count(F.lit(1)).over(Window.partitionBy("prefix"))
@@ -2765,10 +2774,23 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("nsrc").alias("m"))
         .collect()[0]["m"]
     )
-    if planted is None or planted < _OVL_CAP:
+    # Gate derived from the DATA, not the fixture layout (ADVICE r6): the
+    # plant is appended to every doc_id % 6 == 0 row, so the planted
+    # 5-gram's source spread must equal the number of distinct sources
+    # holding such a doc — computed here from the same corpus frame
+    # (column-pruned scan, one tiny aggregate).  The old gate hard-coded
+    # `planted >= 8`, which encoded the current fixture's doc_id-to-
+    # source layout and would abort the whole bench on a reshaped
+    # fixture; this form still proves the spread count is exact and (when
+    # the spread reaches _OVL_CAP, as on every shipped fixture) that the
+    # cap has a real universal gram to fire on.
+    expected = corpus.where(F.col("doc_id") % 6 == 0).agg(
+        F.count_distinct("source").alias("n")
+    ).collect()[0]["n"]
+    if (planted or 0) != expected:
         raise AssertionError(
-            "overlap-cap gate failed: the planted universal gram spread "
-            f"{planted} never reached the {_OVL_CAP}-source cap"
+            "overlap-cap gate failed: planted universal gram spread "
+            f"{planted} != {expected} sources holding a doc_id%6==0 doc"
         )
     return overlap_matrix_from_spread(spread, _OVL_CAP)
 
